@@ -1,0 +1,76 @@
+"""Benchmark runner — the driver's per-round BENCH_r{N}.json feedback loop.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query is forced with the noop sink (full computation, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from skiliopay_datapipeline_customer_spark.queries import all_queries  # noqa: E402
+from skiliopay_datapipeline_customer_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward shuffle-heavy shapes.
+HEADLINE = [
+    "flagship_revenue_by_nation",  # star join + agg
+    "pricing_summary",             # wide agg scan
+    "left_join_lookup",            # fact agg + left join
+    "topn_per_customer",           # partitioned window
+    "semi_join_active",            # existence join
+    "median_quantiles",            # exact percentile
+    "iqr_clip",                    # stats broadcast-back
+    "one_hot_segments",            # column expansion
+    "exact_dedup_docs",            # hash dedup
+    "minhash_lsh_candidates",      # LSH banding + bucket join
+    "cosine_topk",                 # embedding similarity
+    "token_stats",                 # text analysis
+    "running_total",               # frame-spec window
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    spark = get_spark(app_name="bench")
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    # warm the JVM/session with one untimed tiny action
+    spark.range(1).count()
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

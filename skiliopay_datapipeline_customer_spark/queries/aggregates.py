@@ -1,0 +1,293 @@
+"""Aggregation suite (SURVEY.md §2.4: A1-A15).
+
+Exact statistics only — the oracle hash-match forbids approx drift (SURVEY
+§7.4). Every multi-metric profile is a SINGLE agg pass (one job, one shuffle)
+— the reference's per-column loops (data_quality.py) are fused into one
+multi-aggregate, which is also the 100 TB-friendly shape (one scan of the
+fact table instead of N).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import table
+from . import query
+
+# A1 group-by count+sum with derived rate (churn-by-country,
+# src/dashboard/views/pages.py:96-101) on the star schema: per market
+# segment, share of customers with negative balance ("at risk").
+
+
+@query(
+    "segment_risk_rate",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS total,
+           sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS at_risk,
+           round(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS risk_rate
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def segment_risk_rate(spark, sf_dir):
+    at_risk = F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0))
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("total"),
+            at_risk.alias("at_risk"),
+            F.round(at_risk * 1.0 / F.count("*"), 6).alias("risk_rate"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# A2 global KPI aggregate (src/dashboard/data_loader.py:239-258).
+
+
+@query(
+    "global_kpis",
+    oracle="""
+    SELECT count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           round(sum(o_totalprice), 4) AS gmv,
+           round(avg(o_totalprice), 6) AS aov,
+           round(min(o_totalprice), 4) AS min_price,
+           round(max(o_totalprice), 4) AS max_price
+    FROM orders
+    """,
+)
+def global_kpis(spark, sf_dir):
+    return table(spark, sf_dir, "orders").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum("o_totalprice"), 4).alias("gmv"),
+        F.round(F.avg("o_totalprice"), 6).alias("aov"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+# A3 frequency distribution (value_counts(normalize=True),
+# src/processing/data_quality.py:326-342): single groupBy + scalar total via
+# window over the (tiny) aggregated frame — the raw table is scanned once.
+
+
+@query(
+    "frequency_distribution",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS cnt,
+           round(count(*) * 1.0 / (SELECT count(*) FROM orders), 6) AS share
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def frequency_distribution(spark, sf_dir):
+    from pyspark.sql import Window
+
+    counts = table(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    total = F.sum("cnt").over(Window.partitionBy())
+    return (
+        counts.withColumn("share", F.round(F.col("cnt") * 1.0 / total, 6))
+        .orderBy("o_orderpriority")
+    )
+
+
+# A4/A5/A6 distinct-count, duplicate-count, null-count — one fused
+# profiling pass (data_quality.py:67-111).
+
+
+@query(
+    "profile_counts",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS distinct_orders,
+           count(DISTINCT l_partkey) AS distinct_parts,
+           sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+           sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_flag
+    FROM lineitem
+    """,
+)
+def profile_counts(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.sum(F.col("l_quantity").isNull().cast("int")).alias("null_qty"),
+        F.sum(F.col("l_returnflag").isNull().cast("int")).alias("null_flag"),
+    )
+
+
+# A5 keyed duplicate detection (groupBy-count>1 form).
+
+
+@query(
+    "duplicate_keys",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, count(*) AS n
+    FROM lineitem
+    GROUP BY l_orderkey, l_linenumber
+    HAVING count(*) > 1
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def duplicate_keys(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# A7/A8/A9 exact median / mode / quantiles (etl_pipeline.py:169-205).
+# Exact percentile (interpolated) matches DuckDB quantile_cont; mode uses the
+# deterministic smallest-value-on-ties rule of pandas mode()[0] (SURVEY §7.4).
+
+
+@query(
+    "median_quantiles",
+    oracle="""
+    SELECT round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS q1_price,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS q3_price
+    FROM orders
+    """,
+)
+def median_quantiles(spark, sf_dir):
+    return table(spark, sf_dir, "orders").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("q1_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("q3_price"),
+    )
+
+
+@query(
+    "mode_priority",
+    oracle="""
+    SELECT o_orderpriority AS mode_value FROM (
+      SELECT o_orderpriority, count(*) AS c
+      FROM orders GROUP BY o_orderpriority
+      ORDER BY c DESC, o_orderpriority LIMIT 1
+    )
+    """,
+)
+def mode_priority(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "o_orderpriority")
+        .limit(1)
+        .select(F.col("o_orderpriority").alias("mode_value"))
+    )
+
+
+# A11 mean/std per column (z-score params, etl_pipeline.py:242-246).
+# stddev = sample stddev in both engines.
+
+
+@query(
+    "mean_std",
+    oracle="""
+    SELECT round(avg(c_acctbal), 6) AS mean_bal,
+           round(stddev_samp(c_acctbal), 6) AS std_bal,
+           round(avg(o.o_totalprice), 6) AS mean_price
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def mean_std(spark, sf_dir):
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .agg(
+            F.round(F.avg("c_acctbal"), 6).alias("mean_bal"),
+            F.round(F.stddev_samp("c_acctbal"), 6).alias("std_bal"),
+            F.round(F.avg("o_totalprice"), 6).alias("mean_price"),
+        )
+    )
+
+
+# A12 correlation (feature_engineering.py:275-279).
+
+
+@query(
+    "correlation",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(corr(l_discount, l_tax), 6) AS corr_disc_tax
+    FROM lineitem
+    """,
+)
+def correlation(spark, sf_dir):
+    return table(spark, sf_dir, "lineitem").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
+    )
+
+
+# A13 min/max/avg/stddev probe (docs/ReadData.md:119-125).
+
+
+@query(
+    "stats_probe",
+    oracle="""
+    SELECT round(avg(p_retailprice), 6) AS avg_price,
+           round(stddev_samp(p_retailprice), 6) AS std_price,
+           round(min(p_retailprice), 4) AS min_price,
+           round(max(p_retailprice), 4) AS max_price,
+           min(p_size) AS min_size, max(p_size) AS max_size
+    FROM part
+    """,
+)
+def stats_probe(spark, sf_dir):
+    return table(spark, sf_dir, "part").agg(
+        F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        F.round(F.stddev_samp("p_retailprice"), 6).alias("std_price"),
+        F.round(F.min("p_retailprice"), 4).alias("min_price"),
+        F.round(F.max("p_retailprice"), 4).alias("max_price"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+# A10 percentile-threshold flag (is_high_value, feature_engineering.py:224-228):
+# scalar q80 computed in a subquery, broadcast into the flag expression —
+# no driver round-trip, no second scan shape at scale (tiny scalar crossjoin).
+
+
+@query(
+    "high_value_flag",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >
+             (SELECT quantile_cont(o_totalprice, 0.8) FROM orders)
+           THEN 1 ELSE 0 END AS is_high_value
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def high_value_flag(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    q80 = orders.agg(F.percentile("o_totalprice", F.lit(0.8)).alias("q80"))
+    return (
+        orders.crossJoin(F.broadcast(q80))
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > F.col("q80"), 1).otherwise(0).alias(
+                "is_high_value"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1,0 +1,75 @@
+"""Dedup queries over the documents table (LLM-pipeline operator family)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..operators import dedup as D
+from . import query
+
+# Exact dedup by content hash (scale path: one shuffle on md5(text)).
+
+
+@query(
+    "exact_dedup_docs",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY doc_id
+    """,
+)
+def exact_dedup_docs(spark, sf_dir):
+    return D.exact_dedup(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# Exact n-gram (token-set) Jaccard near-dup pairs via inverted-index join.
+
+
+@query(
+    "ngram_jaccard_dups",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_dups(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
+# MinHash+LSH candidate pairs — xxhash64-based, not expressible in the DuckDB
+# oracle: driver records rows-only. This is the 100 TB near-dedup path.
+
+
+@query("minhash_lsh_candidates")
+def minhash_lsh_candidates(spark, sf_dir):
+    return D.minhash_lsh_candidates(table(spark, sf_dir, "documents")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# SimHash 64-bit fingerprints (rows-only: xxhash64-based).
+
+
+@query("simhash_fingerprints")
+def simhash_fingerprints(spark, sf_dir):
+    return D.simhash_signatures(table(spark, sf_dir, "documents")).orderBy("doc_id")

@@ -1,0 +1,207 @@
+"""Data-quality check queries (SURVEY.md §2.9: V3-V9 as metric queries).
+
+The reference's quality checker loops per column (src/processing/
+data_quality.py); here every report is ONE fused multi-aggregate pass over
+the table — the shape that survives 100 TB (one scan, partial aggregation
+map-side, tiny result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import table
+from . import query
+
+# V4 completeness report (data_quality.py:60-89): per-column null rates in a
+# single agg.
+
+
+@query(
+    "completeness_report",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS null_rate_status,
+           round(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS null_rate_price,
+           round(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS null_rate_date
+    FROM orders
+    """,
+)
+def completeness_report(spark, sf_dir):
+    def null_rate(c):
+        return F.round(F.sum(F.col(c).isNull().cast("int")) * 1.0 / F.count("*"), 6)
+
+    return table(spark, sf_dir, "orders").agg(
+        F.count("*").alias("n_rows"),
+        null_rate("o_orderstatus").alias("null_rate_status"),
+        null_rate("o_totalprice").alias("null_rate_price"),
+        null_rate("o_orderdate").alias("null_rate_date"),
+    )
+
+
+# V5 uniqueness report (data_quality.py:92-136): key uniqueness + dup-row rate.
+
+
+@query(
+    "uniqueness_report",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_keys,
+           round(count(DISTINCT o_orderkey) * 1.0 / count(*), 6) AS key_uniqueness
+    FROM orders
+    """,
+)
+def uniqueness_report(spark, sf_dir):
+    return table(spark, sf_dir, "orders").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.round(F.countDistinct("o_orderkey") * 1.0 / F.count("*"), 6).alias(
+            "key_uniqueness"
+        ),
+    )
+
+
+# V6 validity report (data_quality.py:139-201): rule-violation counts in one
+# pass (range, enum, non-negativity — the reference's age/label/gmv checks).
+
+
+@query(
+    "validity_report",
+    oracle="""
+    SELECT
+      sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS bad_quantity,
+      sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS bad_discount,
+      sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS bad_price,
+      sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS bad_flag,
+      count(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def validity_report(spark, sf_dir):
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    return l.agg(
+        viol(F.col("l_quantity") <= 0).alias("bad_quantity"),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("bad_discount"),
+        viol(F.col("l_extendedprice") < 0).alias("bad_price"),
+        viol(~F.col("l_returnflag").isin("A", "N", "R")).alias("bad_flag"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# V7 consistency report (data_quality.py:210-266): column-vs-column invariants
+# — here the lineitem-vs-orders reconciliation |sum(lines) - o_totalprice|.
+
+
+@query(
+    "consistency_report",
+    oracle="""
+    SELECT count(*) AS n_orders,
+           sum(CASE WHEN abs(line_total - o_totalprice) > 0.01 THEN 1 ELSE 0 END)
+             AS inconsistent_orders
+    FROM (
+      SELECT o.o_orderkey, o.o_totalprice,
+             sum(l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax)) AS line_total
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_totalprice
+    )
+    """,
+)
+def consistency_report(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("line_total")
+        )
+    )
+    return per_order.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.when(F.abs(F.col("line_total") - F.col("o_totalprice")) > 0.01, 1).otherwise(0)
+        ).alias("inconsistent_orders"),
+    )
+
+
+# V8 outlier report (data_quality.py:269-314): IQR-fence outlier rate per
+# column — exact percentiles + one conditional-sum pass.
+
+
+@query(
+    "outlier_report",
+    oracle="""
+    WITH fences AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders
+    )
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+                      OR o_totalprice > q3 + 1.5 * (q3 - q1)
+                    THEN 1 ELSE 0 END) AS n_outliers,
+           round(sum(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+                            OR o_totalprice > q3 + 1.5 * (q3 - q1)
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS outlier_rate
+    FROM orders, fences
+    """,
+)
+def outlier_report(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    fences = orders.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("o_totalprice") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        orders.crossJoin(F.broadcast(fences))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+            F.round(
+                F.sum(F.when(is_out, 1).otherwise(0)) * 1.0 / F.count("*"), 6
+            ).alias("outlier_rate"),
+        )
+    )
+
+
+# V9 distribution report (data_quality.py:317-357): class balance + dominance.
+
+
+@query(
+    "distribution_report",
+    oracle="""
+    SELECT round(sum(CASE WHEN o_orderstatus = 'F' THEN seg_cnt ELSE 0 END) * 1.0
+                 / sum(seg_cnt), 6) AS f_share,
+           round(max(seg_cnt) * 1.0 / sum(seg_cnt), 6) AS top_status_share
+    FROM (
+      SELECT o_orderstatus, count(*) AS seg_cnt FROM orders GROUP BY o_orderstatus
+    )
+    """,
+)
+def distribution_report(spark, sf_dir):
+    counts = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("seg_cnt"))
+    )
+    return counts.agg(
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("seg_cnt")).otherwise(0))
+            * 1.0
+            / F.sum("seg_cnt"),
+            6,
+        ).alias("f_share"),
+        F.round(F.max("seg_cnt") * 1.0 / F.sum("seg_cnt"), 6).alias("top_status_share"),
+    )

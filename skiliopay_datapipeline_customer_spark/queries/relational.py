@@ -1,0 +1,435 @@
+"""Scans, filters, joins, sorts, limits, set ops (SURVEY.md §2.1-2.3, 2.6-2.7).
+
+Each query is the Spark-first expression of a reference operator; the oracle
+SQL mirrors it exactly (same aliases, same rounding). Scale posture:
+
+- dim⋈fact joins broadcast the dim side explicitly (J1) — at 100 TB the fact
+  never shuffles for a dimension lookup;
+- fact⋈fact (orders⋈lineitem) relies on sort-merge + AQE skew splitting;
+- filters are plain Column predicates so Catalyst pushes them into the
+  parquet scan (PushedFilters) before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import table
+from . import query
+
+# ---------------------------------------------------------------------------
+# Flagship: star-schema revenue rollup (SURVEY §7.1; shape of the reference's
+# churn-by-country dashboard agg src/dashboard/views/pages.py:96-101 lifted
+# onto the test star schema).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+)
+def flagship_revenue_by_nation(spark, sf_dir):
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary (A1 group-agg family at full width).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 point lookup by key (src/serving/api.py:244-255).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "point_lookup",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 4) AS acctbal, c_mktsegment
+    FROM customer WHERE c_custkey = 42
+    """,
+)
+def point_lookup(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 42)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.round("c_acctbal", 4).alias("acctbal"),
+            "c_mktsegment",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5 range/enum predicate filters (src/processing/data_quality.py:152-190).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "range_enum_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 4) AS totalprice
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice >= 1000.0 AND o_totalprice < 5000.0
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+    ORDER BY o_orderkey
+    """,
+)
+def range_enum_filter(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderstatus").isin("O", "F")
+            & (F.col("o_totalprice") >= 1000.0)
+            & (F.col("o_totalprice") < 5000.0)
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 4).alias("totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7 deterministic sample (reference samples with a fixed seed for plots,
+# src/dashboard/views/pages.py:118 — made oracle-reproducible via key modulo).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "deterministic_sample",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer WHERE c_custkey % 20 = 0 ORDER BY c_custkey
+    """,
+)
+def deterministic_sample(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 20 == 0)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 / O4 LIMIT-OFFSET pagination (src/serving/api.py:485-489).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pagination",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 20 OFFSET 50
+    """,
+)
+def pagination(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "customer")
+        .orderBy("c_custkey")
+        .select("c_custkey", "c_name")
+        .offset(50)
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 broadcast dim join chain (star-schema FK joins,
+# src/storage/data_warehouse.py:486-527).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "broadcast_dim_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY c.c_custkey
+    """,
+)
+def broadcast_dim_join(spark, sf_dir):
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 left join key lookup (serving-time feature fetch, src/serving/api.py:244-258):
+# every customer left-joined to an aggregate of their orders.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "left_join_lookup",
+    oracle="""
+    SELECT c.c_custkey,
+           coalesce(agg.n_orders, 0) AS n_orders,
+           round(coalesce(agg.total_spent, 0.0), 4) AS total_spent
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total_spent
+        FROM orders GROUP BY o_custkey
+    ) agg ON c.c_custkey = agg.o_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def left_join_lookup(spark, sf_dir):
+    customer = table(spark, sf_dir, "customer")
+    agg = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("total_spent"))
+    )
+    return (
+        customer.join(agg, customer.c_custkey == agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce("total_spent", F.lit(0.0)), 4).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J-suite: left-semi (customers WITH orders — the churn predicate's
+# existence test, docs/CHURN_PREDICTION_PROCESS_LOG.md:25) and left-anti
+# (customers WITHOUT recent orders = churned).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "semi_join_active",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    ORDER BY c_custkey
+    """,
+)
+def semi_join_active(spark, sf_dir):
+    customer = table(spark, sf_dir, "customer")
+    recent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        customer.join(recent, customer.c_custkey == recent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "anti_join_churned",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    ORDER BY c_custkey
+    """,
+)
+def anti_join_churned(spark, sf_dir):
+    customer = table(spark, sf_dir, "customer")
+    recent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        customer.join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O2 top-k by metric (src/dashboard/data_loader.py:152-155): top 15 customers
+# by total spend. Spark plans orderBy+limit as TakeOrdered (no full sort).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_customers",
+    oracle="""
+    SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spent, count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY total_spent DESC, o_custkey
+    LIMIT 15
+    """,
+)
+def topk_customers(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spent"), "o_custkey")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 distinct rows (etl_pipeline.py:140-143 drop_duplicates).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "distinct_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_quantity
+    FROM lineitem ORDER BY l_returnflag, l_linestatus, l_quantity
+    """,
+)
+def distinct_rows(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus", "l_quantity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U4 row union (append-mode load, data_warehouse.py:68-92): two layer slices
+# unioned by name — the priority-union/fallback pattern of J3.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "union_append",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice >= 4000
+      UNION ALL
+      SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice < 1000
+    ) ORDER BY o_orderkey, bucket
+    """,
+)
+def union_append(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") >= 4000).select(
+        "o_orderkey", F.lit("high").alias("bucket")
+    )
+    lo = orders.filter(F.col("o_totalprice") < 1000).select(
+        "o_orderkey", F.lit("low").alias("bucket")
+    )
+    return hi.unionByName(lo).orderBy("o_orderkey", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# U-intersect/except (engine capability beyond reference, SURVEY §2.7 note):
+# market segments present in both high- and low-balance customer groups.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "intersect_segments",
+    oracle="""
+    SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT c_mktsegment FROM customer WHERE c_acctbal < 0
+    ORDER BY c_mktsegment
+    """,
+)
+def intersect_segments(spark, sf_dir):
+    customer = table(spark, sf_dir, "customer")
+    hi = customer.filter(F.col("c_acctbal") > 5000).select("c_mktsegment")
+    lo = customer.filter(F.col("c_acctbal") < 0).select("c_mktsegment")
+    return hi.intersect(lo).orderBy("c_mktsegment")

@@ -1,0 +1,105 @@
+"""Embedding similarity-search queries (LLM-pipeline family)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..operators import similarity as S
+from . import query
+
+# Exact brute-force cosine top-k against the vec_id=0 query vector.
+# The oracle computes the same double-precision cosine via list functions.
+
+
+@query(
+    "cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id,
+             round(
+               list_sum(list_transform(list_zip(e.embedding, q.qe),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.qe,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cos_sim
+      FROM embeddings e, q
+    )
+    SELECT vec_id, cos_sim FROM sims
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def cosine_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0)
+    return S.brute_force_topk(emb, qvec, k=10)
+
+
+# L2 norms — the shared kernel, verifiable on its own.
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    v = S.as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id", F.round(F.sqrt(S.dot(v, v)), 6).alias("l2_norm")
+    ).orderBy("vec_id")
+
+
+# Per-label centroid similarity: mean vector per label (posexplode + groupBy)
+# then cosine of each label centroid against the global centroid.
+
+
+@query(
+    "label_centroid_norms",
+    oracle="""
+    SELECT label,
+           round(sqrt(sum(mean_v * mean_v)), 6) AS centroid_norm
+    FROM (
+      SELECT label, i, avg(CAST(v AS DOUBLE)) AS mean_v
+      FROM (
+        SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      )
+      GROUP BY label, i
+    )
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def label_centroid_norms(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("i", "v")
+    ).select("label", "i", F.col("v").cast("double").alias("v"))
+    centroids = exploded.groupBy("label", "i").agg(F.avg("v").alias("mean_v"))
+    return (
+        centroids.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("mean_v") * F.col("mean_v"))), 6).alias("centroid_norm"))
+        .orderBy("label")
+    )
+
+
+# ANN via random-hyperplane LSH bucketing — xxhash64-derived planes, not
+# oracle-expressible: rows-only check. This is the 100 TB probe path.
+
+
+@query("lsh_ann_topk")
+def lsh_ann_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0)
+    return S.lsh_topk(emb, qvec, k=10)

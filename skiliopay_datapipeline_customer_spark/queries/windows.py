@@ -1,0 +1,163 @@
+"""Window-function suite (SURVEY.md §2.5: W1-W4 + frame-spec extensions).
+
+Every window has a DETERMINISTIC total order (value + key tiebreak) — the
+reference's rank(method='first') / qcut semantics (W1/W2) are only
+reproducible under a total order (SURVEY §7.4). Scale posture: windows
+partitioned by a key shuffle once on that key; the single global-order
+windows (ntile over the whole table) are flagged as driver-bottleneck shapes
+and exist because the reference's RFM quintiles are global — at 100 TB the
+engine would switch to percent_rank over range-partitioned sort (Spark does
+a range-partitioned global sort under the hood, so it scales).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from . import query
+
+# W1/W2 quantile bucketing = ntile over total order (RFM quintiles,
+# feature_engineering.py:89-98).
+
+
+@query(
+    "rfm_quintiles",
+    oracle="""
+    SELECT c_custkey,
+           ntile(5) OVER (ORDER BY c_acctbal, c_custkey) AS bal_quintile
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def rfm_quintiles(spark, sf_dir):
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", F.ntile(5).over(w).alias("bal_quintile"))
+        .orderBy("c_custkey")
+    )
+
+
+# W3 top-N per group (ROW_NUMBER pattern, docs/PERFORMANCE_OPTIMIZATION.md:228-237):
+# top 3 orders per customer. Partitioned window → one shuffle on o_custkey.
+
+
+@query(
+    "topn_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def topn_per_customer(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("totalprice"),
+            "rn",
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# W4 share-of-total (value_counts(normalize=True), data_quality.py:326-342)
+# per event user: each event type's share of the user's events.
+
+
+@query(
+    "share_within_group",
+    oracle="""
+    SELECT user_id, event_type, cnt,
+           round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY user_id), 6) AS share
+    FROM (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    )
+    ORDER BY user_id, event_type
+    """,
+)
+def share_within_group(spark, sf_dir):
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("user_id")
+    return (
+        counts.withColumn("share", F.round(F.col("cnt") * 1.0 / F.sum("cnt").over(w), 6))
+        .orderBy("user_id", "event_type")
+    )
+
+
+# Frame-spec extensions (SURVEY §2.5 note: lag + rows-between required for the
+# events table even though the reference pre-bakes its windows).
+# lag: per-user time delta between consecutive events.
+
+
+@query(
+    "lag_time_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS micros_since_prev
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def lag_time_delta(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # integer-microsecond delta: exact on both engines, no float rounding
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            (F.unix_micros("ts") - F.unix_micros(prev_ts)).alias("micros_since_prev"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# rows-between running aggregate: per-user running value total in event order.
+
+
+@query(
+    "running_total",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def running_total(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(w), 4).alias("running_value"),
+        )
+        .orderBy("event_id")
+    )

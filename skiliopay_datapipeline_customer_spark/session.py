@@ -1,0 +1,51 @@
+"""SparkSession factory.
+
+Reference parity: the reference has no session concept (eager pandas,
+``src/processing/etl_pipeline.py``); this is the engine's single entry to a
+configured SparkSession. Defaults are chosen for the local[32] test box but
+every knob is the one you'd tune on a 1000-executor cluster:
+
+- AQE on (runtime shuffle coalescing, skew-join splitting, broadcast demotion)
+- shuffle partitions sized by SPARK_GRAFT_CPUS (cluster: ~2-3x total cores)
+- autoBroadcastJoinThreshold 64 MB: the star-schema dims (region/nation/
+  customer at test SF; region/nation/supplier at 100 TB) broadcast instead of
+  shuffling the fact table
+- UTC session timezone so parquet timestamps hash identically to the DuckDB
+  oracle
+- Arrow enabled for any pandas_udf / toPandas path
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "skiliopay-spark-engine",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = str(shuffle_partitions or max(int(cpus), 8))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # the events table stores TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert in io.table()
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
