@@ -39,7 +39,9 @@ def load_all() -> None:
         quality,
         relational,
         similarity,
+        temporal,
         text,
+        validation,
         windows,
     )
 

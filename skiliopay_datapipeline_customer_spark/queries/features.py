@@ -287,6 +287,65 @@ def one_hot_segments(spark, sf_dir):
     )
 
 
+# F16 ordinal label encoding (sklearn LabelEncoder sorted-class order,
+# feature_engineering.py:246-256) with a declared category list.
+
+
+@query(
+    "label_encode_segments",
+    oracle="""
+    SELECT c_custkey,
+           CASE c_mktsegment
+             WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+             WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3
+             WHEN 'MACHINERY' THEN 4 ELSE NULL END AS mktsegment_encoded
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def label_encode_segments(spark, sf_dir):
+    from ..functions.encoding import label_encode
+
+    cats = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    df = label_encode(
+        table(spark, sf_dir, "customer"), "c_mktsegment", cats, out="mktsegment_encoded"
+    )
+    return df.select("c_custkey", "mktsegment_encoded").orderBy("c_custkey")
+
+
+# F17 argmax across a one-hot block (reconstruct category,
+# src/dashboard/data_loader.py:38-44): round-trip one-hot → argmax.
+
+
+@query(
+    "argmax_reconstruct",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'AUTOMOBILE'
+                WHEN c_mktsegment = 'BUILDING' THEN 'BUILDING'
+                WHEN c_mktsegment = 'FURNITURE' THEN 'FURNITURE'
+                WHEN c_mktsegment = 'HOUSEHOLD' THEN 'HOUSEHOLD'
+                ELSE 'MACHINERY' END AS segment_reconstructed
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def argmax_reconstruct(spark, sf_dir):
+    from ..functions.encoding import one_hot_columns
+
+    cats = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    onehot = table(spark, sf_dir, "customer").select(
+        "c_custkey", *one_hot_columns("c_mktsegment", cats, prefix="mkt")
+    )
+    # argmax over the block: first category whose indicator == 1
+    chain = F.when(F.col(f"mkt_{cats[0]}") == 1, cats[0])
+    for cat in cats[1:-1]:
+        chain = chain.when(F.col(f"mkt_{cat}") == 1, cat)
+    return onehot.select(
+        "c_custkey", chain.otherwise(cats[-1]).alias("segment_reconstructed")
+    ).orderBy("c_custkey")
+
+
 # F13 null imputation with a computed statistic (median fillna,
 # etl_pipeline.py:158-187) — here: impute a derived nullable column.
 

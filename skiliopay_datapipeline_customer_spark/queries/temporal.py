@@ -1,0 +1,190 @@
+"""Temporal operators: event-time windows + as-of join (SURVEY §2.11 batch
+equivalents — the aggregations that would *produce* the reference's
+pre-baked sessions_30d/_90d columns, and the streaming windows' batch twins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..operators.joins import asof_join
+from . import query
+
+# Tumbling 1-day window counts (F.window ≡ DuckDB time_bucket, both
+# epoch-aligned). This is the batch twin of the streaming tumbling agg.
+
+
+@query(
+    "tumbling_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS bucket_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tumbling_window_counts(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "total_value")
+        .orderBy("bucket_start")
+    )
+
+
+# Sliding 2-day/1-day window counts: each event lands in exactly 2 windows.
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+    SELECT bucket_start, count(*) AS n_events
+    FROM (
+      SELECT time_bucket(INTERVAL '1 day', ts) - (INTERVAL 1 DAY * k.k) AS bucket_start
+      FROM events, (SELECT unnest([0, 1]) AS k) k
+    )
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sliding_window_counts(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("bucket_start"), "n_events")
+        .orderBy("bucket_start")
+    )
+
+
+# Gap-based session windows (30 min), the fact_sessions derivation
+# (src/storage/data_warehouse.py:509-527). Oracle = gaps-and-islands SQL.
+
+
+@query(
+    "session_window_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def session_window_stats(spark, sf_dir):
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+# Backward as-of join: for each purchase event, the user's latest click
+# at-or-before it (union+window form — no range-join blowup; DuckDB oracle
+# uses its native ASOF JOIN). Right side pre-deduped per (user, ts).
+
+
+@query(
+    "asof_purchase_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, max(event_id) AS event_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ) c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_purchase_click(spark, sf_dir):
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["event_id"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("_asof.event_id").alias("click_id")
+    ).orderBy("event_id")
+
+
+# P1 global row id under an explicit total order (SURVEY §7.4 hard part:
+# range(len(df)) has no distributed meaning; define via row_number over a
+# declared order — Spark plans a range-partitioned sort, which scales).
+
+
+@query(
+    "global_row_number",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS row_id,
+           o_orderkey
+    FROM orders
+    ORDER BY row_id LIMIT 100
+    """,
+)
+def global_row_number(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .select(F.row_number().over(w).alias("row_id"), "o_orderkey")
+        .orderBy("row_id")
+        .limit(100)
+    )
+
+
+# percent_rank — the scale-friendly quantile-flag alternative to a collected
+# percentile scalar (A10 note in SURVEY §2.4).
+
+
+@query(
+    "percent_rank_prices",
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS price_pr
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def percent_rank_prices(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", F.round(F.percent_rank().over(w), 6).alias("price_pr")
+        )
+        .orderBy("o_orderkey")
+    )

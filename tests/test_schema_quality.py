@@ -1,0 +1,94 @@
+"""Unit tests for the schema compiler and quality-report aggregators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skiliopay_datapipeline_customer_spark.io import table
+from skiliopay_datapipeline_customer_spark.plans import quality as Q
+from skiliopay_datapipeline_customer_spark.queries.validation import CUSTOMER_SCHEMA
+from skiliopay_datapipeline_customer_spark.schema import (
+    conformance_report,
+    to_struct_type,
+    validate,
+)
+
+
+def test_struct_type_nullability():
+    st = to_struct_type(CUSTOMER_SCHEMA)
+    nullable = {f.name: f.nullable for f in st.fields}
+    assert nullable["c_custkey"] is False
+    assert nullable["c_acctbal"] is True
+
+
+def test_validate_flags_bad_rows(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Customer#1", 3, 100.0, "BUILDING"),
+            (-5, "nope", 99, 20000.0, "UNKNOWN"),
+            (None, None, None, None, None),
+        ],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+    )
+    out = validate(df, CUSTOMER_SCHEMA).orderBy(F.col("c_custkey").asc_nulls_last())
+    rows = out.collect()
+    assert rows[1]["_valid"] is True and rows[1]["_errors"] == []
+    bad = rows[0]
+    assert set(bad["_errors"]) == {
+        "c_custkey_min",
+        "c_name_pattern",
+        "c_nationkey_max",
+        "c_acctbal_max",
+        "c_mktsegment_enum",
+    }
+    nulls = rows[2]
+    assert set(nulls["_errors"]) == {
+        "c_custkey_required",
+        "c_name_required",
+        "c_mktsegment_required",
+    }
+
+
+def test_conformance_report(spark):
+    df = spark.createDataFrame(
+        [(1, "x")], "c_custkey long, extra string"
+    )
+    rep = conformance_report(df, CUSTOMER_SCHEMA)
+    statuses = {r["column"]: r["status"] for r in rep}
+    assert statuses["c_name"] == "missing"
+    assert statuses["extra"] == "unexpected"
+
+
+def test_quality_gate_on_clean_star_schema(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    report = Q.run_quality_checks(
+        orders,
+        key_columns=["o_orderkey"],
+        completeness_columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        validity_rules={
+            "negative_price": F.col("o_totalprice") < 0,
+            "bad_status": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+        consistency_invariants={"date_in_future": F.col("o_orderdate") > F.lit("2030-01-01")},
+        outlier_columns=["o_totalprice"],
+    )
+    assert report.details["uniqueness"]["key_uniqueness"]["o_orderkey"] == 1.0
+    assert report.details["validity"]["violations"]["negative_price"] == 0
+    assert 0 < report.overall <= 1.0
+    assert report.passed
+
+
+def test_quality_gate_fails_on_dirty_data(spark):
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (1, None), (2, 5.0)], "k long, v double"
+    )
+    report = Q.run_quality_checks(
+        df,
+        key_columns=["k"],
+        completeness_columns=["v"],
+        validity_rules={"v_negative": F.col("v") < 0},
+        outlier_columns=[],
+    )
+    assert report.details["completeness"]["flagged"] == ["v"]
+    assert report.details["uniqueness"]["score"] < 0.8
+    assert not report.passed
