@@ -26,13 +26,10 @@ from . import query
     """,
 )
 def tumbling_window_counts(spark, sf_dir):
-    return (
-        table(spark, sf_dir, "events")
-        .groupBy(F.window("ts", "1 day").alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
-        .select(F.col("w.start").alias("bucket_start"), "n_events", "total_value")
-        .orderBy("bucket_start")
-    )
+    from ..streaming.transforms import tumbling_counts
+
+    # same transform the streaming path runs (streaming/transforms.py)
+    return tumbling_counts(table(spark, sf_dir, "events")).orderBy("bucket_start")
 
 
 # Sliding 2-day/1-day window counts: each event lands in exactly 2 windows.
@@ -50,13 +47,9 @@ def tumbling_window_counts(spark, sf_dir):
     """,
 )
 def sliding_window_counts(spark, sf_dir):
-    return (
-        table(spark, sf_dir, "events")
-        .groupBy(F.window("ts", "2 days", "1 day").alias("w"))
-        .agg(F.count("*").alias("n_events"))
-        .select(F.col("w.start").alias("bucket_start"), "n_events")
-        .orderBy("bucket_start")
-    )
+    from ..streaming.transforms import sliding_counts
+
+    return sliding_counts(table(spark, sf_dir, "events")).orderBy("bucket_start")
 
 
 # Gap-based session windows (30 min), the fact_sessions derivation
@@ -88,12 +81,10 @@ def sliding_window_counts(spark, sf_dir):
     """,
 )
 def session_window_stats(spark, sf_dir):
-    return (
-        table(spark, sf_dir, "events")
-        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(F.count("*").alias("n_events"))
-        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
-        .orderBy("user_id", "session_start")
+    from ..streaming.transforms import session_stats
+
+    return session_stats(table(spark, sf_dir, "events")).orderBy(
+        "user_id", "session_start"
     )
 
 

@@ -1,0 +1,99 @@
+"""Streaming sinks: availableNow runner + foreachBatch snapshot upsert
+(SURVEY §2.11; S15 latest-snapshot semantics, scripts/run_processing.py:19-22).
+
+The upsert keeps a versioned snapshot directory:
+
+    target/v=0/...parquet   (first batch)
+    target/v=1/...parquet   (merge of v=0 + batch 1)
+
+``latest_snapshot`` reads the highest version — the engine's replacement for
+the reference's glob-date-stamped-files-take-max discovery. Versioned dirs
+(rather than in-place overwrite) make the merge atomic-by-rename and leave
+history for audit; on a cluster with Delta/Iceberg this entire sink is
+``MERGE INTO`` and the version chain is the table log.
+
+Scale notes: the merge is a keyed window dedup — shuffle on the key, no
+driver collect. Each version rewrite is O(snapshot); at 100 TB use the
+MERGE-on-Delta path where only touched files rewrite.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def run_available_now(
+    df: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    foreach_batch=None,
+    out_dir: str | None = None,
+    query_name: str | None = None,
+) -> None:
+    """Process everything currently available, then stop (the daily-batch
+    execution shape on streaming semantics)."""
+    writer = (
+        df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if foreach_batch is not None:
+        q = writer.foreachBatch(foreach_batch).start()
+    elif out_dir is not None:
+        q = writer.format("parquet").option("path", out_dir).start()
+    else:
+        q = writer.format("memory").start()
+    q.awaitTermination()
+
+
+def _versions(target_dir: str) -> list[int]:
+    if not os.path.isdir(target_dir):
+        return []
+    return sorted(
+        int(m.group(1))
+        for d in os.listdir(target_dir)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    )
+
+
+def latest_snapshot(spark: SparkSession, target_dir: str) -> DataFrame | None:
+    """S15: read the newest snapshot version (None before the first write)."""
+    vs = _versions(target_dir)
+    if not vs:
+        return None
+    return spark.read.parquet(os.path.join(target_dir, f"v={vs[-1]}"))
+
+
+def upsert_snapshot(target_dir: str, key_cols: list[str], order_col: str):
+    """Build a foreachBatch(batch_df, batch_id) that merges each micro-batch
+    into the snapshot: per key keep the row with the greatest ``order_col``
+    (latest-wins upsert). Exactly-once: foreachBatch can replay a batch on
+    recovery; latest-wins merge is idempotent so replays are safe.
+    """
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        current = latest_snapshot(spark, target_dir)
+        merged = (
+            batch_df
+            if current is None
+            else current.unionByName(batch_df, allowMissingColumns=True)
+        )
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        deduped = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        next_v = (_versions(target_dir)[-1] + 1) if _versions(target_dir) else 0
+        deduped.write.mode("overwrite").parquet(
+            os.path.join(target_dir, f"v={next_v}")
+        )
+
+    return merge

@@ -1,0 +1,97 @@
+"""Event-time transforms shared by batch and streaming (SURVEY §2.11).
+
+Each is pure ``DataFrame -> DataFrame`` so the SAME code path serves the
+batch twins in queries/temporal.py (the DuckDB-checked oracle surface) and
+the streaming tests. Watermarks are applied here only when the input is
+streaming — on a batch frame ``withWatermark`` is a no-op but we skip it to
+keep batch plans clean.
+
+Scale notes: windowed aggregates are hash-partitioned by (key, window) —
+state per partition is bounded by watermark retention; session windows merge
+state per key (user_id, ~50k keys at reference scale) and are the only
+unbounded-gap risk, bounded here by the watermark delay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _maybe_watermark(df: DataFrame, time_col: str, delay: str | None) -> DataFrame:
+    if delay is not None and df.isStreaming:
+        return df.withWatermark(time_col, delay)
+    return df
+
+
+def tumbling_counts(
+    df: DataFrame,
+    window_len: str = "1 day",
+    time_col: str = "ts",
+    watermark: str | None = "1 day",
+) -> DataFrame:
+    """Daily event counts + value sum — the sessions_30d-style producer.
+
+    Watermark "1 day" mirrors the reference's daily-batch late-arrival
+    tolerance (a record from yesterday's file still lands).
+    """
+    return (
+        _maybe_watermark(df, time_col, watermark)
+        .groupBy(F.window(time_col, window_len).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "total_value")
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    window_len: str = "2 days",
+    slide: str = "1 day",
+    time_col: str = "ts",
+    watermark: str | None = "1 day",
+) -> DataFrame:
+    """Sliding-window counts — the 90d-window-sliding-daily producer shape."""
+    return (
+        _maybe_watermark(df, time_col, watermark)
+        .groupBy(F.window(time_col, window_len, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("bucket_start"), "n_events")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    time_col: str = "ts",
+    watermark: str | None = "1 day",
+) -> DataFrame:
+    """Gap-based session windows per user — fact_sessions derivation
+    (reference DDL src/storage/data_warehouse.py:509-527)."""
+    return (
+        _maybe_watermark(df, time_col, watermark)
+        .groupBy("user_id", F.session_window(time_col, gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    time_col: str = "ts",
+    within: str | None = "1 day",
+) -> DataFrame:
+    """Stateful dedup (streaming U1). On a stream, state for each key is
+    dropped once the watermark passes ``within`` — bounded memory; on a
+    batch frame this is plain dropDuplicates."""
+    keys = keys or ["event_id"]
+    if df.isStreaming and within is not None:
+        return df.withWatermark(time_col, within).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
