@@ -1,0 +1,137 @@
+"""Classifier training / evaluation / CV (M4-M10).
+
+The reference trains XGBoost with an RF alternate behind a model-type switch
+(src/ml/model_trainer.py:243-263,336-358). Spark-native equivalents:
+GBTClassifier (gradient-boosted trees ≈ XGBoost's model class) and
+RandomForestClassifier, both distributed. Metrics mirror M7: accuracy,
+weighted precision/recall/F1, ROC-AUC. CV (M8) trains one model per
+precomputed stratified fold — fold assignment comes from split.py so folds
+are reproducible, unlike CrossValidator's internal random folds.
+
+Scale notes: tree training is Spark ML's distributed histogram algorithm;
+evaluation is one pass per metric family. Nothing collects more than scalar
+metrics to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import GBTClassifier, RandomForestClassifier
+from pyspark.ml.evaluation import (
+    BinaryClassificationEvaluator,
+    MulticlassClassificationEvaluator,
+)
+from pyspark.ml.feature import VectorAssembler
+from pyspark.sql import DataFrame
+
+from .split import stratified_folds
+
+
+def _assembler(feature_cols: list[str]) -> VectorAssembler:
+    return VectorAssembler(
+        inputCols=feature_cols, outputCol="features", handleInvalid="keep"
+    )
+
+
+def train_classifier(
+    train: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    model_type: str = "gbt",
+    seed: int = 42,
+    **hp,
+):
+    """Returns (pipeline_model_like, transform) — model fit on assembled
+    vectors. hp passes through (maxDepth, maxIter/numTrees, stepSize...)."""
+    asm = _assembler(feature_cols)
+    assembled = asm.transform(train)
+    if model_type == "gbt":
+        clf = GBTClassifier(
+            labelCol=label_col,
+            featuresCol="features",
+            seed=seed,
+            maxDepth=hp.pop("maxDepth", 5),
+            maxIter=hp.pop("maxIter", 20),
+            stepSize=hp.pop("stepSize", 0.1),
+            **hp,
+        )
+    elif model_type == "rf":
+        clf = RandomForestClassifier(
+            labelCol=label_col,
+            featuresCol="features",
+            seed=seed,
+            maxDepth=hp.pop("maxDepth", 5),
+            numTrees=hp.pop("numTrees", 50),
+            **hp,
+        )
+    else:  # the reference raises on lightgbm too (model_trainer.py:354-358)
+        raise ValueError(f"unsupported model_type: {model_type}")
+    model = clf.fit(assembled)
+
+    def transform(df: DataFrame) -> DataFrame:
+        return model.transform(asm.transform(df))
+
+    return model, transform
+
+
+def evaluate_classifier(predictions: DataFrame, label_col: str) -> dict[str, float]:
+    """M7: accuracy, weighted precision/recall/F1, ROC-AUC — the reference's
+    metric set (model_trainer.py:360-374)."""
+    out = {}
+    for metric, key in [
+        ("accuracy", "accuracy"),
+        ("weightedPrecision", "precision"),
+        ("weightedRecall", "recall"),
+        ("f1", "f1"),
+    ]:
+        out[key] = MulticlassClassificationEvaluator(
+            labelCol=label_col, predictionCol="prediction", metricName=metric
+        ).evaluate(predictions)
+    out["roc_auc"] = BinaryClassificationEvaluator(
+        labelCol=label_col, rawPredictionCol="rawPrediction", metricName="areaUnderROC"
+    ).evaluate(predictions)
+    return out
+
+
+def feature_importances(model, feature_cols: list[str], top_n: int = 20):
+    """M10: named importances sorted desc, top-n (model_trainer.py:394-411)."""
+    pairs = sorted(
+        zip(feature_cols, model.featureImportances.toArray().tolist()),
+        key=lambda kv: -kv[1],
+    )
+    return pairs[:top_n]
+
+
+def cross_validate(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    key_col: str,
+    n_folds: int = 5,
+    model_type: str = "gbt",
+    seed: int = 42,
+    **hp,
+) -> dict[str, float]:
+    """M8: k-fold CV over a precomputed stratified fold column; returns
+    mean/std of ROC-AUC like the reference (model_trainer.py:383-392)."""
+    folded = stratified_folds(df, label_col, key_col, n_folds=n_folds, seed=seed)
+    folded = folded.cache()
+    aucs = []
+    try:
+        for k in range(n_folds):
+            train = folded.filter(folded.fold != k)
+            test = folded.filter(folded.fold == k)
+            _, transform = train_classifier(
+                train, feature_cols, label_col, model_type=model_type, seed=seed, **hp
+            )
+            aucs.append(
+                BinaryClassificationEvaluator(
+                    labelCol=label_col,
+                    rawPredictionCol="rawPrediction",
+                    metricName="areaUnderROC",
+                ).evaluate(transform(test))
+            )
+    finally:
+        folded.unpersist()
+    mean = sum(aucs) / len(aucs)
+    std = (sum((a - mean) ** 2 for a in aucs) / len(aucs)) ** 0.5
+    return {"cv_roc_auc_mean": mean, "cv_roc_auc_std": std, "folds": aucs}

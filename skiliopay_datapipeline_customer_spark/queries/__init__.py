@@ -36,6 +36,7 @@ def load_all() -> None:
         aggregates,
         dedup,
         features,
+        ml,
         quality,
         relational,
         similarity,

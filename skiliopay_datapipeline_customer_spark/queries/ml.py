@@ -1,0 +1,71 @@
+"""ML-layer declared queries (SURVEY §2.10).
+
+``churn_training_dataset`` (M1) is SQL-expressible and oracle-checked; the
+model queries (M4/M6) are genuinely non-SQL ops, so they register WITHOUT an
+oracle — the driver records the weaker rows-only check, per contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..ml.dataset import FEATURE_COLS, LABEL_COL, churn_dataset
+from . import query
+
+
+@query(
+    "churn_training_dataset",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey,
+           datediff('day', last_order, DATE '2001-08-02') AS recency_days,
+           frequency, monetary,
+           c_acctbal AS acctbal,
+           CAST(last_order < DATE '2000-12-01' AS INT) AS churn_label
+    FROM customer JOIN per_cust ON c_custkey = o_custkey
+    ORDER BY c_custkey
+    """,
+)
+def churn_training_dataset(spark, sf_dir):
+    # avg_order_value (a sum/count division) is excluded from the hashed
+    # surface: its true value can land exactly on a half-cent rounding
+    # boundary, where double ulp noise flips round() between engines. It
+    # remains a model feature in ml.dataset.
+    return churn_dataset(spark, sf_dir).drop("avg_order_value").orderBy("c_custkey")
+
+
+# M2/M4/M6: stratified split → GBT fit on train → score test split.
+# Model inference is not SQL-expressible → rows-only check (no oracle).
+
+
+@query("churn_predictions")
+def churn_predictions(spark, sf_dir):
+    from ..ml.pipeline import train_classifier
+    from ..ml.split import stratified_split
+
+    ds = stratified_split(
+        churn_dataset(spark, sf_dir), LABEL_COL, key_col="c_custkey"
+    ).cache()
+    train = ds.filter(F.col("_split") == 0)
+    test = ds.filter(F.col("_split") == 2)
+    _, transform = train_classifier(
+        train, FEATURE_COLS, LABEL_COL, model_type="gbt", maxIter=10
+    )
+    from pyspark.ml.functions import vector_to_array
+
+    return (
+        transform(test)
+        .select(
+            "c_custkey",
+            LABEL_COL,
+            F.col("prediction").cast("int").alias("prediction"),
+            F.round(vector_to_array("probability")[1], 4).alias("churn_prob"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -1,0 +1,98 @@
+"""ML-layer tests (M2/M3/M4/M7/M8/M10): split determinism + stratification,
+scaler leakage discipline, trainable signal on the churn dataset, CV folds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skiliopay_datapipeline_customer_spark.ml import (
+    churn_dataset,
+    cross_validate,
+    evaluate_classifier,
+    feature_importances,
+    fit_standard_scaler,
+    stratified_folds,
+    stratified_split,
+    train_classifier,
+)
+from skiliopay_datapipeline_customer_spark.ml.dataset import FEATURE_COLS, LABEL_COL
+
+
+def test_stratified_split_proportions_and_determinism(spark, sf_dir):
+    ds = churn_dataset(spark, sf_dir)
+    a = stratified_split(ds, LABEL_COL, key_col="c_custkey")
+    counts = {
+        (r[LABEL_COL], r["_split"]): r["n"]
+        for r in a.groupBy(LABEL_COL, "_split").agg(F.count("*").alias("n")).collect()
+    }
+    for label in (0, 1):
+        n = sum(v for (lb, _), v in counts.items() if lb == label)
+        got_train = counts.get((label, 0), 0) / n
+        assert abs(got_train - 0.6) < 0.05, (label, got_train)
+    # deterministic: same seed → identical assignment
+    b = stratified_split(ds, LABEL_COL, key_col="c_custkey")
+    assert (
+        a.select("c_custkey", "_split")
+        .exceptAll(b.select("c_custkey", "_split"))
+        .count()
+        == 0
+    )
+
+
+def test_stratified_folds_cover_and_partition(spark, sf_dir):
+    ds = churn_dataset(spark, sf_dir)
+    folded = stratified_folds(ds, LABEL_COL, key_col="c_custkey", n_folds=5)
+    sizes = [r["n"] for r in folded.groupBy("fold").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 5 and min(sizes) > 0
+    assert sum(sizes) == ds.count()
+
+
+def test_scaler_fit_on_train_only(spark, sf_dir):
+    ds = stratified_split(
+        churn_dataset(spark, sf_dir), LABEL_COL, key_col="c_custkey"
+    )
+    train = ds.filter(F.col("_split") == 0)
+    params, transform = fit_standard_scaler(train, ["monetary", "frequency"])
+    scaled_train = transform(train)
+    row = scaled_train.agg(
+        F.avg("monetary").alias("m"), F.stddev_samp("monetary").alias("s")
+    ).first()
+    # train split standardized exactly; test split is NOT re-fit (params fixed)
+    assert abs(row["m"]) < 1e-9 and abs(row["s"] - 1.0) < 1e-9
+    mean_monetary = params["monetary"][0]
+    test_mean = (
+        transform(ds.filter(F.col("_split") == 2)).agg(F.avg("monetary")).first()[0]
+    )
+    assert abs(test_mean) > 1e-12  # would be ~0 only if leaked/refit
+    assert mean_monetary != 0
+
+
+def test_train_eval_importances(spark, sf_dir):
+    ds = stratified_split(
+        churn_dataset(spark, sf_dir), LABEL_COL, key_col="c_custkey"
+    ).cache()
+    train = ds.filter(F.col("_split") == 0)
+    test = ds.filter(F.col("_split") == 2)
+    model, transform = train_classifier(
+        train, FEATURE_COLS, LABEL_COL, model_type="gbt", maxIter=10
+    )
+    metrics = evaluate_classifier(transform(test), LABEL_COL)
+    # recency_days encodes the label cutoff → near-perfect separability
+    assert metrics["roc_auc"] > 0.95 and metrics["accuracy"] > 0.9
+    imps = feature_importances(model, FEATURE_COLS)
+    assert imps[0][0] == "recency_days" and abs(sum(v for _, v in imps) - 1.0) < 1e-6
+
+
+def test_rf_alternate_and_cv(spark, sf_dir):
+    ds = churn_dataset(spark, sf_dir)
+    cv = cross_validate(
+        ds,
+        FEATURE_COLS,
+        LABEL_COL,
+        key_col="c_custkey",
+        n_folds=3,
+        model_type="rf",
+        numTrees=20,
+    )
+    assert cv["cv_roc_auc_mean"] > 0.9
+    assert cv["cv_roc_auc_std"] < 0.05
