@@ -1,0 +1,99 @@
+"""Medallion pipeline + checkpoint cache tests (§3.1 lifecycle, C1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skiliopay_datapipeline_customer_spark.io import table
+from skiliopay_datapipeline_customer_spark.pipelines import (
+    CheckpointCache,
+    MedallionPipeline,
+    clean_frame,
+)
+
+
+def _dirty_orders(spark, sf_dir):
+    """Orders with injected duplicates, nulls and an outlier."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate"
+    )
+    dupes = orders.limit(5)
+    nulls = orders.limit(3).withColumn("o_totalprice", F.lit(None).cast("double"))
+    return orders.unionByName(dupes).unionByName(nulls)
+
+
+def test_clean_frame(spark, sf_dir):
+    dirty = _dirty_orders(spark, sf_dir)
+    n_unique = dirty.select("o_orderkey").distinct().count()
+    cleaned = clean_frame(
+        dirty,
+        key_cols=["o_orderkey"],
+        numeric_impute=["o_totalprice"],
+        clip_cols=["o_totalprice"],
+        casts={"o_custkey": "string"},
+    )
+    assert cleaned.count() == n_unique
+    assert cleaned.filter(F.col("o_totalprice").isNull()).count() == 0
+    assert dict(cleaned.dtypes)["o_custkey"] == "string"
+    # clipped within IQR fences
+    row = cleaned.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    raw = dirty.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    assert row[1] <= raw[1]
+
+
+def test_medallion_end_to_end(spark, sf_dir, tmp_path):
+    def gold_features(df):
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+
+    pipe = MedallionPipeline(
+        base_dir=str(tmp_path),
+        feature_transforms=[gold_features],
+        clean_kwargs={"key_cols": ["o_orderkey"], "numeric_impute": ["o_totalprice"]},
+        quality_kwargs={
+            "key_columns": ["o_orderkey"],
+            "completeness_columns": ["o_orderkey", "o_custkey"],
+            "validity_rules": {"neg_price": F.col("o_totalprice") < 0},
+        },
+    )
+    src = table(spark, sf_dir, "orders")
+    result = pipe.run(spark, src, source_name="orders.parquet")
+    assert result["quality"].passed
+    assert result["rows"]["silver"] == src.count()
+    assert result["rows"]["gold"] == src.select("o_custkey").distinct().count()
+    bronze = spark.read.parquet(result["bronze"])
+    assert "_ingestion_timestamp" in bronze.columns
+
+
+def test_medallion_quality_gate_raises(spark, tmp_path):
+    bad = spark.createDataFrame([(1, None), (1, None), (1, None)], "k long, v double")
+    pipe = MedallionPipeline(
+        base_dir=str(tmp_path),
+        quality_kwargs={"key_columns": ["k"], "completeness_columns": ["v"]},
+    )
+    with pytest.raises(ValueError, match="quality gate"):
+        pipe.run(spark, bad)
+
+
+def test_checkpoint_cache(spark, sf_dir, tmp_path):
+    cache = CheckpointCache(str(tmp_path / "cache"))
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    a = cache.get_or_compute(spark, "nations", "v1", compute)
+    b = cache.get_or_compute(spark, "nations", "v1", compute)
+    assert calls["n"] == 1 and a.count() == b.count()
+    assert cache.stats["hits"] == 1 and cache.stats["sets"] == 1
+    # different input version → recompute
+    cache.get_or_compute(spark, "nations", "v2", compute)
+    assert calls["n"] == 2
+    # ttl expiry → recompute
+    cache.put(compute(), "nations", "v3", ttl=0.0)
+    assert cache.get(spark, "nations", "v3") is None
+    assert cache.stats["invalidations"] == 1
