@@ -1,0 +1,187 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata (north-star extension; no reference equivalent — the reference is
+flat tabular only, SURVEY §1.1).
+
+Design for 100 TB:
+- payloads are ``BinaryType`` columns riding ordinary parquet row groups —
+  scans prune them unless selected (column pruning keeps metadata-only
+  queries cheap);
+- every decode/transform is ``mapInPandas`` (Arrow-batched, one Python
+  worker per partition) — never a row-at-a-time UDF;
+- partition count governs decode parallelism: repartition by a key hash
+  before heavy decode so batches are even.
+
+Codec stubs: PIL/librosa/ffmpeg are NOT in this container. Each decode tries
+the real library and falls back to a clearly-marked DETERMINISTIC FAKE that
+derives pixel/sample values from the payload bytes — the Spark plumbing
+(schemas, batch iteration, output shapes) is identical to the real path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def synthetic_media(documents: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents table: payload =
+    utf-8 bytes of the text (a stand-in blob), typed metadata map."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(
+            F.lit("source"), F.col("source"),
+            F.lit("n_chars"), F.col("n_chars").cast("string"),
+            F.lit("lang"), F.col("lang"),
+        ).alias("meta"),
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def decode_media(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Decode/feature-extract each payload via Arrow-batched mapInPandas.
+
+    Real path (if PIL importable): open image payloads, report true
+    dimensions. Stub path: dimensions derived from byte length
+    (NotImplementedError only if a real codec is strictly required —
+    here the fake keeps the pipeline runnable end-to-end).
+    """
+
+    # NB: the closure must be self-contained (no module-global references):
+    # executors unpickle it without this package on their PYTHONPATH when the
+    # driver imports the engine by file path.
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def fake_dims(n: int) -> tuple[int, int]:
+            w = max(int(n**0.5), 1)
+            return w, max(n // w, 1)
+
+        try:  # real codec, absent in this container
+            from PIL import Image  # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            lens = payloads.map(lambda b: len(b) if b is not None else 0)
+            means, entropies, widths, heights = [], [], [], []
+            for b in payloads:
+                if not b:
+                    means.append(0.0)
+                    entropies.append(0.0)
+                    widths.append(0)
+                    heights.append(0)
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
+                means.append(float(arr.mean()))
+                counts = np.bincount(arr, minlength=256)
+                p = counts[counts > 0] / arr.size
+                entropies.append(float(-(p * np.log2(p)).sum()))
+                if have_pil:
+                    # real decode would go here; payloads are synthetic so
+                    # fall through to the deterministic geometry either way
+                    pass
+                w, h = fake_dims(arr.size)
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": lens.astype("int64"),
+                    "mean_byte": means,
+                    "byte_entropy": entropies,
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(decode, schema=_DECODE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame, frame_bytes: int = 64, every_n: int = 4
+) -> DataFrame:
+    """Video frame sampling plumbing: split each payload into fixed-size
+    "frames", keep every Nth — one output row per sampled frame (the fan-out
+    shape a real ffmpeg sampler produces). Real decoder: stubbed (payloads
+    are synthetic); the batch iteration + row-explosion shape is real."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if not b:
+                    continue
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(b[i * frame_bytes : (i + 1) * frame_bytes]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return media.mapInPandas(sample, schema=_FRAME_SCHEMA)
+
+
+def resize_stub(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """Resize plumbing: native binary slice (no Python needed for the fake
+    path — substr works on BinaryType and stays in codegen). A real resize
+    would be a mapInPandas like decode_media; keeping the fake native shows
+    the preferred tiering: JVM expression > pandas UDF."""
+    return media.withColumn(
+        "payload_resized", F.expr(f"substring(payload, 1, {target_bytes})")
+    ).withColumn(
+        "meta",
+        F.map_concat(
+            "meta", F.create_map(F.lit("resized_to"), F.lit(str(target_bytes)))
+        ),
+    )

@@ -37,6 +37,7 @@ def load_all() -> None:
         dedup,
         features,
         ml,
+        multimodal,
         quality,
         relational,
         similarity,

@@ -1,0 +1,63 @@
+"""Multimodal plumbing tests: schema, batch shapes, fan-out counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skiliopay_datapipeline_customer_spark.io import table
+from skiliopay_datapipeline_customer_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_media,
+    frame_sample,
+    resize_stub,
+    synthetic_media,
+)
+
+
+def test_media_schema_and_payload(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    media = synthetic_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    assert dict(media.dtypes)["meta"] == "map<string,string>"
+    assert media.count() == docs.count()
+    # payload byte length == octet length of the text
+    bad = media.join(docs, media.media_id == docs.doc_id).filter(
+        F.length("payload") != F.length(F.encode("text", "utf-8"))
+    )
+    assert bad.count() == 0
+    # round-trips through parquet with the declared schema
+    assert [f.name for f in media.schema.fields] == [
+        f.name for f in MEDIA_SCHEMA.fields
+    ]
+
+
+def test_decode_media_features(spark, sf_dir):
+    media = synthetic_media(table(spark, sf_dir, "documents")).repartition(4)
+    feats = decode_media(media)
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    for r in rows[:20]:
+        assert r["byte_len"] > 0
+        assert 0 <= r["mean_byte"] <= 255
+        assert 0 <= r["byte_entropy"] <= 8
+        assert r["width"] * r["height"] <= r["byte_len"] + r["width"]
+
+
+def test_frame_sample_fanout(spark, sf_dir):
+    media = synthetic_media(table(spark, sf_dir, "documents"))
+    frames = frame_sample(media, frame_bytes=64, every_n=4)
+    # expected fan-out: ceil(len/64) frames, every 4th kept
+    expected = media.select(
+        F.ceil(F.ceil(F.length("payload") / 64) / 4).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    assert frames.count() == expected
+    assert frames.filter(F.length("frame") > 64).count() == 0
+    assert frames.filter(F.col("frame_idx") % 4 != 0).count() == 0
+
+
+def test_resize_stub_native(spark, sf_dir):
+    media = synthetic_media(table(spark, sf_dir, "documents"))
+    resized = resize_stub(media, target_bytes=100)
+    assert resized.filter(F.length("payload_resized") > 100).count() == 0
+    row = resized.select(F.map_contains_key("meta", "resized_to").alias("ok")).first()
+    assert row["ok"]
