@@ -104,14 +104,13 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
+                        # multi-arg xxhash64 hashes the raw longs — no
+                        # string casts/concat in the generated code
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            *[
+                                F.col(f"mh_{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
