@@ -117,3 +117,96 @@ def lsh_topk(
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )
+
+
+def _lit_vec(values: list[float]):
+    return F.array(*[F.lit(float(x)) for x in values])
+
+
+def choose_centroids(
+    df: DataFrame, n_centroids: int = 8, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> list[list[float]]:
+    """IVF coarse centroids via deterministic hash-order sample.
+
+    A k-means refinement would lower variance, but a seeded sample is
+    reproducible, one small job, and recall differences wash out once
+    n_probe > 1. The centroid set is model-sized (C × dim floats) — it lives
+    on the driver and broadcasts into expressions, like any fitted model.
+    """
+    rows = (
+        df.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def ivf_assign(vec_col, centroids: list[list[float]]):
+    """Nearest-centroid id (max cosine) as a pure map-side expression:
+    no shuffle, no UDF — the corpus is scanned once and each row computes
+    C inlined dot products inside codegen."""
+    v = as_double(vec_col)
+    sims = F.array(*[cosine(v, _lit_vec(c)) for c in centroids])
+    # argmax: position of the max (1-based); ties → first occurrence
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec_df: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: scan only the n_probe inverted lists nearest to the
+    query. At 100 TB, write the corpus partitioned by `_centroid` so a probe
+    is a partition-pruned scan of ~n_probe/C of the data; recall grows with
+    n_probe (n_probe=C ≡ exact brute force)."""
+    import math
+
+    cents = centroids or choose_centroids(df, n_centroids, vec_col, id_col)
+    qrow = query_vec_df.select(vec_col).first()
+    qvec = [float(x) for x in qrow[0]]
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe = sorted(range(len(cents)), key=lambda i: -_cos(qvec, cents[i]))[:n_probe]
+    assigned = df.withColumn("_centroid", ivf_assign(F.col(vec_col), cents))
+    a = as_double(F.col(vec_col))
+    return (
+        assigned.filter(F.col("_centroid").isin([int(p) for p in probe]))
+        .select(id_col, F.round(cosine(a, _lit_vec(qvec)), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs).
+
+    This is the EXACT tier: O(n²) cosines — correct for verification sets and
+    oracle checks. The 100 TB path prunes first (LSH buckets or IVF lists:
+    join on `_bucket`/`_centroid` equality, then this same kernel verifies
+    candidates), turning all-pairs into per-bucket pairs.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    sim = F.round(cosine(as_double(F.col("_va")), as_double(F.col("_vb"))), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -103,3 +103,47 @@ def lsh_ann_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0)
     return S.lsh_topk(emb, qvec, k=10)
+
+
+# IVF ANN: deterministic hash-sampled centroids, map-side assignment,
+# n_probe inverted lists scanned. Centroid choice is hash-order-dependent →
+# rows-only check (the exact-tier queries above carry the oracles).
+
+
+@query("ivf_ann_topk")
+def ivf_ann_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0)
+    return S.ivf_topk(emb, qvec, k=10, n_centroids=8, n_probe=2)
+
+
+# Embedding-cosine near-dup pairs — exact all-pairs tier, oracle-checked.
+
+
+@query(
+    "embedding_dup_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           , 6) >= 0.795
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_dup_pairs(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return S.cosine_dup_pairs(emb, threshold=0.795).orderBy("id_a", "id_b")

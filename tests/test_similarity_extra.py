@@ -1,0 +1,38 @@
+"""IVF ANN + embedding-cosine dedup tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skiliopay_datapipeline_customer_spark.io import table
+from skiliopay_datapipeline_customer_spark.operators import similarity as S
+
+
+def test_ivf_assignment_covers_all(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    cents = S.choose_centroids(emb, n_centroids=4)
+    assert len(cents) == 4 and len(cents[0]) == 64
+    assigned = emb.withColumn("_c", S.ivf_assign(F.col("embedding"), cents))
+    row = assigned.agg(F.min("_c"), F.max("_c"), F.count("*")).first()
+    assert 0 <= row[0] and row[1] <= 3 and row[2] == emb.count()
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = {r["vec_id"] for r in S.brute_force_topk(emb, q, k=5).collect()}
+    # probing ALL lists ≡ exact search
+    full = S.ivf_topk(emb, q, k=5, n_centroids=4, n_probe=4)
+    assert {r["vec_id"] for r in full.collect()} == exact
+    # single-probe result is a subset of the corpus with query in its own list
+    one = S.ivf_topk(emb, q, k=5, n_centroids=4, n_probe=1).collect()
+    assert 0 in {r["vec_id"] for r in one}  # self-similarity 1.0 survives
+
+
+def test_cosine_dup_pairs_symmetric_free(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").limit(60)
+    pairs = S.cosine_dup_pairs(emb, threshold=-1.0)
+    n = emb.count()
+    assert pairs.count() == n * (n - 1) // 2  # each unordered pair once
+    bad = pairs.filter((F.col("cos_sim") > 1.000001) | (F.col("cos_sim") < -1.000001))
+    assert bad.count() == 0
