@@ -1,0 +1,256 @@
+"""The reference's six feature-engineering blocks on the 33-column churn
+schema (FIXTURES.md §1), re-expressed as native Column transforms.
+
+Reference parity (src/processing/feature_engineering.py:27-51 sequencing):
+RFM → behavioral → temporal → interaction → domain → categorical encoding.
+Every formula below cites its reference line; all of it is whole-stage-
+codegen expressions — the only driver-side values are the two quantile(0.8)
+scalars and the distinct category lists (model-sized).
+
+Semantics notes (SURVEY §7.4 hard parts):
+- quantile buckets replicate rank(method='first') + qcut via ntile over a
+  total order (value + user_id tiebreak); pandas breaks ties by row position,
+  which has no distributed meaning — the explicit key is the deterministic
+  equivalent.
+- pd.cut is right-closed: when-chains use `<=` bounds; rfm_score bins
+  [0,25,50,75,100] have NO +inf edge, so score>100 or ≤0 → null, exactly as
+  pandas produces NaN there (feature_engineering.py:71-75).
+- .replace(0,1) zero-guards divide-by-zero with ONE, not null
+  (feature_engineering.py:109 etc.) — preserved verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ORDINAL_CATS = ["reg_recency_category", "last_order_category", "rfm_category"]
+NOMINAL_CATS = ["country", "city", "marketing_source", "app_version_major", "rfm_segment"]
+
+
+def _guard0(col):
+    """`.replace(0, 1)` denominator guard (feature_engineering.py:109)."""
+    return F.when(col == 0, F.lit(1)).otherwise(col)
+
+
+def quantile_bucket(
+    df: DataFrame,
+    col: str,
+    labels: list[int],
+    ascending: bool,
+    q: int = 5,
+    tiebreak: str = "user_id",
+    out: str | None = None,
+) -> DataFrame:
+    """rank(method='first') + qcut ≡ ntile over a total order
+    (feature_engineering.py:89-98), with the reference's degenerate-
+    cardinality guard: < 2 distinct values → constant fill label."""
+    out = out or f"{col}_q"
+    n_unique = df.select(F.countDistinct(col)).first()[0]
+    effective_q = min(q, n_unique)
+    if effective_q < 2:
+        fill = labels[0] if ascending else labels[-1]
+        return df.withColumn(out, F.lit(fill))
+    order = F.col(col).asc() if ascending else F.col(col).desc()
+    w = Window.orderBy(order, F.col(tiebreak))
+    nt = F.ntile(effective_q).over(w)
+    label_arr = F.array(*[F.lit(x) for x in labels[:effective_q]])
+    return df.withColumn(out, F.element_at(label_arr, nt))
+
+
+def rfm_features(df: DataFrame) -> DataFrame:
+    """feature_engineering.py:54-98: quintile segment digits, weighted raw
+    score, right-closed category bins (score outside (0,100] → null)."""
+    df = quantile_bucket(df, "rfm_recency", [5, 4, 3, 2, 1], ascending=False, out="_r")
+    df = quantile_bucket(df, "rfm_frequency", [1, 2, 3, 4, 5], ascending=True, out="_f")
+    df = quantile_bucket(df, "rfm_monetary", [1, 2, 3, 4, 5], ascending=True, out="_m")
+    score = (
+        F.col("rfm_recency") * 0.4
+        + F.col("rfm_frequency") * 0.3
+        + F.col("rfm_monetary") * 0.3
+    )
+    return (
+        df.withColumn(
+            "rfm_segment",
+            F.concat(
+                F.col("_r").cast("string"),
+                F.col("_f").cast("string"),
+                F.col("_m").cast("string"),
+            ),
+        )
+        .withColumn("rfm_score", score)
+        .withColumn(
+            "rfm_category",
+            F.when(score <= 0, F.lit(None).cast("string"))
+            .when(score <= 25, "Low")
+            .when(score <= 50, "Medium")
+            .when(score <= 75, "High")
+            .when(score <= 100, "Very High")
+            .otherwise(F.lit(None).cast("string")),
+        )
+        .drop("_r", "_f", "_m")
+    )
+
+
+def behavioral_features(df: DataFrame) -> DataFrame:
+    """feature_engineering.py:100-134 (pages_per_session_30d is a PRODUCT in
+    the reference despite its name — preserved)."""
+    return (
+        df.withColumn("session_intensity_30d", F.col("sessions_30d") / 30)
+        .withColumn("session_intensity_90d", F.col("sessions_90d") / 90)
+        .withColumn(
+            "engagement_ratio", F.col("sessions_30d") / _guard0(F.col("sessions_90d"))
+        )
+        .withColumn(
+            "search_activity_ratio",
+            F.col("search_queries_30d") / _guard0(F.col("sessions_30d")),
+        )
+        .withColumn(
+            "pages_per_session_30d",
+            F.col("median_pages_viewed_30d") * F.col("sessions_30d"),
+        )
+        .withColumn(
+            "email_engagement_score",
+            F.col("emails_open_rate_90d") * 0.6 + F.col("emails_click_rate_90d") * 0.4,
+        )
+        .withColumn(
+            "support_intensity",
+            F.col("support_tickets_2024") / _guard0(F.col("orders_2024")),
+        )
+    )
+
+
+def temporal_features(df: DataFrame) -> DataFrame:
+    """feature_engineering.py:137-162: right-closed pd.cut bins; modulo
+    weekend/month-end flags."""
+    reg = F.col("reg_days")
+    dslo = F.col("days_since_last_order")
+    return (
+        df.withColumn(
+            "reg_recency_category",
+            F.when(reg <= 0, F.lit(None).cast("string"))
+            .when(reg <= 30, "New")
+            .when(reg <= 90, "Recent")
+            .when(reg <= 365, "Established")
+            .when(reg <= 1000, "Long-term")
+            .otherwise("Veteran"),
+        )
+        .withColumn(
+            "last_order_category",
+            F.when(dslo <= 0, F.lit(None).cast("string"))
+            .when(dslo <= 7, "Very Recent")
+            .when(dslo <= 30, "Recent")
+            .when(dslo <= 90, "Moderate")
+            .when(dslo <= 180, "Old")
+            .otherwise("Very Old"),
+        )
+        .withColumn("order_frequency_2024", F.col("orders_2024") / 365)
+        .withColumn("is_weekend_reg", (reg % 7).isin(5, 6))
+        .withColumn("is_month_end", (reg % 30) >= 25)
+    )
+
+
+def interaction_features(df: DataFrame) -> DataFrame:
+    """feature_engineering.py:165-198."""
+    return (
+        df.withColumn(
+            "value_per_session", F.col("gmv_2024") / _guard0(F.col("sessions_90d"))
+        )
+        .withColumn(
+            "order_efficiency", F.col("orders_90d") / _guard0(F.col("sessions_90d"))
+        )
+        .withColumn(
+            "discount_sensitivity",
+            F.col("discount_rate_2024") * F.col("orders_2024"),
+        )
+        .withColumn(
+            "quality_score", F.col("avg_csat_2024") * F.col("avg_review_stars_2024")
+        )
+        .withColumn(
+            "risk_score", F.col("refund_rate_2024") * F.col("support_tickets_2024")
+        )
+        .withColumn("engagement_value", F.col("sessions_90d") * F.col("aov_2024"))
+    )
+
+
+def domain_features(df: DataFrame) -> DataFrame:
+    """feature_engineering.py:201-238: CLV proxy, consistency, diversity,
+    version/device/value/risk flags. quantile(0.8) thresholds are exact
+    percentiles computed once and folded into the flag expressions (A10)."""
+    q = df.agg(
+        F.percentile("gmv_2024", F.lit(0.8)).alias("gmv_q80"),
+        F.percentile("aov_2024", F.lit(0.8)).alias("aov_q80"),
+    ).first()
+    reg = F.col("reg_days")
+    return (
+        df.withColumn("clv_proxy", F.col("gmv_2024") * (365 / _guard0(reg)))
+        .withColumn(
+            "purchase_consistency",
+            F.col("orders_2024") / _guard0(reg / 30),
+        )
+        .withColumn(
+            "diversity_score",
+            F.col("category_diversity_2024") / _guard0(F.col("orders_2024")),
+        )
+        # pandas .str.contains is regex: '3.x' matches '3' + any char + 'x'
+        .withColumn("is_latest_version", F.col("app_version_major").rlike("3.x"))
+        .withColumn("is_mobile_heavy", F.col("device_mix_ratio") > 0.7)
+        .withColumn(
+            "is_high_value",
+            (F.col("gmv_2024") > F.lit(q["gmv_q80"]))
+            | (F.col("aov_2024") > F.lit(q["aov_q80"])),
+        )
+        .withColumn(
+            "is_at_risk",
+            (F.col("days_since_last_order") > 90)
+            | (F.col("sessions_30d") == 0)
+            | (F.col("refund_rate_2024") > 0.1),
+        )
+    )
+
+
+def encode_categoricals(
+    df: DataFrame,
+    ordinal: list[str] | None = None,
+    nominal: list[str] | None = None,
+) -> DataFrame:
+    """feature_engineering.py:240-262: LabelEncoder (sorted classes) for the
+    ordinal triple, named one-hot columns `{col}_{value}` for nominals;
+    originals dropped. Category lists are collected once (cardinality is
+    config-bounded) so the expansion is pure select()."""
+    ordinal = [c for c in (ordinal or ORDINAL_CATS) if c in df.columns]
+    nominal = [c for c in (nominal or NOMINAL_CATS) if c in df.columns]
+    for c in ordinal:
+        classes = sorted(
+            r[0] for r in df.select(c).distinct().collect() if r[0] is not None
+        )
+        mapping = F.array(*[F.lit(v) for v in classes])
+        df = df.withColumn(
+            f"{c}_encoded",
+            F.coalesce(F.array_position(mapping, F.col(c)) - 1, F.lit(-1)).cast("int"),
+        ).drop(c)
+    for c in nominal:
+        values = sorted(
+            r[0] for r in df.select(c).distinct().collect() if r[0] is not None
+        )
+        dummies = [
+            (F.col(c) == v).cast("int").alias(f"{c}_{v}") for v in values
+        ]
+        # backtick-quote existing names: earlier dummy columns may contain
+        # dots ("app_version_major_1.x"), which bare F.col reads as struct
+        # field access
+        keep = [F.col(f"`{x}`") for x in df.columns if x != c]
+        df = df.select(*keep, *dummies)
+    return df
+
+
+def churn_feature_pipeline(df: DataFrame, encode: bool = True) -> DataFrame:
+    """The full six-block sequence (feature_engineering.py:27-51)."""
+    df = rfm_features(df)
+    df = behavioral_features(df)
+    df = temporal_features(df)
+    df = interaction_features(df)
+    df = domain_features(df)
+    if encode:
+        df = encode_categoricals(df)
+    return df

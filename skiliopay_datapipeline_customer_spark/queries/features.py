@@ -381,3 +381,27 @@ def median_impute(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+# The reference's full six-block feature pipeline on the synthesized
+# 33-column churn fixture (FIXTURES.md §1). xxhash64-derived fixture → not
+# oracle-expressible: rows-only check; invariants live in
+# tests/test_churn_parity.py.
+
+
+@query("churn_features_gold")
+def churn_features_gold(spark, sf_dir):
+    from ..functions.churn_features import churn_feature_pipeline
+    from ..functions.fixtures import synthesize_users_raw
+
+    users = synthesize_users_raw(spark, n=1000)
+    gold = churn_feature_pipeline(users)
+    return gold.select(
+        "user_id",
+        "rfm_score",
+        "engagement_ratio",
+        "clv_proxy",
+        F.col("is_at_risk").cast("int").alias("is_at_risk"),
+        F.col("is_high_value").cast("int").alias("is_high_value"),
+        "churn_label",
+    ).orderBy("user_id")
