@@ -433,3 +433,23 @@ def intersect_segments(spark, sf_dir):
     hi = customer.filter(F.col("c_acctbal") > 5000).select("c_mktsegment")
     lo = customer.filter(F.col("c_acctbal") < 0).select("c_mktsegment")
     return hi.intersect(lo).orderBy("c_mktsegment")
+
+
+# U-family completeness: multiset difference (exceptAll) — layer
+# reconciliation shape (silver rows not yet propagated to gold, J3 family).
+
+
+@query(
+    "except_all_pending",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_custkey
+    """,
+)
+def except_all_pending(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    all_keys = orders.select("o_custkey")
+    done = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return all_keys.exceptAll(done).orderBy("o_custkey")

@@ -1,0 +1,96 @@
+"""Catalog / warehouse DDL operators (S9-S13).
+
+Reference parity: create_tables (src/storage/data_warehouse.py:45-62),
+backup_table CTAS (:191-218), optimize_table VACUUM/ANALYZE (:220-238),
+get_table_info (:154-189), create_indexes (:123-152).
+
+Mapping notes: Postgres btree indexes have no Spark analogue — the same
+columns become partition/bucket/sort keys (`index_equivalent_layout`);
+VACUUM/ANALYZE becomes `ANALYZE TABLE ... COMPUTE STATISTICS`, which feeds
+Catalyst's cost-based optimizer exactly as Postgres stats feed its planner.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def create_table(
+    spark: SparkSession,
+    name: str,
+    ddl_columns: str,
+    using: str = "parquet",
+    partitioned_by: list[str] | None = None,
+    location: str | None = None,
+    if_not_exists: bool = True,
+) -> None:
+    """S9: CREATE TABLE with declared columns (decimal types preserved)."""
+    parts = [
+        "CREATE TABLE",
+        "IF NOT EXISTS" if if_not_exists else "",
+        name,
+        f"({ddl_columns})",
+        f"USING {using}",
+    ]
+    if partitioned_by:
+        parts.append(f"PARTITIONED BY ({', '.join(partitioned_by)})")
+    if location:
+        parts.append(f"LOCATION '{location}'")
+    spark.sql(" ".join(p for p in parts if p))
+
+
+def backup_table(spark: SparkSession, table: str, suffix: str) -> str:
+    """S11: CTAS backup `table_backup_<suffix>` (data_warehouse.py:191-218)."""
+    backup_name = f"{table}_backup_{suffix}"
+    spark.sql(f"CREATE TABLE {backup_name} AS SELECT * FROM {table}")
+    return backup_name
+
+
+def analyze_table(
+    spark: SparkSession, table: str, columns: list[str] | None = None
+) -> None:
+    """S12: stats for the CBO — the engine's VACUUM/ANALYZE."""
+    if columns:
+        spark.sql(
+            f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {', '.join(columns)}"
+        )
+    else:
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+
+
+@dataclass
+class TableInfo:
+    name: str
+    columns: list[tuple[str, str]]
+    row_count: int
+
+
+def table_info(spark: SparkSession, table: str) -> TableInfo:
+    """S13: information_schema probe + COUNT(*) (data_warehouse.py:154-189)."""
+    cols = [(c.name, c.dataType) for c in spark.catalog.listColumns(table)]
+    n = spark.table(table).count()
+    return TableInfo(name=table, columns=cols, row_count=n)
+
+
+def index_equivalent_layout(
+    df: DataFrame,
+    filter_cols: list[str],
+    path: str,
+    max_records_per_file: int = 1_000_000,
+) -> str:
+    """S10 stand-in: sort-within-partitions by the reference's indexed
+    columns before writing, so parquet row-group min/max stats make scans on
+    those columns skip whole row groups — the columnar cousin of a btree.
+    Partitioning-by-date + this layout covers the reference's index list
+    (churn_label, country, timestamps; init.sql:136-141)."""
+    (
+        df.repartition(*[F.col(c) for c in filter_cols])
+        .sortWithinPartitions(*filter_cols)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
+    return path
