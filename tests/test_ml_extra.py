@@ -1,0 +1,71 @@
+"""Scoring contract (M13), promotion gate (M12), tuning loop + tracker
+(M9/M11) tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skiliopay_datapipeline_customer_spark.ml import (
+    churn_dataset,
+    stratified_split,
+    train_classifier,
+)
+from skiliopay_datapipeline_customer_spark.ml.dataset import FEATURE_COLS, LABEL_COL
+from skiliopay_datapipeline_customer_spark.ml.scoring import align_features, score_batch
+from skiliopay_datapipeline_customer_spark.ml.tuning import RunTracker, tune
+
+
+def test_score_batch_contract(spark, sf_dir):
+    ds = stratified_split(
+        churn_dataset(spark, sf_dir), LABEL_COL, key_col="c_custkey"
+    ).cache()
+    train = ds.filter(F.col("_split") == 0)
+    test = ds.filter(F.col("_split") == 2)
+    _, transform = train_classifier(
+        train, FEATURE_COLS, LABEL_COL, model_type="rf", numTrees=10
+    )
+    scored = score_batch(transform, test, model_version="2.1.0")
+    assert scored.count() == test.count()
+    types = dict(scored.dtypes)
+    assert types["churn_probability"] == "decimal(5,4)"
+    assert types["confidence"] == "decimal(5,4)"
+    assert types["prediction_timestamp"] == "timestamp"
+    bad = scored.filter(
+        (F.col("churn_probability") < 0)
+        | (F.col("churn_probability") > 1)
+        | (F.col("confidence") < 0.5)  # max of 2-class probs is ≥ 0.5
+        | (~F.col("churn_prediction").isin(0, 1))
+    )
+    assert bad.count() == 0
+    assert scored.first()["model_version"] == "2.1.0"
+
+
+def test_align_features_fills_missing(spark, sf_dir):
+    ds = churn_dataset(spark, sf_dir).drop("acctbal")
+    aligned = align_features(ds, FEATURE_COLS)
+    assert "acctbal" in aligned.columns
+    assert aligned.agg(F.sum(F.abs("acctbal"))).first()[0] == 0.0
+
+
+def test_tune_loop_and_tracker(spark, sf_dir, tmp_path):
+    ds = churn_dataset(spark, sf_dir)
+    tracker = RunTracker(str(tmp_path / "runs.jsonl"))
+    best = tune(
+        ds,
+        FEATURE_COLS,
+        LABEL_COL,
+        key_col="c_custkey",
+        n_trials=2,
+        n_folds=2,
+        tracker=tracker,
+        model_type="rf",
+    )
+    assert best["cv_roc_auc_mean"] > 0.8
+    assert set(best["params"]) == {"maxDepth", "maxIter", "stepSize"}
+    runs = tracker.runs()
+    assert len(runs) == 2
+    assert all("cv_roc_auc_mean" in r["metrics"] for r in runs)
+    # deterministic sampler: same trial index → same params
+    from skiliopay_datapipeline_customer_spark.ml.tuning import _sample
+
+    assert _sample(0, 42) == _sample(0, 42) and _sample(0, 42) != _sample(1, 42)
