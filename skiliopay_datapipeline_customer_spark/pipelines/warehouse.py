@@ -1,0 +1,133 @@
+"""Star-schema warehouse build (J1 surface; FIXTURES.md §3).
+
+Reference parity: the dims/facts DDL + FK graph of
+src/storage/data_warehouse.py:421-530 (dim_user/dim_date/... ↔
+fact_orders/fact_sessions), realized over the test star schema: dim_user
+from customer⋈nation⋈region, dim_date spanning the fact date range,
+fact_orders at order grain, fact_sessions from sessionized events (the same
+session_window transform the streaming layer runs).
+
+Key discipline: surrogate keys are DERIVED, not sequential — date_key =
+yyyyMMdd int, user_key = the natural key. Sequence surrogates
+(monotonically_increasing_id) are partition-dependent and force a global
+coordination point at 100 TB; derived keys are map-side, idempotent across
+rebuilds, and joinable without lookup tables. Postgres FK constraints become
+build-time anti-join integrity checks (`fk_violations`).
+
+Scale: dims are small → broadcast at query time; facts write partitioned by
+date_key prefix (year) so BI queries prune partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+
+
+def build_dim_date(spark: SparkSession, start: str, end: str) -> DataFrame:
+    """Calendar dimension (data_warehouse.py:443-461 column set)."""
+    days = spark.sql(
+        f"SELECT explode(sequence(DATE'{start}', DATE'{end}')) AS date_value"
+    )
+    d = F.col("date_value")
+    return days.select(
+        F.date_format(d, "yyyyMMdd").cast("int").alias("date_key"),
+        d,
+        F.year(d).alias("year"),
+        F.quarter(d).alias("quarter"),
+        F.month(d).alias("month"),
+        F.dayofmonth(d).alias("day"),
+        F.weekofyear(d).alias("week"),
+        F.dayofweek(d).alias("day_of_week"),
+        F.dayofweek(d).isin(1, 7).alias("is_weekend"),
+        (F.dayofmonth(d) >= 25).alias("is_month_end"),
+    )
+
+
+def build_dim_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region — the dim_user analogue."""
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("c_custkey").alias("user_key"),
+            F.col("c_name").alias("user_name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+
+
+def build_fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("user_key"),
+        F.date_format("o_orderdate", "yyyyMMdd").cast("int").alias("date_key"),
+        F.col("o_totalprice").alias("gmv"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+def build_fact_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized events → fact_sessions grain (data_warehouse.py:509-527),
+    via the same session_window transform the streaming layer uses."""
+    from ..streaming.transforms import session_stats
+
+    sess = session_stats(table(spark, sf_dir, "events"), gap="30 minutes")
+    return sess.select(
+        F.xxhash64("user_id", F.col("session_start").cast("long")).alias("session_id"),
+        F.col("user_id").alias("user_key"),
+        F.date_format("session_start", "yyyyMMdd").cast("int").alias("date_key"),
+        "n_events",
+    )
+
+
+def fk_violations(fact: DataFrame, dim: DataFrame, key: str) -> int:
+    """FK constraint as a build gate: orphan fact keys (left-anti count)."""
+    return fact.select(key).distinct().join(dim.select(key), key, "left_anti").count()
+
+
+def build_star_schema(spark: SparkSession, sf_dir: str, base_dir: str) -> dict:
+    """Materialize dims + facts; facts partitioned by year for pruning.
+    Returns {table: path} plus FK check results."""
+    fact_orders = build_fact_orders(spark, sf_dir)
+    bounds = fact_orders.agg(
+        F.min("date_key").alias("lo"), F.max("date_key").alias("hi")
+    ).first()
+    lo, hi = str(bounds["lo"]), str(bounds["hi"])
+    dim_date = build_dim_date(
+        spark, f"{lo[:4]}-{lo[4:6]}-{lo[6:]}", f"{hi[:4]}-{hi[4:6]}-{hi[6:]}"
+    )
+    dim_user = build_dim_user(spark, sf_dir)
+    fact_sessions = build_fact_sessions(spark, sf_dir)
+
+    out: dict = {"paths": {}, "fk": {}}
+    for name, df, part in [
+        ("dim_date", dim_date, None),
+        ("dim_user", dim_user, None),
+        ("fact_orders", fact_orders.withColumn("year", (F.col("date_key") / 10000).cast("int")), ["year"]),
+        ("fact_sessions", fact_sessions, None),
+    ]:
+        path = os.path.join(base_dir, name)
+        writer = df.write.mode("overwrite")
+        if part:
+            writer = writer.partitionBy(*part)
+        writer.parquet(path)
+        out["paths"][name] = path
+
+    fo = spark.read.parquet(out["paths"]["fact_orders"])
+    dd = spark.read.parquet(out["paths"]["dim_date"])
+    du = spark.read.parquet(out["paths"]["dim_user"])
+    out["fk"]["fact_orders.user_key"] = fk_violations(fo, du, "user_key")
+    out["fk"]["fact_orders.date_key"] = fk_violations(fo, dd, "date_key")
+    return out

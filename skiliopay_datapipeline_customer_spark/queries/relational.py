@@ -453,3 +453,45 @@ def except_all_pending(spark, sf_dir):
     all_keys = orders.select("o_custkey")
     done = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return all_keys.exceptAll(done).orderBy("o_custkey")
+
+
+# J1 proper: BI rollup THROUGH the star-schema dims (dim_user =
+# customer⋈nation⋈region, dim_date derived calendar) — the fact table
+# broadcast-joins both dims; the oracle rebuilds the same dims inline.
+
+
+@query(
+    "star_revenue_rollup",
+    oracle="""
+    SELECT r_name AS region,
+           CAST(year(o_orderdate) AS INT) AS year,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, year(o_orderdate)
+    ORDER BY region, year
+    """,
+)
+def star_revenue_rollup(spark, sf_dir):
+    from ..pipelines.warehouse import build_dim_date, build_dim_user, build_fact_orders
+
+    fact = build_fact_orders(spark, sf_dir)
+    dim_user = build_dim_user(spark, sf_dir)
+    bounds = fact.agg(F.min("date_key").alias("lo"), F.max("date_key").alias("hi")).first()
+    lo, hi = str(bounds["lo"]), str(bounds["hi"])
+    dim_date = build_dim_date(
+        spark, f"{lo[:4]}-{lo[4:6]}-{lo[6:]}", f"{hi[:4]}-{hi[4:6]}-{hi[6:]}"
+    )
+    return (
+        fact.join(F.broadcast(dim_user), "user_key")
+        .join(F.broadcast(dim_date), "date_key")
+        .groupBy(F.col("region"), F.col("year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("gmv"), 2).alias("revenue"),
+        )
+        .orderBy("region", "year")
+    )

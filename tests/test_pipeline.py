@@ -97,3 +97,26 @@ def test_checkpoint_cache(spark, sf_dir, tmp_path):
     cache.put(compute(), "nations", "v3", ttl=0.0)
     assert cache.get(spark, "nations", "v3") is None
     assert cache.stats["invalidations"] == 1
+
+
+def test_star_schema_build_and_fk(spark, sf_dir, tmp_path):
+    from skiliopay_datapipeline_customer_spark.pipelines.warehouse import (
+        build_star_schema,
+    )
+
+    result = build_star_schema(spark, sf_dir, str(tmp_path / "wh"))
+    assert set(result["paths"]) == {
+        "dim_date",
+        "dim_user",
+        "fact_orders",
+        "fact_sessions",
+    }
+    # FK integrity: no orphan fact keys against either dim
+    assert result["fk"]["fact_orders.user_key"] == 0
+    assert result["fk"]["fact_orders.date_key"] == 0
+    fo = spark.read.parquet(result["paths"]["fact_orders"])
+    from skiliopay_datapipeline_customer_spark.io import table as t
+
+    assert fo.count() == t(spark, sf_dir, "orders").count()
+    # year partition column materialized for pruning
+    assert "year" in fo.columns
