@@ -42,20 +42,43 @@ def quantile_bucket(
     tiebreak: str = "user_id",
     out: str | None = None,
 ) -> DataFrame:
-    """rank(method='first') + qcut ≡ ntile over a total order
+    """rank(method='first') + qcut over a total order
     (feature_engineering.py:89-98), with the reference's degenerate-
-    cardinality guard: < 2 distinct values → constant fill label."""
+    cardinality guard: < 2 distinct values → constant fill label.
+
+    NOT plain ntile: when n % q != 0, ntile fills big tiles first while
+    pd.qcut cuts the integer ranks at float-interpolated quantile edges
+    (whose IEEE rounding can shift a boundary rank DOWN a bucket — e.g.
+    n=4, q=3 puts rank 2 in bucket 2, ntile puts it in bucket 1; caught by
+    tests/test_properties.py). Exact replication: compute the q+1 edges
+    with pandas itself on the driver (scalar math over 1..n — no data
+    moves), then bucket each row_number against the q-1 inner edges.
+    """
+    import numpy as np
+    import pandas as pd
+
     out = out or f"{col}_q"
-    n_unique = df.select(F.countDistinct(col)).first()[0]
-    effective_q = min(q, n_unique)
+    stats = df.agg(
+        F.countDistinct(col).alias("u"), F.count(F.lit(1)).alias("n")
+    ).first()
+    effective_q = min(q, stats["u"])
     if effective_q < 2:
         fill = labels[0] if ascending else labels[-1]
         return df.withColumn(out, F.lit(fill))
+    edges = (
+        pd.Series(np.arange(1, stats["n"] + 1, dtype="float64"))
+        .quantile(np.linspace(0, 1, effective_q + 1))
+        .to_numpy()
+    )
+    inner = edges[1:-1]  # right-closed: rank in (e_{b-1}, e_b] → bucket b
     order = F.col(col).asc() if ascending else F.col(col).desc()
     w = Window.orderBy(order, F.col(tiebreak))
-    nt = F.ntile(effective_q).over(w)
+    r = F.row_number().over(w)
+    bucket = F.lit(1)
+    for e in inner:
+        bucket = bucket + (r > F.lit(float(e))).cast("int")
     label_arr = F.array(*[F.lit(x) for x in labels[:effective_q]])
-    return df.withColumn(out, F.element_at(label_arr, nt))
+    return df.withColumn(out, F.element_at(label_arr, bucket))
 
 
 def rfm_features(df: DataFrame) -> DataFrame:

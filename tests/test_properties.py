@@ -1,0 +1,115 @@
+"""Property-based tests (SURVEY §5.2) for the semantics-critical operators:
+the rank(method='first')+qcut ≡ ntile equivalence (W1/W2, the §7.4 hard
+part), right-closed pd.cut bins, and median imputation — each checked
+against the pandas behavior the reference relies on."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from skiliopay_datapipeline_customer_spark.functions.churn_features import (
+    quantile_bucket,
+)
+
+VALUES = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    min_size=1,
+    max_size=60,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _pandas_quantile_bucket(series: pd.Series, labels, ascending: bool):
+    """The reference's _quantile_bucket (feature_engineering.py:89-98)."""
+    q = 5
+    unique_values = series.nunique()
+    effective_q = min(q, unique_values)
+    if effective_q < 2:
+        fill = labels[0] if ascending else labels[-1]
+        return pd.Series([fill] * len(series), index=series.index)
+    ranks = series.rank(method="first", ascending=ascending)
+    return pd.qcut(ranks, effective_q, labels=labels[:effective_q])
+
+
+@pytest.mark.parametrize(
+    "labels,ascending",
+    [([1, 2, 3, 4, 5], True), ([5, 4, 3, 2, 1], False)],
+)
+@given(values=VALUES)
+@SETTINGS
+def test_quantile_bucket_matches_pandas(spark, labels, ascending, values):
+    # user_id encodes original row order → our tiebreak == pandas row position
+    pdf = pd.DataFrame({"user_id": range(len(values)), "v": values})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["user_id"]: r["q"]
+        for r in quantile_bucket(
+            sdf, "v", labels, ascending=ascending, out="q"
+        ).collect()
+    }
+    want = _pandas_quantile_bucket(pdf["v"], labels, ascending)
+    for i in pdf["user_id"]:
+        assert got[i] == int(want.iloc[i]), (i, values)
+
+
+@given(values=VALUES)
+@SETTINGS
+def test_right_closed_bins_match_pd_cut(spark, values):
+    bins = [0, 25, 50, 75, 100]
+    labels = ["Low", "Medium", "High", "Very High"]
+    pdf = pd.DataFrame({"i": range(len(values)), "v": values})
+    sdf = spark.createDataFrame(pdf)
+    v = F.col("v")
+    expr = (
+        F.when(v <= 0, F.lit(None).cast("string"))
+        .when(v <= 25, "Low")
+        .when(v <= 50, "Medium")
+        .when(v <= 75, "High")
+        .when(v <= 100, "Very High")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    got = {r["i"]: r["c"] for r in sdf.select("i", expr.alias("c")).collect()}
+    want = pd.cut(pdf["v"], bins=bins, labels=labels)
+    for i in pdf["i"]:
+        w = want.iloc[i]
+        w = None if (isinstance(w, float) and math.isnan(w)) else str(w)
+        assert got[i] == w, (i, pdf["v"].iloc[i])
+
+
+@given(
+    values=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_median_impute_matches_pandas(spark, values):
+    from skiliopay_datapipeline_customer_spark.pipelines import clean_frame
+
+    if all(v is None for v in values):
+        return  # no median defined; reference path fills nothing either
+    pdf = pd.DataFrame({"k": range(len(values)), "v": values})
+    sdf = spark.createDataFrame(pdf).withColumn("v", F.col("v").cast("double"))
+    out = clean_frame(sdf, key_cols=["k"], numeric_impute=["v"])
+    got = {r["k"]: r["v"] for r in out.collect()}
+    med = pdf["v"].median()  # pandas: exact interpolated median
+    for i, v in enumerate(values):
+        if v is None:
+            assert math.isclose(got[i], med, rel_tol=1e-9), (i, med, got[i])
+        else:
+            assert math.isclose(got[i], v, rel_tol=1e-6)
