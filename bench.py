@@ -22,6 +22,7 @@ from skiliopay_datapipeline_customer_spark.session import get_spark  # noqa: E40
 # Headline set: one per operator family, weighted toward shuffle-heavy shapes.
 HEADLINE = [
     "flagship_revenue_by_nation",  # star join + agg
+    "star_revenue_rollup",         # warehouse dims broadcast join
     "pricing_summary",             # wide agg scan
     "left_join_lookup",            # fact agg + left join
     "topn_per_customer",           # partitioned window

@@ -65,3 +65,36 @@ def asof_join(
         F.col("_lpay.*"), F.col("_rlast").alias("_asof")
     )
     return out
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: explode the SMALL side into `salt_buckets`
+    replicas, salt the big side's key pseudo-randomly, join on (key, salt).
+
+    SURVEY §7.4: keys like `country` (5 values, churn_schema.json:17) hot-spot
+    a hash join — one task gets a fifth of 100 TB. Salting bounds any task at
+    ~1/salt_buckets of a hot key. AQE's skew-join split handles moderate skew
+    at runtime; explicit salting is for keys KNOWN to be degenerate, where
+    replicating the small side is cheaper than re-splitting gigantic
+    partitions after the fact.
+
+    The salt on the big side derives from xxhash64 over the whole row's key +
+    a per-row uniform; using a hash (not rand()) keeps the join deterministic
+    and retry-safe (rand() breaks task-retry idempotence mid-shuffle).
+    """
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    right_rep = right.withColumn("_salt", salts)
+    left_salted = left.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
+        ).cast("int"),
+    )
+    out = left_salted.join(right_rep, on=[key, "_salt"], how=how)
+    return out.drop("_salt")

@@ -100,14 +100,23 @@ def consistency(df: DataFrame, invariants: dict[str, object]) -> dict:
     return validity(df, invariants)
 
 
-def outliers(df: DataFrame, columns: list[str], k: float = 1.5) -> dict:
+def outliers(
+    df: DataFrame, columns: list[str], k: float = 1.5, approx: bool = False
+) -> dict:
     """IQR-fence outlier rate per column — two passes total (fences + rate),
-    regardless of column count."""
+    regardless of column count. approx=True swaps exact percentile for
+    approx_percentile (t-digest, fixed memory) — the 100 TB profiler path
+    where a fence a few ulps off changes nothing."""
     if not columns:
         return {"outlier_rates": {}, "flagged": [], "score": 1.0}
+    pct = (
+        (lambda c, p: F.approx_percentile(c, F.lit(p), F.lit(10_000)))
+        if approx
+        else (lambda c, p: F.percentile(c, F.lit(p)))
+    )
     fences_row = df.agg(
-        *[F.percentile(c, F.lit(0.25)).alias(f"{c}_q1") for c in columns],
-        *[F.percentile(c, F.lit(0.75)).alias(f"{c}_q3") for c in columns],
+        *[pct(c, 0.25).alias(f"{c}_q1") for c in columns],
+        *[pct(c, 0.75).alias(f"{c}_q3") for c in columns],
     ).first()
     conds = {}
     for c in columns:
@@ -160,14 +169,17 @@ def run_quality_checks(
     validity_rules: dict | None = None,
     consistency_invariants: dict | None = None,
     outlier_columns: list[str] | None = None,
+    approx: bool = False,
 ) -> QualityReport:
-    """The composite V10 gate: weighted score over the five reports."""
+    """The composite V10 gate: weighted score over the five reports.
+    approx=True selects the fixed-memory sketch statistics for profiling
+    at scales where exact percentiles would shuffle the column."""
     report = QualityReport()
     report.details["completeness"] = completeness(df, completeness_columns)
     report.details["uniqueness"] = uniqueness(df, key_columns)
     report.details["validity"] = validity(df, validity_rules or {})
     report.details["consistency"] = consistency(df, consistency_invariants or {})
-    report.details["outliers"] = outliers(df, outlier_columns or [])
+    report.details["outliers"] = outliers(df, outlier_columns or [], approx=approx)
     for k in WEIGHTS:
         report.scores[k] = report.details[k].get("score", 1.0)
     return report

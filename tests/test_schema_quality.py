@@ -92,3 +92,22 @@ def test_quality_gate_fails_on_dirty_data(spark):
     assert report.details["completeness"]["flagged"] == ["v"]
     assert report.details["uniqueness"]["score"] < 0.8
     assert not report.passed
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.operators.joins import salted_join
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(customer, "o_custkey")
+    salted = salted_join(orders, customer, "o_custkey", salt_buckets=8)
+    assert salted.count() == plain.count()
+    assert (
+        salted.select("o_orderkey", "c_mktsegment")
+        .exceptAll(plain.select("o_orderkey", "c_mktsegment"))
+        .count()
+        == 0
+    )
