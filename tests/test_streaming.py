@@ -93,3 +93,67 @@ def test_foreach_batch_upsert_latest_wins(spark, events_dir, tmp_path):
     want = batch.groupBy("user_id").agg(F.max("ts").alias("ts"))
     assert _rows(snap.select("user_id", "ts"), "user_id") == _rows(want, "user_id")
     assert snap.count() == batch.select("user_id").distinct().count()
+
+
+def test_watermark_state_expiry_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps state only `within` past the
+    watermark: a duplicate arriving within the horizon is dropped; after the
+    state expires, the same key passes again (bounded-memory semantics —
+    exact-once dedup needs keys to recur inside the horizon)."""
+    import datetime
+
+    from skiliopay_datapipeline_customer_spark.streaming.sources import EVENTS_SCHEMA
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def run():
+        stream = dedup_events(
+            events_stream(spark, in_dir), keys=["event_id"], within="1 hour"
+        )
+        run_available_now(stream, checkpoint_dir=ckpt, output_mode="append", out_dir=out)
+
+    # batch 1: event 1 twice (same micro-batch dedup) + event 2
+    write_file(
+        [
+            (1, t0, 10, "click", 1.0, "{}"),
+            (1, t0, 10, "click", 1.0, "{}"),
+            (2, t0 + datetime.timedelta(minutes=5), 11, "view", 2.0, "{}"),
+        ],
+        "b1",
+    )
+    run()
+    assert spark.read.parquet(out).count() == 2
+
+    # batch 2: event 1 again within the horizon → dropped; event 3 is new.
+    # watermark after batch 1 = max_ts - 1h = 11:05; event 1 @12:00 is
+    # inside state retention → still remembered.
+    write_file(
+        [
+            (1, t0 + datetime.timedelta(minutes=10), 10, "click", 1.0, "{}"),
+            (3, t0 + datetime.timedelta(minutes=20), 12, "buy", 3.0, "{}"),
+        ],
+        "b2",
+    )
+    run()
+    assert spark.read.parquet(out).count() == 3  # only event 3 added
+
+    # batch 3: far-future event advances the watermark hours past event 1's
+    # state; a later re-arrival of key 1 then passes through again.
+    write_file([(9, t0 + datetime.timedelta(hours=6), 13, "tick", 0.0, "{}")], "b3")
+    run()
+    write_file(
+        [(1, t0 + datetime.timedelta(hours=6, minutes=1), 10, "click", 1.0, "{}")],
+        "b4",
+    )
+    run()
+    ids = [r["event_id"] for r in spark.read.parquet(out).collect()]
+    assert sorted(ids) == [1, 1, 2, 3, 9]  # key 1 re-admitted post-expiry
