@@ -205,3 +205,50 @@ def distribution_report(spark, sf_dir):
         ).alias("f_share"),
         F.round(F.max("seg_cnt") * 1.0 / F.sum("seg_cnt"), 6).alias("top_status_share"),
     )
+
+
+# V3-V7 raw metric probe as ONE declared row — the integer counts the
+# composite gate (plans/quality.py) weighs: row/key/distinct-row counts,
+# per-column null counts, validity violations, consistency violations.
+# All integers → no float-rounding risk in the hash compare.
+
+
+@query(
+    "quality_metrics_probe",
+    oracle="""
+    SELECT m.n_rows, m.n_keys, d.n_distinct_rows,
+           m.null_custkeys, m.neg_price, m.bad_status, m.date_after_2002
+    FROM (
+      SELECT count(*) AS n_rows,
+             count(DISTINCT o_orderkey) AS n_keys,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkeys,
+             sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS neg_price,
+             sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+               AS bad_status,
+             sum(CASE WHEN o_orderdate > TIMESTAMP '2002-01-01' THEN 1 ELSE 0 END)
+               AS date_after_2002
+      FROM orders
+    ) m
+    CROSS JOIN (
+      SELECT count(*) AS n_distinct_rows FROM (SELECT DISTINCT * FROM orders)
+    ) d
+    """,
+)
+def quality_metrics_probe(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    base = orders.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(F.col("o_custkey").isNull().cast("int")).alias("null_custkeys"),
+        F.sum((F.col("o_totalprice") < 0).cast("int")).alias("neg_price"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("int")).alias(
+            "bad_status"
+        ),
+        F.sum(
+            (F.col("o_orderdate") > F.lit("2002-01-01").cast("timestamp")).cast("int")
+        ).alias("date_after_2002"),
+    )
+    n_distinct = orders.dropDuplicates().agg(
+        F.count("*").alias("n_distinct_rows")
+    )
+    return base.crossJoin(n_distinct)
