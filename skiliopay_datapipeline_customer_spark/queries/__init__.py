@@ -38,6 +38,7 @@ def load_all() -> None:
         features,
         ml,
         multimodal,
+        olap,
         quality,
         relational,
         similarity,
