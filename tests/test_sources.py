@@ -142,3 +142,28 @@ def test_jdbc_option_plumbing(spark, sf_dir):
     assert reader is not None
     with pytest.raises(ValueError):
         read_jdbc(spark, "jdbc:postgresql://db/wh", execute=False)
+
+
+def test_config_env_substitution_and_dotted_get(tmp_path):
+    from skiliopay_datapipeline_customer_spark.config import EngineConfig
+
+    p = tmp_path / "cfg.yaml"
+    p.write_text(
+        """
+database:
+  host: "${DB_HOST:localhost}"
+  port: ${DB_PORT:5432}
+spark:
+  shuffle_partitions: ${SHUFFLE:64}
+  broadcast_threshold_mb: 32
+  aqe: true
+"""
+    )
+    cfg = EngineConfig.load(str(p), env={"DB_HOST": "warehouse.internal"})
+    assert cfg.get("database.host") == "warehouse.internal"  # env wins
+    assert cfg.get("database.port") == 5432  # default, parsed as int
+    assert cfg.get("missing.key", "fallback") == "fallback"
+    conf = cfg.spark_conf()
+    assert conf["spark.sql.shuffle.partitions"] == "64"
+    assert conf["spark.sql.autoBroadcastJoinThreshold"] == str(32 * 1024 * 1024)
+    assert conf["spark.sql.adaptive.enabled"] == "true"
