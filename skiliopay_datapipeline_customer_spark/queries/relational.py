@@ -495,3 +495,30 @@ def star_revenue_rollup(spark, sf_dir):
         )
         .orderBy("region", "year")
     )
+
+
+# SQL-interface probe: the same rollup through spark.sql over registered
+# views — proving the SQL surface compiles to the identical Catalyst plan
+# family the DataFrame queries use.
+
+
+@query(
+    "sql_interface_probe",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+)
+def sql_interface_probe(spark, sf_dir):
+    from ..sql import run_sql
+
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderstatus AS status, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY o_orderstatus ORDER BY status
+        """,
+    )
