@@ -15,7 +15,11 @@ metrics to the driver.
 
 from __future__ import annotations
 
-from pyspark.ml.classification import GBTClassifier, RandomForestClassifier
+from pyspark.ml.classification import (
+    GBTClassifier,
+    LogisticRegression,
+    RandomForestClassifier,
+)
 from pyspark.ml.evaluation import (
     BinaryClassificationEvaluator,
     MulticlassClassificationEvaluator,
@@ -63,6 +67,14 @@ def train_classifier(
             numTrees=hp.pop("numTrees", 50),
             **hp,
         )
+    elif model_type == "lr":  # linear baseline (abs(coef_) importances, M10)
+        clf = LogisticRegression(
+            labelCol=label_col,
+            featuresCol="features",
+            maxIter=hp.pop("maxIter", 50),
+            regParam=hp.pop("regParam", 0.0),
+            **hp,
+        )
     else:  # the reference raises on lightgbm too (model_trainer.py:354-358)
         raise ValueError(f"unsupported model_type: {model_type}")
     model = clf.fit(assembled)
@@ -93,11 +105,13 @@ def evaluate_classifier(predictions: DataFrame, label_col: str) -> dict[str, flo
 
 
 def feature_importances(model, feature_cols: list[str], top_n: int = 20):
-    """M10: named importances sorted desc, top-n (model_trainer.py:394-411)."""
-    pairs = sorted(
-        zip(feature_cols, model.featureImportances.toArray().tolist()),
-        key=lambda kv: -kv[1],
-    )
+    """M10: named importances sorted desc, top-n (model_trainer.py:394-411);
+    linear models use |coefficients| like the reference (:404)."""
+    if hasattr(model, "featureImportances"):
+        values = model.featureImportances.toArray().tolist()
+    else:
+        values = [abs(c) for c in model.coefficients.toArray().tolist()]
+    pairs = sorted(zip(feature_cols, values), key=lambda kv: -kv[1])
     return pairs[:top_n]
 
 

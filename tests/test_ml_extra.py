@@ -69,3 +69,21 @@ def test_tune_loop_and_tracker(spark, sf_dir, tmp_path):
     from skiliopay_datapipeline_customer_spark.ml.tuning import _sample
 
     assert _sample(0, 42) == _sample(0, 42) and _sample(0, 42) != _sample(1, 42)
+
+
+def test_logistic_regression_alternate(spark, sf_dir):
+    from skiliopay_datapipeline_customer_spark.ml import (
+        evaluate_classifier,
+        feature_importances,
+    )
+
+    ds = stratified_split(
+        churn_dataset(spark, sf_dir), LABEL_COL, key_col="c_custkey"
+    ).cache()
+    train = ds.filter(F.col("_split") == 0)
+    test = ds.filter(F.col("_split") == 2)
+    model, transform = train_classifier(train, FEATURE_COLS, LABEL_COL, model_type="lr")
+    metrics = evaluate_classifier(transform(test), LABEL_COL)
+    assert metrics["roc_auc"] > 0.9  # linearly separable on recency
+    imps = feature_importances(model, FEATURE_COLS)
+    assert len(imps) == len(FEATURE_COLS) and imps[0][1] >= imps[-1][1]

@@ -113,3 +113,48 @@ def test_median_impute_matches_pandas(spark, values):
             assert math.isclose(got[i], med, rel_tol=1e-9), (i, med, got[i])
         else:
             assert math.isclose(got[i], v, rel_tol=1e-6)
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=25
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000), st.integers(0, 100)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@SETTINGS
+def test_asof_join_matches_merge_asof(spark, lefts, rights):
+    """Custom union+window as-of join ≡ pandas merge_asof(backward) per key."""
+    from skiliopay_datapipeline_customer_spark.operators.joins import asof_join
+
+    left_pdf = pd.DataFrame(
+        [{"k": k, "lt": t, "lid": i} for i, (k, t) in enumerate(lefts)]
+    )
+    # merge_asof needs unique right times per key for a well-defined answer:
+    # keep the max payload per (k, rt), like the declared asof query does
+    right_pdf = (
+        pd.DataFrame([{"k": k, "rt": t, "payload": p} for k, t, p in rights])
+        .groupby(["k", "rt"], as_index=False)["payload"]
+        .max()
+    )
+    ldf = spark.createDataFrame(left_pdf)
+    rdf = spark.createDataFrame(right_pdf)
+    got = {
+        r["lid"]: r["_asof"]["payload"] if r["_asof"] is not None else None
+        for r in asof_join(
+            ldf, rdf, key="k", left_time="lt", right_time="rt", right_payload=["payload"]
+        ).collect()
+    }
+    want_df = pd.merge_asof(
+        left_pdf.sort_values(["lt", "lid"]),
+        right_pdf.sort_values("rt").rename(columns={"rt": "lt"}),
+        on="lt",
+        by="k",
+        direction="backward",
+    )
+    for _, row in want_df.iterrows():
+        w = None if pd.isna(row["payload"]) else int(row["payload"])
+        assert got[row["lid"]] == w, (row["lid"], got[row["lid"]], w)
