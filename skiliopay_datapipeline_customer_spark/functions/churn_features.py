@@ -236,11 +236,19 @@ def encode_categoricals(
     df: DataFrame,
     ordinal: list[str] | None = None,
     nominal: list[str] | None = None,
+    sanitize_names: bool = True,
 ) -> DataFrame:
     """feature_engineering.py:240-262: LabelEncoder (sorted classes) for the
     ordinal triple, named one-hot columns `{col}_{value}` for nominals;
     originals dropped. Category lists are collected once (cardinality is
-    config-bounded) so the expansion is pure select()."""
+    config-bounded) so the expansion is pure select().
+
+    sanitize_names (default on) maps non-identifier chars in dummy names to
+    `_` ("app_version_major_3.x" → "app_version_major_3_x"): Spark ML's
+    column resolution parses dots as struct access, so pandas-verbatim names
+    break VectorAssembler downstream. Pass False for byte-identical pandas
+    naming on pure-SQL surfaces."""
+    import re
     ordinal = [c for c in (ordinal or ORDINAL_CATS) if c in df.columns]
     nominal = [c for c in (nominal or NOMINAL_CATS) if c in df.columns]
     for c in ordinal:
@@ -256,8 +264,12 @@ def encode_categoricals(
         values = sorted(
             r[0] for r in df.select(c).distinct().collect() if r[0] is not None
         )
+        def name(v):
+            raw = f"{c}_{v}"
+            return re.sub(r"[^0-9a-zA-Z_]", "_", raw) if sanitize_names else raw
+
         dummies = [
-            (F.col(c) == v).cast("int").alias(f"{c}_{v}") for v in values
+            (F.col(c) == v).cast("int").alias(name(v)) for v in values
         ]
         # backtick-quote existing names: earlier dummy columns may contain
         # dots ("app_version_major_1.x"), which bare F.col reads as struct
