@@ -94,3 +94,25 @@ def index_equivalent_layout(
         .parquet(path)
     )
     return path
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed table write: the co-located-join primitive (SURVEY §4.4).
+
+    Two tables bucketed by the same key into the same bucket count join
+    WITHOUT a shuffle — each task reads matching bucket files from both
+    sides (verified by the no-Exchange plan assertion in tests). This is the
+    Spark replacement for the reference's btree-indexed FK joins at 100 TB:
+    the shuffle happens once at write time, then every subsequent join is
+    map-side. Requires saveAsTable (bucket metadata lives in the catalog).
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

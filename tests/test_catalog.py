@@ -62,3 +62,35 @@ def test_index_equivalent_layout_row_group_skipping(spark, sf_dir, tmp_path):
         back.filter(F.col("o_orderstatus") == "F").count()
         == orders.filter(F.col("o_orderstatus") == "F").count()
     )
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, catalog_db):
+    from skiliopay_datapipeline_customer_spark.sources.catalog import write_bucketed
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    spark.sql("USE engine_test")
+    try:
+        write_bucketed(orders, "orders_b", ["o_custkey"], n_buckets=8)
+        write_bucketed(
+            customer.withColumnRenamed("c_custkey", "o_custkey"),
+            "customer_b",
+            ["o_custkey"],
+            n_buckets=8,
+        )
+        ob, cb = spark.table("orders_b"), spark.table("customer_b")
+        # bucketed-side joins must not shuffle: disable broadcast to force
+        # the SMJ path, then assert no Exchange appears in the final plan
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = ob.join(cb, "o_custkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan[:2000]
+            assert joined.count() == orders.join(
+                customer, orders.o_custkey == customer.c_custkey
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("USE default")
