@@ -157,3 +157,18 @@ def test_watermark_state_expiry_across_batches(spark, tmp_path):
     run()
     ids = [r["event_id"] for r in spark.read.parquet(out).collect()]
     assert sorted(ids) == [1, 1, 2, 3, 9]  # key 1 re-admitted post-expiry
+
+
+def test_sliding_stream_matches_batch(spark, events_dir, tmp_path):
+    from skiliopay_datapipeline_customer_spark.streaming import sliding_counts
+
+    stream = sliding_counts(events_stream(spark, events_dir))
+    run_available_now(
+        stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="complete",
+        query_name="sliding_t",
+    )
+    got = _rows(spark.sql("SELECT * FROM sliding_t"), "bucket_start")
+    want = _rows(sliding_counts(spark.read.parquet(events_dir)), "bucket_start")
+    assert got == want and len(got) > 0
