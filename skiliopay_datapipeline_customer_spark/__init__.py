@@ -13,15 +13,21 @@ re-designed Spark-first for 100 TB scale:
 
 Package layout:
   session    SparkSession factory (AQE on, UTC, arrow)
-  io         parquet/CSV table loaders for the test star schema
+  io         parquet table loaders for the test star schema (nanos handling)
   schema     JSON-schema -> StructType + constraint-expression compiler
   config     YAML config loader with ${VAR:default} env substitution
-  operators/ relational ops: joins, aggregates, windows, set ops, stats,
-             dedup (exact/minhash/simhash), similarity search, text analysis
-  functions/ scalar/feature column library (the reference's F1-F19 surface)
-  plans/     data-quality checks (V1-V11), medallion pipeline, caching
-  streaming/ structured-streaming windows/dedup/merge equivalents
-  ml/        Spark ML pipeline: stratified split, scaler, GBT, evaluators
+  sql        SQL entry point over registered table views
+  parity     local twin of the driver's DuckDB-oracle compare
+  sources/   CSV/REST/JDBC/snapshots + catalog DDL, bucketed tables
+  queries/   the declared-query registry (driver contract surface)
+  operators/ joins (as-of, salted), dedup ladder, similarity (LSH/IVF),
+             text analysis, multimodal binary columns
+  functions/ encoding + the reference's six churn feature blocks, fixtures
+  plans/     fused data-quality reports + composite gate (V4-V10)
+  pipelines/ medallion assembly, TTL checkpoint cache, star warehouse
+  streaming/ watermarked windows, stateful dedup, snapshot upsert
+  ml/        dataset, stratified split/folds, scaler, GBT/RF/LR, CV,
+             tuning + run tracking, batch scoring contract
 """
 
 __version__ = "0.1.0"
