@@ -150,13 +150,22 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
     )
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = toks.alias("a")
-    b = toks.alias("b")
+    # size-compatibility prefilter PUSHED INTO the token join: jaccard(a,b)
+    # ≤ min(sz)/max(sz), so pairs with sz_a < t·sz_b (or vice versa) can
+    # never reach the threshold — pruning them at join time cuts the pair
+    # blowup without changing any surviving result (exactness preserved).
+    # plain join (NOT an explicit broadcast: sizes is one row per doc and
+    # grows with the corpus — AQE broadcasts it only while it actually fits)
+    toks_sz = toks.join(sizes, id_col)
+    a = toks_sz.alias("a")
+    b = toks_sz.alias("b")
     inter = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.sz") >= threshold * F.col("b.sz"))
+            & (F.col("b.sz") >= threshold * F.col("a.sz")),
         )
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("inter"))
