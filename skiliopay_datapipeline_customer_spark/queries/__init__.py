@@ -44,6 +44,7 @@ def load_all() -> None:
         similarity,
         temporal,
         text,
+        tpch,
         validation,
         windows,
     )

@@ -1,0 +1,167 @@
+"""Classic decision-support shapes (TPC-H Q4/Q13/Q18/Q22 families) — the
+relational patterns a warehouse user expects beyond the reference's flat
+aggregations: EXISTS semi-joins, left-join count distributions,
+HAVING-gated group aggregates, scalar-subquery filters, grouping sets.
+
+Scale posture: every shape is one or two keyed shuffles; EXISTS compiles to
+a left-semi hash join, the scalar subquery to a 1-row broadcast, grouping
+sets to a single expand+aggregate pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import table
+from . import query
+
+
+@query(
+    "priority_with_lineitems",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def priority_with_lineitems(spark, sf_dir):
+    """Q4 shape: EXISTS → left-semi join, no row duplication."""
+    orders = table(spark, sf_dir, "orders")
+    big_items = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(
+            big_items, orders.o_orderkey == big_items.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def customer_order_distribution(spark, sf_dir):
+    """Q13 shape: count-of-counts over a left join (customers with zero
+    orders included via count(col) null-skipping)."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+@query(
+    "large_quantity_orders",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, sum_qty
+    FROM orders JOIN (
+      SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    ) big ON o_orderkey = big.l_orderkey
+    ORDER BY o_orderkey
+    """,
+)
+def large_quantity_orders(spark, sf_dir):
+    """Q18 shape: HAVING-gated aggregate joined back to the fact."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter(F.col("_raw_qty") > 150)
+        .drop("_raw_qty")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "sum_qty"
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "wealthy_inactive_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def wealthy_inactive_customers(spark, sf_dir):
+    """Q22 shape: scalar subquery (1-row broadcast) + anti join."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).first()[0]
+    )
+    return (
+        customer.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY status, priority
+    """,
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (neither rollup nor cube): per-status,
+    per-priority, and grand total in ONE expand+aggregate pass."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
+    )
