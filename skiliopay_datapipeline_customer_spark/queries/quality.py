@@ -252,3 +252,35 @@ def quality_metrics_probe(spark, sf_dir):
         F.count("*").alias("n_distinct_rows")
     )
     return base.crossJoin(n_distinct)
+
+
+# The 100 TB profiler tier as a concrete query: sketch-based statistics
+# (HLL distinct via datasketches, t-digest percentiles). Approximate by
+# design → rows-only check; the exact twins above carry the oracles.
+
+
+@query("profile_sketches")
+def profile_sketches(spark, sf_dir):
+    lineitem = table(spark, sf_dir, "lineitem")
+    per_flag = lineitem.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("_hll"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10_000)).alias(
+            "median_price_approx"
+        ),
+        F.approx_count_distinct("l_suppkey").alias("suppliers_approx"),
+    )
+    # sketches MERGE across groups — the property that makes them the
+    # distributed profiling primitive (partial per partition, union at top)
+    total = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_hll")).alias("parts_total_approx")
+    )
+    return (
+        per_flag.select(
+            "l_returnflag",
+            F.hll_sketch_estimate("_hll").alias("parts_approx"),
+            F.round("median_price_approx", 2).alias("median_price_approx"),
+            "suppliers_approx",
+        )
+        .crossJoin(total)
+        .orderBy("l_returnflag")
+    )
