@@ -112,3 +112,54 @@ def doc_fingerprints(spark, sf_dir):
     return docs.select(
         "doc_id", T.doc_fingerprint(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")
+
+
+# TF-IDF term weighting (LLM-pipeline family). The idf factor is the
+# log-free rational form tf · (N+1)/(df+1): same ranking order as
+# log-idf for fixed N, but pure integer-ratio double arithmetic — bit-equal
+# across engines (libm log implementations differ by ulps, which round(6)
+# can't always absorb; ratios of ints < 2^53 are exact).
+
+
+@query(
+    "tfidf_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term,
+           round(tf.tf * (n.n_docs + 1.0) / (df.df + 1.0), 6) AS tfidf
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    WHERE tf.doc_id < 25
+    ORDER BY tf.doc_id, tf.term
+    """,
+)
+def tfidf_scores(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(df_, "term")
+        .filter(F.col("doc_id") < 25)
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * (F.lit(n_docs) + 1.0) / (F.col("df") + 1.0), 6
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "term")
+    )

@@ -172,3 +172,38 @@ def test_sliding_stream_matches_batch(spark, events_dir, tmp_path):
     got = _rows(spark.sql("SELECT * FROM sliding_t"), "bucket_start")
     want = _rows(sliding_counts(spark.read.parquet(events_dir)), "bucket_start")
     assert got == want and len(got) > 0
+
+
+def test_session_append_mode_emits_only_finalized(spark, tmp_path):
+    """Append-mode session windows emit a session only after the watermark
+    passes its close — sessions still open at the head of the stream are
+    withheld (correct late-data behavior, not data loss)."""
+    import datetime
+
+    from skiliopay_datapipeline_customer_spark.streaming.sources import EVENTS_SCHEMA
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 10, "click", 1.0, "{}"),
+        (2, t0 + datetime.timedelta(minutes=5), 10, "click", 1.0, "{}"),
+        # >30min gap → second session for user 10; far-future event moves
+        # the watermark beyond the first session's close
+        (3, t0 + datetime.timedelta(hours=8), 10, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.mode("overwrite").parquet(in_dir)
+    stream = session_stats(
+        events_stream(spark, in_dir), gap="30 minutes", watermark="1 hour"
+    )
+    run_available_now(
+        stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+        out_dir=out,
+    )
+    got = spark.read.parquet(out).collect()
+    # only the FIRST session (closed well before watermark) is emitted;
+    # the 8h-later session is still open at end of input
+    assert len(got) == 1
+    assert got[0]["n_events"] == 2 and got[0]["session_start"] == t0
