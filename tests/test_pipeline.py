@@ -120,3 +120,58 @@ def test_star_schema_build_and_fk(spark, sf_dir, tmp_path):
     assert fo.count() == t(spark, sf_dir, "orders").count()
     # year partition column materialized for pruning
     assert "year" in fo.columns
+
+
+def test_incremental_silver_processes_only_new_files(spark, sf_dir, tmp_path):
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from skiliopay_datapipeline_customer_spark.pipelines.incremental import (
+        incremental_silver,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    landing = str(tmp_path / "landing")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2026, 8, 13, 9, 0, 0)
+
+    def clean(df):
+        return df.withColumn("score", F.round(F.col("score"), 2))
+
+    def run():
+        return incremental_silver(
+            spark, landing, silver, ckpt, schema, clean,
+            key_cols=["user_id"], order_col="ts",
+        )
+
+    # day 1 lands
+    spark.createDataFrame(
+        [(1, t0, 1.111), (2, t0, 2.222)], schema
+    ).write.mode("append").parquet(landing)
+    snap = run()
+    assert snap.count() == 2
+    assert snap.filter(F.col("user_id") == 1).first()["score"] == 1.11  # cleaned
+
+    # day 2 lands: update for user 1 + new user 3; user 2 untouched
+    t1 = t0 + datetime.timedelta(days=1)
+    spark.createDataFrame(
+        [(1, t1, 9.999), (3, t1, 3.333)], schema
+    ).write.mode("append").parquet(landing)
+    snap = run()
+    rows = {r["user_id"]: r for r in snap.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["score"] == 10.0 and rows[1]["ts"] == t1  # latest wins
+    assert rows[2]["score"] == 2.22  # carried forward untouched
+
+    # nothing new → no-op run, snapshot unchanged
+    v_before = sorted(__import__("os").listdir(silver))
+    snap = run()
+    assert snap.count() == 3
