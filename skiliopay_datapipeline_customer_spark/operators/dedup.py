@@ -214,3 +214,63 @@ def simhash_signatures(
     for i in range(63):
         fp = fp + (F.col(f"b{i}") > 0).cast("long") * F.lit(1 << i).cast("long")
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def portable_hash64(col, seed: int):
+    """Engine-portable 60-bit hash: first 15 hex chars of md5(tok + '#' + seed).
+
+    xxhash64 is Spark-only; md5 exists in every engine (DuckDB:
+    CAST('0x'||substr(md5(x),1,15) AS BIGINT) is bit-identical), which makes
+    minhash/simhash signatures ORACLE-CHECKABLE. ~3× slower than xxhash64 —
+    the xxhash64 variants above remain the production tier; these portable
+    twins are the verification tier.
+    """
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f"#{seed}"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Token-set minhash with portable hashes (verification twin of
+    minhash_signatures; 1-gram tokens so the oracle stays SQL-expressible)."""
+    toks = df.select(
+        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+    )
+    return toks.groupBy(id_col).agg(
+        *[
+            F.min(portable_hash64(F.col("tok"), j)).alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def simhash_signatures_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Token-set simhash with portable hashes (verification twin of
+    simhash_signatures)."""
+    hashed = df.select(
+        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+    ).select(F.col(id_col), portable_hash64(F.col("tok"), 0).alias("hv"))
+    agg = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("hv", i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + (F.col(f"b{i}") > 0).cast("long") * F.lit(1 << i).cast("long")
+    return agg.select(F.col(id_col), fp.alias("simhash"))

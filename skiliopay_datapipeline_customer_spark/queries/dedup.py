@@ -73,3 +73,68 @@ def minhash_lsh_candidates(spark, sf_dir):
 @query("simhash_fingerprints")
 def simhash_fingerprints(spark, sf_dir):
     return D.simhash_signatures(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# Portable-hash verification twins: md5-derived hashes exist in DuckDB too,
+# so minhash/simhash signatures get FULL oracle checks (the xxhash64
+# variants above stay rows-only as the faster production tier).
+
+
+@query(
+    "minhash_md5_signatures",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           min(CAST('0x' || substr(md5(tok || '#0'), 1, 15) AS BIGINT)) AS mh_0,
+           min(CAST('0x' || substr(md5(tok || '#1'), 1, 15) AS BIGINT)) AS mh_1,
+           min(CAST('0x' || substr(md5(tok || '#2'), 1, 15) AS BIGINT)) AS mh_2,
+           min(CAST('0x' || substr(md5(tok || '#3'), 1, 15) AS BIGINT)) AS mh_3,
+           min(CAST('0x' || substr(md5(tok || '#4'), 1, 15) AS BIGINT)) AS mh_4,
+           min(CAST('0x' || substr(md5(tok || '#5'), 1, 15) AS BIGINT)) AS mh_5,
+           min(CAST('0x' || substr(md5(tok || '#6'), 1, 15) AS BIGINT)) AS mh_6,
+           min(CAST('0x' || substr(md5(tok || '#7'), 1, 15) AS BIGINT)) AS mh_7
+    FROM toks GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def minhash_md5_signatures(spark, sf_dir):
+    return D.minhash_signatures_md5(table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "simhash_md5_fingerprints",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok || '#0'), 1, 15) AS BIGINT) AS hv
+      FROM toks
+    ),
+    bit_sums AS (
+      SELECT doc_id, r.range AS i,
+             sum(CASE WHEN (hv >> CAST(r.range AS INT)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN range(32) r
+      GROUP BY doc_id, r.range
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0
+                    THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE 0 END) AS simhash
+    FROM bit_sums GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def simhash_md5_fingerprints(spark, sf_dir):
+    return D.simhash_signatures_md5(table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
