@@ -94,3 +94,29 @@ def doc_fingerprint(col):
     cheap first tier before MinHash.
     """
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
+
+
+def rolling_fingerprints(col, k: int = 8, w: int = 4):
+    """Winnowing fingerprint set: rolling character k-gram hashes, keep the
+    min hash of each w-length window, dedup — the MOSS/winnowing scheme.
+    Returns an array<long> column of selected fingerprints.
+
+    All native higher-order functions (sequence/transform/slice/array_min):
+    one map-side pass, no shuffle, no UDF. Hashes use the md5-derived
+    portable form so the oracle can replicate them (dedup.portable_hash64).
+    """
+    from pyspark.sql import functions as F
+
+    text = F.col(col) if isinstance(col, str) else col
+    n_grams = F.greatest(F.length(text) - k + 1, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(text, i, k)), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    n_wins = F.greatest(n_grams - w + 1, F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_wins), lambda j: F.array_min(F.slice(grams, j, w))
+    )
+    return F.array_sort(F.array_distinct(wins))

@@ -163,3 +163,41 @@ def tfidf_scores(spark, sf_dir):
         )
         .orderBy("doc_id", "term")
     )
+
+
+# Winnowing rolling-hash fingerprints (MOSS scheme): char 8-gram rolling
+# hashes, min per 4-window, distinct — oracle replicates with a lateral
+# range + windowed min over positions. Restricted to doc_id < 50 to keep
+# the oracle's lateral expansion bounded at sf0.01.
+
+
+@query(
+    "rolling_fingerprints",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, r.range AS pos,
+             CAST('0x' || substr(md5(substr(text, CAST(r.range AS INT), 8)), 1, 15)
+                  AS BIGINT) AS h,
+             greatest(length(text) - 7, 1) AS n_grams
+      FROM documents, range(1, 5001) r
+      WHERE doc_id < 50 AND r.range <= greatest(length(text) - 7, 1)
+    ),
+    wins AS (
+      SELECT doc_id, pos, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      FROM g
+    )
+    SELECT DISTINCT doc_id, wmin AS fingerprint
+    FROM wins WHERE pos <= greatest(n_grams - 3, 1)
+    ORDER BY doc_id, fingerprint
+    """,
+)
+def rolling_fingerprints(spark, sf_dir):
+    from ..operators.textops import rolling_fingerprints as rf
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        docs.select("doc_id", F.explode(rf("text", k=8, w=4)).alias("fingerprint"))
+        .orderBy("doc_id", "fingerprint")
+    )
