@@ -138,3 +138,99 @@ def simhash_md5_fingerprints(spark, sf_dir):
     return D.simhash_signatures_md5(table(spark, sf_dir, "documents")).orderBy(
         "doc_id"
     )
+
+
+# SimHash near-dup PAIRS: fingerprints banded into 4 x 8-bit chunks
+# (pigeonhole: hamming ≤ 3 on 32 bits → at least one identical chunk),
+# candidates verified by exact hamming distance via bit_count(xor). The
+# chunk join is the scale path: no all-pairs scan, one shuffle on
+# (chunk_idx, chunk_value).
+
+
+@query(
+    "simhash_near_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok || '#0'), 1, 15) AS BIGINT) AS hv
+      FROM toks
+    ),
+    bit_sums AS (
+      SELECT doc_id, r.range AS i,
+             sum(CASE WHEN (hv >> CAST(r.range AS INT)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN range(32) r
+      GROUP BY doc_id, r.range
+    ),
+    fp AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0
+                      THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE 0 END)
+               AS simhash
+      FROM bit_sums GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, simhash, r.range AS c,
+             (simhash >> (CAST(r.range AS INT) * 8)) & 255 AS chunk_val
+      FROM fp CROSS JOIN range(4) r
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM chunks a JOIN chunks b
+        ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def simhash_near_pairs(spark, sf_dir):
+    fp = D.simhash_signatures_md5(table(spark, sf_dir, "documents"))
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright("simhash", c * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.chunk_val").alias("chunk_val"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.filter(hamming <= 3)
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
