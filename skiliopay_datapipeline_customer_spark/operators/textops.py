@@ -96,27 +96,44 @@ def doc_fingerprint(col):
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
 
 
-def rolling_fingerprints(col, k: int = 8, w: int = 4):
-    """Winnowing fingerprint set: rolling character k-gram hashes, keep the
-    min hash of each w-length window, dedup — the MOSS/winnowing scheme.
-    Returns an array<long> column of selected fingerprints.
+def rolling_fingerprint_rows(df, text_col: str = "text", id_col: str = "doc_id", k: int = 8, w: int = 4):
+    """Winnowing fingerprints: rolling character k-gram hashes, min hash per
+    w-length window, dedup — the MOSS/winnowing scheme. Returns one row per
+    (id, fingerprint).
 
-    All native higher-order functions (sequence/transform/slice/array_min):
-    one map-side pass, no shuffle, no UDF. Hashes use the md5-derived
-    portable form so the oracle can replicate them (dedup.portable_hash64).
+    Shape: explode positions → one portable hash per (doc, pos) → windowed
+    min over a pos frame per doc → distinct. Linear in text length (an
+    array-HOF formulation recomputes the gram array per window element —
+    Catalyst collapses the projections and re-inlines the expression, which
+    measured O(n²) md5 calls). The window partitions by doc id: bounded
+    per-doc state, no skew for bounded documents.
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    text = F.col(col) if isinstance(col, str) else col
+    text = F.col(text_col)
     n_grams = F.greatest(F.length(text) - k + 1, F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.conv(
-            F.substring(F.md5(F.substring(text, i, k)), 1, 15), 16, 10
+    pos_df = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        n_grams.alias("_n_grams"),
+        F.posexplode(F.sequence(F.lit(1), n_grams)).alias("_ix", "pos"),
+    ).withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(F.expr(f"substring({text_col}, pos, {k})")), 1, 15
+            ),
+            16,
+            10,
         ).cast("long"),
+    ).drop(text_col)
+    frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
     )
-    n_wins = F.greatest(n_grams - w + 1, F.lit(1))
-    wins = F.transform(
-        F.sequence(F.lit(1), n_wins), lambda j: F.array_min(F.slice(grams, j, w))
+    wins = pos_df.withColumn("wmin", F.min("h").over(frame)).filter(
+        F.col("pos") <= F.greatest(F.col("_n_grams") - w + 1, F.lit(1))
     )
-    return F.array_sort(F.array_distinct(wins))
+    return wins.select(
+        F.col(id_col), F.col("wmin").alias("fingerprint")
+    ).distinct()

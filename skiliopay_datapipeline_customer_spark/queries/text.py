@@ -194,10 +194,9 @@ def tfidf_scores(spark, sf_dir):
     """,
 )
 def rolling_fingerprints(spark, sf_dir):
-    from ..operators.textops import rolling_fingerprints as rf
+    from ..operators.textops import rolling_fingerprint_rows
 
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    return (
-        docs.select("doc_id", F.explode(rf("text", k=8, w=4)).alias("fingerprint"))
-        .orderBy("doc_id", "fingerprint")
+    return rolling_fingerprint_rows(docs, k=8, w=4).orderBy(
+        "doc_id", "fingerprint"
     )
