@@ -179,3 +179,52 @@ def percent_rank_prices(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+# The UPSTREAM producer of the reference's pre-baked behavioral columns
+# (sessions_30d/_90d, churn_schema.json): windowed conditional counts per
+# user relative to the stream head — one scan, one shuffle on user_id.
+# This is the query the reference's data vendor ran before the CSV landed.
+
+
+@query(
+    "behavioral_columns_from_events",
+    oracle="""
+    WITH head AS (SELECT max(ts) AS max_ts FROM events)
+    SELECT user_id,
+           sum(CASE WHEN ts >= max_ts - INTERVAL 30 DAY THEN 1 ELSE 0 END)
+             AS sessions_30d,
+           count(*) AS sessions_90d,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4)
+             AS gmv_90d,
+           sum(CASE WHEN event_type = 'purchase'
+                     AND ts >= max_ts - INTERVAL 30 DAY THEN 1 ELSE 0 END)
+             AS orders_30d,
+           CAST(datediff('day',
+                max(CASE WHEN event_type = 'purchase' THEN ts END), max_ts)
+             AS BIGINT) AS days_since_last_order
+    FROM events CROSS JOIN head
+    GROUP BY user_id, max_ts
+    ORDER BY user_id
+    """,
+)
+def behavioral_columns_from_events(spark, sf_dir):
+    events = table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    recent = F.col("ts") >= F.lit(max_ts) - F.expr("INTERVAL 30 DAYS")
+    is_purchase = F.col("event_type") == "purchase"
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.sum(recent.cast("int")).alias("sessions_30d"),
+            F.count("*").alias("sessions_90d"),
+            F.round(
+                F.sum(F.when(is_purchase, F.col("value")).otherwise(0.0)), 4
+            ).alias("gmv_90d"),
+            F.sum((is_purchase & recent).cast("int")).alias("orders_30d"),
+            F.datediff(
+                F.lit(max_ts), F.max(F.when(is_purchase, F.col("ts")))
+            ).cast("bigint").alias("days_since_last_order"),
+        )
+        .orderBy("user_id")
+    )

@@ -36,3 +36,26 @@ def test_cosine_dup_pairs_symmetric_free(spark, sf_dir):
     assert pairs.count() == n * (n - 1) // 2  # each unordered pair once
     bad = pairs.filter((F.col("cos_sim") > 1.000001) | (F.col("cos_sim") < -1.000001))
     assert bad.count() == 0
+
+
+def test_ivf_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """The IVF scale path: corpus written partitioned by centroid id → a
+    probe of n_probe lists is a partition-pruned scan (only the probed
+    centroid directories are read)."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = S.choose_centroids(emb, n_centroids=4)
+    assigned = emb.withColumn("_centroid", S.ivf_assign(F.col("embedding"), cents))
+    path = str(tmp_path / "ivf_corpus")
+    assigned.write.partitionBy("_centroid").mode("overwrite").parquet(path)
+
+    corpus = spark.read.parquet(path)
+    probe = corpus.filter(F.col("_centroid").isin(0, 1))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # partition filter present, and only the probed directories feed the scan
+    assert "_centroid" in plan
+    expected = assigned.filter(F.col("_centroid").isin(0, 1)).count()
+    assert probe.count() == expected
+    import os
+
+    dirs = [d for d in os.listdir(path) if d.startswith("_centroid=")]
+    assert len(dirs) >= 2  # multiple inverted lists materialized on disk
