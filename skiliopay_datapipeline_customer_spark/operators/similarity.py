@@ -248,3 +248,46 @@ def cosine_dup_pairs(
     return df.select(id_col, vec_col).mapInPandas(
         block, schema="id_a long, id_b long, cos_sim double"
     )
+
+
+def lsh_topk_multiprobe(
+    df: DataFrame,
+    query_vec_df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    n_probe_flips: int = 1,
+) -> DataFrame:
+    """Multi-probe LSH ANN: probe the query's bucket AND every bucket within
+    ``n_probe_flips`` sign flips (hamming ball over the plane bits).
+
+    Recall climbs steeply with probes (bit flips model near-boundary
+    hyperplane errors) while the scan stays ~(1 + planes) / 2^planes of the
+    corpus for one flip — the standard recall/cost dial between single-probe
+    LSH and brute force.
+    """
+    bucketed = df.withColumn("_bucket", lsh_bucket_id(F.col(vec_col), num_planes))
+    qbase = query_vec_df.select(
+        F.col(vec_col).alias("_qvec"),
+        lsh_bucket_id(F.col(vec_col), num_planes).alias("_qbucket"),
+    )
+    # expand the probe set: bucket ids within n_probe_flips bit flips
+    flips = [F.col("_qbucket")]
+    if n_probe_flips >= 1:
+        flips += [
+            F.col("_qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)
+        ]
+    probes = F.broadcast(
+        qbase.select(
+            "_qvec", F.explode(F.array(*flips)).alias("_probe_bucket")
+        ).distinct()
+    )
+    a = as_double(F.col(vec_col))
+    b = as_double(F.col("_qvec"))
+    return (
+        bucketed.join(probes, F.col("_bucket") == F.col("_probe_bucket"))
+        .select(id_col, F.round(cosine(a, b), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

@@ -59,3 +59,18 @@ def test_ivf_partitioned_layout_prunes(spark, sf_dir, tmp_path):
 
     dirs = [d for d in os.listdir(path) if d.startswith("_centroid=")]
     assert len(dirs) >= 2  # multiple inverted lists materialized on disk
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = {r["vec_id"] for r in S.brute_force_topk(emb, q, k=10).collect()}
+    single = {r["vec_id"] for r in S.lsh_topk(emb, q, k=10).collect()}
+    multi = {
+        r["vec_id"]
+        for r in S.lsh_topk_multiprobe(emb, q, k=10, n_probe_flips=1).collect()
+    }
+    # multi-probe scans a superset of the single-probe bucket → recall vs
+    # the exact top-10 can only improve (or stay equal)
+    assert len(multi & exact) >= len(single & exact)
+    assert 0 in multi  # the query vector itself always survives
