@@ -228,3 +228,51 @@ def behavioral_columns_from_events(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# Cohort retention matrix — the churn dashboard's companion analysis:
+# cohort = first-purchase month, cell = active purchasers at each month
+# offset. Month arithmetic via integer year*12+month on BOTH sides (DuckDB
+# datediff('month') counts boundaries; Spark months_between returns
+# fractions — integer month indexes sidestep both).
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, date_trunc('month', ts) AS m
+      FROM events WHERE event_type = 'purchase'
+    ),
+    firsts AS (
+      SELECT user_id, min(m) AS cohort FROM purchases GROUP BY user_id
+    ),
+    activity AS (SELECT DISTINCT user_id, m FROM purchases)
+    SELECT f.cohort,
+           (year(a.m) * 12 + month(a.m)) - (year(f.cohort) * 12 + month(f.cohort))
+             AS month_offset,
+           count(*) AS n_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY f.cohort, month_offset
+    ORDER BY cohort, month_offset
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.date_trunc("month", "ts").alias("m")
+    )
+    firsts = purchases.groupBy("user_id").agg(F.min("m").alias("cohort"))
+    activity = purchases.distinct()
+    month_idx = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            (month_idx(F.col("m")) - month_idx(F.col("cohort"))).alias(
+                "month_offset"
+            ),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort", "month_offset")
+    )
