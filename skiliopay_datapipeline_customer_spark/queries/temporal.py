@@ -276,3 +276,47 @@ def cohort_retention(spark, sf_dir):
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort", "month_offset")
     )
+
+
+# Ordered funnel: users whose first signup precedes their first click
+# precedes their first purchase — one conditional-min aggregate pass per
+# user, then one global rollup. The standard event-analytics companion to
+# cohort retention.
+
+
+@query(
+    "funnel_counts",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           sum(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS reached_signup,
+           sum(CASE WHEN s IS NOT NULL AND c > s THEN 1 ELSE 0 END)
+             AS reached_click,
+           sum(CASE WHEN s IS NOT NULL AND c > s AND p > c THEN 1 ELSE 0 END)
+             AS reached_purchase
+    FROM stages
+    """,
+)
+def funnel_counts(spark, sf_dir):
+    events = table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = events.groupBy("user_id").agg(
+        first_of("signup").alias("s"),
+        first_of("click").alias("c"),
+        first_of("purchase").alias("p"),
+    )
+    s, c, p = F.col("s"), F.col("c"), F.col("p")
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.sum(s.isNotNull().cast("int")).alias("reached_signup"),
+        F.sum((s.isNotNull() & (c > s)).cast("int")).alias("reached_click"),
+        F.sum((s.isNotNull() & (c > s) & (p > c)).cast("int")).alias(
+            "reached_purchase"
+        ),
+    )
