@@ -74,6 +74,51 @@ def normalize_pdf(pdf) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
+def _column_kind(pdf, col: str) -> str:
+    """Coarse dtype kind of a pandas column: int / float / bool / datetime /
+    str / list / empty.
+
+    The driver's value hash is type-representation-sensitive: DuckDB
+    ``sum(int)`` returns HUGEINT (surfacing as float64 in pandas) while Spark
+    returns BIGINT, and numerically-identical frames hash differently. Local
+    parity must therefore fail on an int-vs-float kind divergence, not coerce
+    it away (the round-1 lesson: 8 driver fails that were locally green).
+    Width within a kind (int32 vs int64) is NOT distinguished — both render
+    identically as values.
+    """
+    import datetime
+    import decimal
+
+    import numpy as np
+
+    dt = pdf[col].dtype
+    if dt.kind in "iu":
+        return "int"
+    if dt.kind == "f":
+        return "float"
+    if dt.kind == "b":
+        return "bool"
+    if dt.kind in "mM":
+        return "datetime"
+    s = pdf[col].dropna()
+    if len(s) == 0:
+        return "empty"
+    v = s.iloc[0]
+    if isinstance(v, bool) or isinstance(v, np.bool_):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return "datetime"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "list"
+    return "str" if isinstance(v, str) else type(v).__name__
+
+
 def compare_frames(spark_pdf, oracle_pdf) -> list[str]:
     """Return list of mismatch descriptions; empty list = parity."""
     problems: list[str] = []
@@ -82,6 +127,18 @@ def compare_frames(spark_pdf, oracle_pdf) -> list[str]:
             f"columns differ: spark={sorted(spark_pdf.columns)} "
             f"oracle={sorted(oracle_pdf.columns)}"
         )
+        return problems
+    for col in sorted(spark_pdf.columns):
+        ks, ko = _column_kind(spark_pdf, col), _column_kind(oracle_pdf, col)
+        if "empty" in (ks, ko):
+            continue
+        if ks != ko:
+            problems.append(
+                f"dtype kind differs on {col!r}: spark={ks} oracle={ko} "
+                "(driver hash is type-sensitive — cast the oracle, e.g. "
+                "CAST(sum(...) AS BIGINT))"
+            )
+    if problems:
         return problems
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row counts differ: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")

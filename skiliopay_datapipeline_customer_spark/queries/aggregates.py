@@ -24,7 +24,7 @@ from . import query
     oracle="""
     SELECT c_mktsegment,
            count(*) AS total,
-           sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS at_risk,
+           CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS at_risk,
            round(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
              AS risk_rate
     FROM customer
@@ -111,8 +111,8 @@ def frequency_distribution(spark, sf_dir):
     SELECT count(*) AS n_rows,
            count(DISTINCT l_orderkey) AS distinct_orders,
            count(DISTINCT l_partkey) AS distinct_parts,
-           sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
-           sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_flag
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+           CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_flag
     FROM lineitem
     """,
 )

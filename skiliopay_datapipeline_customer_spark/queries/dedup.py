@@ -128,8 +128,9 @@ def minhash_md5_signatures(spark, sf_dir):
       GROUP BY doc_id, r.range
     )
     SELECT doc_id,
-           sum(CASE WHEN s > 0
-                    THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN s > 0
+                    THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE 0 END) AS BIGINT)
+             AS simhash
     FROM bit_sums GROUP BY doc_id
     ORDER BY doc_id
     """,

@@ -75,9 +75,9 @@ def cube_counts(spark, sf_dir):
     "pivot_status_by_year",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS year,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_O,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_F,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_P
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_O,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_F,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_P
     FROM orders
     GROUP BY year(o_orderdate)
     ORDER BY year

@@ -72,10 +72,12 @@ def uniqueness_report(spark, sf_dir):
     "validity_report",
     oracle="""
     SELECT
-      sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS bad_quantity,
-      sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS bad_discount,
-      sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS bad_price,
-      sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS bad_flag,
+      CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_quantity,
+      CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS bad_discount,
+      CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+      CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT)
+        AS bad_flag,
       count(*) AS n_rows
     FROM lineitem
     """,
@@ -102,8 +104,8 @@ def validity_report(spark, sf_dir):
     "consistency_report",
     oracle="""
     SELECT count(*) AS n_orders,
-           sum(CASE WHEN abs(line_total - o_totalprice) > 0.01 THEN 1 ELSE 0 END)
-             AS inconsistent_orders
+           CAST(sum(CASE WHEN abs(line_total - o_totalprice) > 0.01 THEN 1 ELSE 0 END)
+                AS BIGINT) AS inconsistent_orders
     FROM (
       SELECT o.o_orderkey, o.o_totalprice,
              sum(l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax)) AS line_total
@@ -145,9 +147,9 @@ def consistency_report(spark, sf_dir):
       FROM orders
     )
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+           CAST(sum(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
                       OR o_totalprice > q3 + 1.5 * (q3 - q1)
-                    THEN 1 ELSE 0 END) AS n_outliers,
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            round(sum(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
                             OR o_totalprice > q3 + 1.5 * (q3 - q1)
                           THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS outlier_rate
@@ -221,12 +223,14 @@ def distribution_report(spark, sf_dir):
     FROM (
       SELECT count(*) AS n_rows,
              count(DISTINCT o_orderkey) AS n_keys,
-             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkeys,
-             sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS neg_price,
-             sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
-               AS bad_status,
-             sum(CASE WHEN o_orderdate > TIMESTAMP '2002-01-01' THEN 1 ELSE 0 END)
-               AS date_after_2002
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_custkeys,
+             CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS neg_price,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+               AS BIGINT) AS bad_status,
+             CAST(sum(CASE WHEN o_orderdate > TIMESTAMP '2002-01-01' THEN 1 ELSE 0 END)
+               AS BIGINT) AS date_after_2002
       FROM orders
     ) m
     CROSS JOIN (

@@ -192,14 +192,14 @@ def percent_rank_prices(spark, sf_dir):
     oracle="""
     WITH head AS (SELECT max(ts) AS max_ts FROM events)
     SELECT user_id,
-           sum(CASE WHEN ts >= max_ts - INTERVAL 30 DAY THEN 1 ELSE 0 END)
-             AS sessions_30d,
+           CAST(sum(CASE WHEN ts >= max_ts - INTERVAL 30 DAY THEN 1 ELSE 0 END)
+             AS BIGINT) AS sessions_30d,
            count(*) AS sessions_90d,
            round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4)
              AS gmv_90d,
-           sum(CASE WHEN event_type = 'purchase'
+           CAST(sum(CASE WHEN event_type = 'purchase'
                      AND ts >= max_ts - INTERVAL 30 DAY THEN 1 ELSE 0 END)
-             AS orders_30d,
+             AS BIGINT) AS orders_30d,
            CAST(datediff('day',
                 max(CASE WHEN event_type = 'purchase' THEN ts END), max_ts)
              AS BIGINT) AS days_since_last_order
@@ -295,11 +295,12 @@ def cohort_retention(spark, sf_dir):
       FROM events GROUP BY user_id
     )
     SELECT count(*) AS n_users,
-           sum(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS reached_signup,
-           sum(CASE WHEN s IS NOT NULL AND c > s THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS reached_signup,
+           CAST(sum(CASE WHEN s IS NOT NULL AND c > s THEN 1 ELSE 0 END) AS BIGINT)
              AS reached_click,
-           sum(CASE WHEN s IS NOT NULL AND c > s AND p > c THEN 1 ELSE 0 END)
-             AS reached_purchase
+           CAST(sum(CASE WHEN s IS NOT NULL AND c > s AND p > c THEN 1 ELSE 0 END)
+             AS BIGINT) AS reached_purchase
     FROM stages
     """,
 )

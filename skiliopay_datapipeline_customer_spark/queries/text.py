@@ -16,8 +16,8 @@ from . import query
     oracle="""
     SELECT doc_id,
            len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
-           list_sum(list_transform(string_split_regex(trim(lower(text)), '\\s+'),
-                    t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS bpe_tokens,
+           CAST(list_sum(list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+                    t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens,
            length(text) AS n_chars
     FROM documents
     ORDER BY doc_id

@@ -29,7 +29,7 @@ CUSTOMER_SCHEMA = {
     "schema_validation_report",
     oracle="""
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN c_custkey IS NOT NULL AND c_name IS NOT NULL
+           CAST(sum(CASE WHEN c_custkey IS NOT NULL AND c_name IS NOT NULL
                      AND c_mktsegment IS NOT NULL
                      AND NOT (c_custkey < 0)
                      AND regexp_matches(c_name, '^Customer#[0-9]+$')
@@ -37,28 +37,30 @@ CUSTOMER_SCHEMA = {
                      AND NOT (c_acctbal < -1000.0) AND NOT (c_acctbal > 10000.0)
                      AND c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE',
                                           'HOUSEHOLD','MACHINERY')
-               THEN 1 ELSE 0 END) AS n_valid,
-           sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS c_custkey_required,
-           sum(CASE WHEN c_custkey IS NOT NULL AND c_custkey < 0 THEN 1 ELSE 0 END)
-             AS c_custkey_min,
-           sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS c_name_required,
-           sum(CASE WHEN c_name IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS c_custkey_required,
+           CAST(sum(CASE WHEN c_custkey IS NOT NULL AND c_custkey < 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c_custkey_min,
+           CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS c_name_required,
+           CAST(sum(CASE WHEN c_name IS NOT NULL
                      AND NOT regexp_matches(c_name, '^Customer#[0-9]+$')
-               THEN 1 ELSE 0 END) AS c_name_pattern,
-           sum(CASE WHEN c_nationkey IS NOT NULL AND c_nationkey < 0 THEN 1 ELSE 0 END)
-             AS c_nationkey_min,
-           sum(CASE WHEN c_nationkey IS NOT NULL AND c_nationkey > 24 THEN 1 ELSE 0 END)
-             AS c_nationkey_max,
-           sum(CASE WHEN c_acctbal IS NOT NULL AND c_acctbal < -1000.0 THEN 1 ELSE 0 END)
-             AS c_acctbal_min,
-           sum(CASE WHEN c_acctbal IS NOT NULL AND c_acctbal > 10000.0 THEN 1 ELSE 0 END)
-             AS c_acctbal_max,
-           sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+               THEN 1 ELSE 0 END) AS BIGINT) AS c_name_pattern,
+           CAST(sum(CASE WHEN c_nationkey IS NOT NULL AND c_nationkey < 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS c_nationkey_min,
+           CAST(sum(CASE WHEN c_nationkey IS NOT NULL AND c_nationkey > 24
+               THEN 1 ELSE 0 END) AS BIGINT) AS c_nationkey_max,
+           CAST(sum(CASE WHEN c_acctbal IS NOT NULL AND c_acctbal < -1000.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS c_acctbal_min,
+           CAST(sum(CASE WHEN c_acctbal IS NOT NULL AND c_acctbal > 10000.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS c_acctbal_max,
+           CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS c_mktsegment_required,
-           sum(CASE WHEN c_mktsegment IS NOT NULL
+           CAST(sum(CASE WHEN c_mktsegment IS NOT NULL
                      AND c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE',
                                               'HOUSEHOLD','MACHINERY')
-               THEN 1 ELSE 0 END) AS c_mktsegment_enum
+               THEN 1 ELSE 0 END) AS BIGINT) AS c_mktsegment_enum
     FROM customer
     """,
 )
