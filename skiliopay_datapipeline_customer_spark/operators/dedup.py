@@ -87,13 +87,18 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding. Returns (id_a, id_b, n_bands).
 
     Shuffle profile: signature agg (k longs/doc) → explode into `bands` rows
     keyed by (band_id, hash(band slice)) → self-join on bucket → pair counts.
-    At 100 TB: bucket sizes are the skew risk; AQE skew split plus a
-    bucket-size cap bound the pair blowup.
+    At 100 TB: bucket sizes are the skew risk; AQE skew split plus the
+    bucket-size cap bound the pair blowup — one degenerate bucket (thousands
+    of identical or near-empty docs) would otherwise go quadratic. Buckets
+    over `max_bucket_size` are dropped before the self-join; their members
+    belong in the EXACT-dedup tier (identical content collides in every
+    band), which runs first in the ladder.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
@@ -118,8 +123,12 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
+    capped = banded.join(
+        sizes.filter(F.col("_bsz") <= max_bucket_size), ["band", "bucket"]
+    ).drop("_bsz")
+    a = capped.alias("a")
+    b = capped.alias("b")
     return (
         a.join(
             b,

@@ -1,0 +1,111 @@
+"""Scale-safe exact global ranking and quantile bucketing.
+
+The parity-exact forms (`functions.churn_features.quantile_bucket`,
+`queries.windows.rfm_quintiles`) use `row_number`/`ntile` over a global
+`Window.orderBy(...)` with no partitioning — Spark funnels the whole table
+through ONE task. That replicates the reference's pandas semantics
+(src/processing/feature_engineering.py:89-98 ranks the full frame) and is
+fine at fixture scale, but it is the first thing that dies at 100 TB.
+
+This module is the distributed tier: exact global rank via
+range-partitioning — the same mechanism Spark's own `orderBy` uses for
+total ordering — plus per-partition row numbers and broadcast prefix
+offsets. No single task ever sees more than one range partition; the only
+global structure is the per-partition count frame (#partitions rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank_distributed(
+    df: DataFrame,
+    order_exprs: list,
+    rank_col: str = "_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global rank under a TOTAL order, no single-task sort.
+
+    Plan shape: repartitionByRange on the order key (deterministic range
+    boundaries) → per-partition `row_number` (parallel windows keyed by
+    `spark_partition_id`) → broadcast join of cumulative per-partition
+    counts → rank = prefix offset + local row number.
+
+    `order_exprs` must define a total order (include a unique tiebreak
+    column) or ranks within ties are partition-placement-dependent.
+    """
+    nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(nparts, *order_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # one row per range partition — tiny, so the global-order window over it
+    # is a few-row sort, and the result broadcasts
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_pcnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_pcnt").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_pcnt")
+    )
+    local_w = Window.partitionBy("_pid").orderBy(*order_exprs)
+    return (
+        parts.withColumn("_local", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_offset") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_offset")
+    )
+
+
+def quantile_bucket_distributed(
+    df: DataFrame,
+    col: str,
+    labels: list[int],
+    ascending: bool,
+    q: int = 5,
+    tiebreak: str = "user_id",
+    out: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Two-pass scale-safe twin of `quantile_bucket` (rank+qcut semantics,
+    feature_engineering.py:89-98): pass 1 computes the exact global rank via
+    `global_rank_distributed`; pass 2 buckets each rank against the linear-
+    interpolation quantile edges of ranks 1..n,
+
+        edge_k = 1 + (n - 1) * (k / q),   k = 1 .. q-1   (right-closed)
+
+    — the same edges pandas' ``Series(1..n).quantile(linspace(0,1,q+1))``
+    interpolates. Edges are scalar IEEE expressions, so an ANSI-SQL oracle
+    evaluating the identical formula is bit-compatible.
+
+    Keeps `quantile_bucket`'s degenerate-cardinality guard: fewer than 2
+    distinct values → constant fill label; q clamps to the distinct count.
+    """
+    out = out or f"{col}_q"
+    stats = df.agg(
+        F.countDistinct(col).alias("u"), F.count(F.lit(1)).alias("n")
+    ).first()
+    effective_q = min(q, stats["u"])
+    if effective_q < 2:
+        fill = labels[0] if ascending else labels[-1]
+        return df.withColumn(out, F.lit(fill))
+    n = stats["n"]
+    order = [
+        F.col(col).asc() if ascending else F.col(col).desc(),
+        F.col(tiebreak).asc(),
+    ]
+    ranked = global_rank_distributed(df, order, rank_col="_rank", num_partitions=num_partitions)
+    bucket = F.lit(1)
+    for k in range(1, effective_q):
+        edge = 1.0 + (n - 1) * (k / effective_q)
+        bucket = bucket + (F.col("_rank") > F.lit(edge)).cast("int")
+    label_arr = F.array(*[F.lit(x) for x in labels[:effective_q]])
+    return ranked.withColumn(out, F.element_at(label_arr, bucket)).drop("_rank")

@@ -54,17 +54,18 @@ def brute_force_topk(
     )
 
 
-def lsh_bucket_id(vec_col, num_planes: int = 8):
+def lsh_bucket_id(vec_col, num_planes: int = 8, plane_offset: int = 0):
     """Random-hyperplane LSH bucket: sign bits of dot(v, h_p) packed to int.
 
     Hyperplane components are deterministic pseudo-randoms derived from
     xxhash64(plane, dim) — reproducible across runs with zero data movement
-    (no stored model needed).
+    (no stored model needed). `plane_offset` selects an independent plane
+    family (band) without changing the packed bit width.
     """
     v = as_double(vec_col)
     dim = F.size(vec_col)
     bits = []
-    for p in range(num_planes):
+    for local_bit, p in enumerate(range(plane_offset, plane_offset + num_planes)):
         # h_p[i] in [-1, 1): hash(p, i) scaled; folded into the dot product
         proj = F.aggregate(
             F.zip_with(
@@ -82,7 +83,7 @@ def lsh_bucket_id(vec_col, num_planes: int = 8):
             F.lit(0.0),
             lambda acc, val: acc + val,
         )
-        bits.append((proj > 0).cast("int") * F.lit(2**p))
+        bits.append((proj > 0).cast("int") * F.lit(2**local_bit))
     out = F.lit(0)
     for b in bits:
         out = out + b
@@ -194,6 +195,7 @@ def cosine_dup_pairs(
     threshold: float = 0.8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, all-pairs) via
     block-broadcast matmul: the comparison matrix (the candidate set) is
@@ -203,11 +205,21 @@ def cosine_dup_pairs(
     (measured 193 s → ~6 s at 5k × 5k, 64-dim).
 
     Tiering at 100 TB: this exact tier runs on CANDIDATE SETS (post
-    LSH-bucket/IVF pruning), which are model-sized by construction; the
-    pruning join itself never materializes all-pairs.
+    LSH-bucket/IVF pruning), which are model-sized by construction. The
+    `max_rows` guard ENFORCES that contract — calling it on a full corpus
+    raises instead of OOM-ing the driver; use `lsh_dup_pairs` for the
+    distributed tiered path.
     """
     import numpy as np
 
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_dup_pairs is the exact candidate-set tier: got {n} rows "
+            f"> max_rows={max_rows}. Use lsh_dup_pairs (LSH-pruned, "
+            "distributed) for corpus-scale near-dup detection, or raise "
+            "max_rows explicitly if the frame truly fits on the driver."
+        )
     rows = df.select(id_col, vec_col).collect()
     ids = [int(r[0]) for r in rows]
     mat = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
@@ -250,6 +262,89 @@ def cosine_dup_pairs(
     )
 
 
+def lsh_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Distributed tiered near-dup pairs: banded hyperplane-LSH candidate
+    generation + exact cosine verify. The corpus-scale public API — unlike
+    the all-pairs kernel (`cosine_dup_pairs`, guarded), pairs only form
+    within an LSH (band, bucket), so cost is bounded by bucket sizes and the
+    whole plan is shuffles + joins (nothing driver-side).
+
+    `num_planes` split into `bands` independent plane families; a pair is a
+    candidate if ANY band bucket matches (recall grows with bands, candidate
+    volume with 1/2^(planes/bands)). Defaults (4 bands × 4 planes) give
+    ~0.95 recall at cosine 0.9 (per-plane agreement p = 1 - acos(s)/π;
+    band hit p^4; miss all four ≈ 0.05). Recall < 1 by construction — the
+    exact verify keeps precision at 1. Buckets over `max_bucket_size` are
+    dropped (degenerate mass, e.g. zero vectors — the skew guard at 100 TB).
+    """
+    ppb = num_planes // bands
+    base = df.select(id_col, vec_col)
+    bb = base.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        lsh_bucket_id(
+                            F.col(vec_col), ppb, plane_offset=band * ppb
+                        ).alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    sizes = bb.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
+    capped = bb.join(
+        sizes.filter(F.col("_bsz") <= max_bucket_size), ["band", "bucket"]
+    ).drop("_bsz")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(cosine(as_double(F.col("_va")), as_double(F.col("_vb"))), 6)
+    return (
+        cand.select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def hamming_ball_masks(num_planes: int, radius: int) -> list[int]:
+    """All XOR masks flipping up to `radius` of `num_planes` bits (incl. 0)."""
+    import itertools
+
+    masks = [0]
+    for r in range(1, min(radius, num_planes) + 1):
+        for combo in itertools.combinations(range(num_planes), r):
+            masks.append(sum(1 << p for p in combo))
+    return masks
+
+
 def lsh_topk_multiprobe(
     df: DataFrame,
     query_vec_df: DataFrame,
@@ -260,7 +355,8 @@ def lsh_topk_multiprobe(
     n_probe_flips: int = 1,
 ) -> DataFrame:
     """Multi-probe LSH ANN: probe the query's bucket AND every bucket within
-    ``n_probe_flips`` sign flips (hamming ball over the plane bits).
+    ``n_probe_flips`` sign flips (full hamming ball over the plane bits —
+    all C(planes, 1..r) flip combinations, not just single bits).
 
     Recall climbs steeply with probes (bit flips model near-boundary
     hyperplane errors) while the scan stays ~(1 + planes) / 2^planes of the
@@ -272,12 +368,13 @@ def lsh_topk_multiprobe(
         F.col(vec_col).alias("_qvec"),
         lsh_bucket_id(F.col(vec_col), num_planes).alias("_qbucket"),
     )
-    # expand the probe set: bucket ids within n_probe_flips bit flips
-    flips = [F.col("_qbucket")]
-    if n_probe_flips >= 1:
-        flips += [
-            F.col("_qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)
-        ]
+    # expand the probe set: bucket ids within the hamming ball of radius
+    # n_probe_flips (the ball is computed driver-side — it is plane-count
+    # sized, not data-sized)
+    flips = [
+        F.col("_qbucket").bitwiseXOR(F.lit(m))
+        for m in hamming_ball_masks(num_planes, n_probe_flips)
+    ]
     probes = F.broadcast(
         qbase.select(
             "_qvec", F.explode(F.array(*flips)).alias("_probe_bucket")

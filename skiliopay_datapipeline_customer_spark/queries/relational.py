@@ -50,7 +50,10 @@ def flagship_revenue_by_nation(spark, sf_dir):
     nation = table(spark, sf_dir, "nation")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # customer is NOT a dimension — it grows with the dataset (billions of
+        # rows at 100 TB), so no explicit broadcast: AQE picks the strategy
+        # from runtime stats. Only true dims (nation: 25 rows) are broadcast.
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(

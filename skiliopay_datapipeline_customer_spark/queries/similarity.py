@@ -118,6 +118,9 @@ def ivf_ann_topk(spark, sf_dir):
 
 
 # Embedding-cosine near-dup pairs — exact all-pairs tier, oracle-checked.
+# Threshold 0.45: the synthetic embeddings are near-orthogonal (max pair
+# cosine ~0.5), so a production-style 0.8 cut would make the check vacuous
+# (0 rows); 0.45 exercises real pairs.
 
 
 @query(
@@ -140,10 +143,23 @@ def ivf_ann_topk(spark, sf_dir):
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
               * sqrt(list_sum(list_transform(b.embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-           , 6) >= 0.795
+           , 6) >= 0.45
     ORDER BY id_a, id_b
     """,
 )
 def embedding_dup_pairs(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
-    return S.cosine_dup_pairs(emb, threshold=0.795).orderBy("id_a", "id_b")
+    return S.cosine_dup_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
+
+
+# Corpus-scale tiered near-dup pairs: banded hyperplane-LSH candidates +
+# exact cosine verify, fully distributed (no driver materialization).
+# xxhash64-derived planes → not oracle-expressible: rows-only check; the
+# exact all-pairs twin above carries the oracle, and the pytest suite
+# asserts this tier's output ⊆ the exact tier at precision 1.
+
+
+@query("lsh_dup_pairs")
+def lsh_dup_pairs(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return S.lsh_dup_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")

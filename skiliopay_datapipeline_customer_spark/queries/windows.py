@@ -40,6 +40,70 @@ def rfm_quintiles(spark, sf_dir):
     )
 
 
+# W1 scale-safe twin: same global quintile assignment, but computed with the
+# two-pass range-partitioned rank (operators/ranks.py) instead of a single-
+# task ntile window — the form that survives 100 TB. Buckets follow the
+# rank+qcut edge formula (right-closed at 1 + (n-1)·k/q), evaluated with
+# identical IEEE scalar arithmetic in the oracle.
+
+
+@query(
+    "rfm_quintiles_distributed",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n FROM customer),
+    ranked AS (
+      SELECT c_custkey,
+             row_number() OVER (ORDER BY c_acctbal, c_custkey) AS r
+      FROM customer
+    )
+    SELECT c_custkey,
+           1 + (CASE WHEN r > 1 + (n - 1) * 0.2 THEN 1 ELSE 0 END)
+             + (CASE WHEN r > 1 + (n - 1) * 0.4 THEN 1 ELSE 0 END)
+             + (CASE WHEN r > 1 + (n - 1) * 0.6 THEN 1 ELSE 0 END)
+             + (CASE WHEN r > 1 + (n - 1) * 0.8 THEN 1 ELSE 0 END) AS bal_quintile
+    FROM ranked, n
+    ORDER BY c_custkey
+    """,
+)
+def rfm_quintiles_distributed(spark, sf_dir):
+    from ..operators.ranks import quantile_bucket_distributed
+
+    bucketed = quantile_bucket_distributed(
+        table(spark, sf_dir, "customer"),
+        "c_acctbal",
+        [1, 2, 3, 4, 5],
+        ascending=True,
+        q=5,
+        tiebreak="c_custkey",
+        out="bal_quintile",
+    )
+    return bucketed.select("c_custkey", "bal_quintile").orderBy("c_custkey")
+
+
+# P1 scale-safe twin of global_row_number: exact global row id from
+# range-partitioned rank — no single-task window.
+
+
+@query(
+    "global_row_number_distributed",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS row_id,
+           o_orderkey
+    FROM orders
+    ORDER BY row_id LIMIT 100
+    """,
+)
+def global_row_number_distributed(spark, sf_dir):
+    from ..operators.ranks import global_rank_distributed
+
+    ranked = global_rank_distributed(
+        table(spark, sf_dir, "orders"),
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        rank_col="row_id",
+    )
+    return ranked.select("row_id", "o_orderkey").orderBy("row_id").limit(100)
+
+
 # W3 top-N per group (ROW_NUMBER pattern, docs/PERFORMANCE_OPTIMIZATION.md:228-237):
 # top 3 orders per customer. Partitioned window → one shuffle on o_custkey.
 

@@ -1,0 +1,148 @@
+"""Guards that keep the dedup/similarity/ranking tiers scale-safe:
+LSH bucket-size caps, the candidate-set bound on the exact all-pairs
+kernel, the full hamming-ball multiprobe expansion, and the distributed
+global-rank twins of the single-task window forms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skiliopay_datapipeline_customer_spark.io import table
+from skiliopay_datapipeline_customer_spark.operators import dedup as D
+from skiliopay_datapipeline_customer_spark.operators import similarity as S
+from skiliopay_datapipeline_customer_spark.operators.ranks import (
+    global_rank_distributed,
+    quantile_bucket_distributed,
+)
+
+
+def _identical_docs(spark, n=200):
+    text = "the same exact document body repeated verbatim across the corpus"
+    return spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+
+
+def test_minhash_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    docs = _identical_docs(spark, 200)
+    # every doc lands in the same bucket in every band: capped run drops the
+    # degenerate buckets entirely (exact-dedup tier owns identical content)
+    capped = D.minhash_lsh_candidates(docs, max_bucket_size=100)
+    assert capped.count() == 0
+    # without the cap the same corpus goes quadratic: C(200,2) pairs
+    uncapped = D.minhash_lsh_candidates(docs, max_bucket_size=10_000)
+    assert uncapped.count() == 200 * 199 // 2
+
+
+def test_minhash_lsh_cap_no_change_on_normal_corpus(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    default = D.minhash_lsh_candidates(docs)
+    huge_cap = D.minhash_lsh_candidates(docs, max_bucket_size=10**9)
+    a = {(r["id_a"], r["id_b"], r["n_bands"]) for r in default.collect()}
+    b = {(r["id_a"], r["id_b"], r["n_bands"]) for r in huge_cap.collect()}
+    assert a == b
+
+
+def test_cosine_dup_pairs_row_cap_enforced(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="lsh_dup_pairs"):
+        S.cosine_dup_pairs(emb, max_rows=10)
+
+
+def test_lsh_dup_pairs_subset_of_exact_at_precision_one(spark, sf_dir):
+    # testdata embeddings are near-random (max pair cosine ~0.48), so probe
+    # at a threshold where true pairs exist; the LSH planes are deterministic
+    # hashes, so the candidate set (and this assertion) is stable run-to-run
+    emb = table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in S.cosine_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert len(exact) > 0
+    tiered = S.lsh_dup_pairs(emb, threshold=0.4).collect()
+    assert len(tiered) > 0  # recall > 0 at this similarity regime
+    for r in tiered:  # precision 1: every tiered pair is a true pair
+        assert (r["id_a"], r["id_b"]) in exact
+        assert abs(exact[(r["id_a"], r["id_b"])] - r["cos_sim"]) < 1e-9
+
+
+def test_lsh_dup_pairs_bucket_cap_drops_degenerate_mass(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=64)
+    rows = [(i, [float(x) for x in base]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = S.lsh_dup_pairs(df, threshold=0.9, max_bucket_size=10)
+    assert capped.count() == 0  # all 50 share every bucket → dropped by cap
+    uncapped = S.lsh_dup_pairs(df, threshold=0.9, max_bucket_size=1000)
+    assert uncapped.count() == 50 * 49 // 2
+
+
+def test_hamming_ball_masks_full_radius():
+    masks = S.hamming_ball_masks(8, 2)
+    assert len(masks) == 1 + 8 + 28  # identity + C(8,1) + C(8,2)
+    assert len(set(masks)) == len(masks)
+    assert all(0 <= m < 256 for m in masks)
+    assert all(bin(m).count("1") <= 2 for m in masks)
+    # radius clamps to the plane count
+    assert len(S.hamming_ball_masks(3, 99)) == 2**3
+
+
+def test_multiprobe_radius_two_expands_probe_set(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = {r["vec_id"] for r in S.brute_force_topk(emb, q, k=10).collect()}
+    r1 = {
+        r["vec_id"]
+        for r in S.lsh_topk_multiprobe(emb, q, k=10, n_probe_flips=1).collect()
+    }
+    r2 = {
+        r["vec_id"]
+        for r in S.lsh_topk_multiprobe(emb, q, k=10, n_probe_flips=2).collect()
+    }
+    # a radius-2 ball scans a superset of the radius-1 ball → recall vs the
+    # exact top-10 can only improve
+    assert len(r2 & exact) >= len(r1 & exact)
+    assert 0 in r2
+
+
+def test_global_rank_distributed_matches_single_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    dist = global_rank_distributed(
+        orders, [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()], rank_col="r"
+    )
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    single = orders.select("o_orderkey", F.row_number().over(w).alias("r"))
+    a = {(x["o_orderkey"], x["r"]) for x in dist.select("o_orderkey", "r").collect()}
+    b = {(x["o_orderkey"], x["r"]) for x in single.collect()}
+    assert a == b
+
+
+def test_quantile_bucket_distributed_matches_parity_form(spark, sf_dir):
+    from skiliopay_datapipeline_customer_spark.functions.churn_features import (
+        quantile_bucket,
+    )
+
+    cust = table(spark, sf_dir, "customer")
+    exact = quantile_bucket(
+        cust, "c_acctbal", [1, 2, 3, 4, 5], ascending=True, tiebreak="c_custkey", out="qb"
+    )
+    dist = quantile_bucket_distributed(
+        cust, "c_acctbal", [1, 2, 3, 4, 5], ascending=True, tiebreak="c_custkey", out="qb"
+    )
+    a = {(r["c_custkey"], r["qb"]) for r in exact.select("c_custkey", "qb").collect()}
+    b = {(r["c_custkey"], r["qb"]) for r in dist.select("c_custkey", "qb").collect()}
+    assert a == b
+
+
+def test_quantile_bucket_distributed_degenerate_cardinality(spark):
+    df = spark.createDataFrame(
+        [(i, 42.0) for i in range(10)], "user_id long, v double"
+    )
+    out = quantile_bucket_distributed(df, "v", [5, 4, 3, 2, 1], ascending=False)
+    vals = {r["v_q"] for r in out.collect()}
+    assert vals == {1}  # constant column → everyone gets the fill label
