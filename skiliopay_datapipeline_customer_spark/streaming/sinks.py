@@ -6,10 +6,12 @@ The upsert keeps a versioned snapshot directory:
     target/v=0/...parquet   (first batch)
     target/v=1/...parquet   (merge of v=0 + batch 1)
 
-``latest_snapshot`` reads the highest version — the engine's replacement for
-the reference's glob-date-stamped-files-take-max discovery. Versioned dirs
-(rather than in-place overwrite) make the merge atomic-by-rename and leave
-history for audit; on a cluster with Delta/Iceberg this entire sink is
+``latest_snapshot`` reads the highest COMMITTED version — the engine's
+replacement for the reference's glob-date-stamped-files-take-max discovery.
+Commit protocol: a version is visible only once its ``_SUCCESS`` marker
+exists (written last by Spark's file committer), so a crash mid-write leaves
+an invisible partial directory, never a truncated snapshot. Versioned dirs
+keep history for audit; on a cluster with Delta/Iceberg this entire sink is
 ``MERGE INTO`` and the version chain is the table log.
 
 Scale notes: the merge is a keyed window dedup — shuffle on the key, no
@@ -53,12 +55,18 @@ def run_available_now(
 
 
 def _versions(target_dir: str) -> list[int]:
+    """Committed versions only: a v=N directory counts once its _SUCCESS
+    marker exists (Spark's commit protocol writes it last). A crash mid-write
+    leaves a partial v=N with no marker — discovery skips it, and the next
+    merge re-claims that version number with mode("overwrite"), so replayed
+    micro-batches never merge from truncated data."""
     if not os.path.isdir(target_dir):
         return []
     return sorted(
         int(m.group(1))
         for d in os.listdir(target_dir)
         if (m := re.fullmatch(r"v=(\d+)", d))
+        and os.path.exists(os.path.join(target_dir, d, "_SUCCESS"))
     )
 
 
@@ -70,11 +78,23 @@ def latest_snapshot(spark: SparkSession, target_dir: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(target_dir, f"v={vs[-1]}"))
 
 
-def upsert_snapshot(target_dir: str, key_cols: list[str], order_col: str):
+def upsert_snapshot(
+    target_dir: str,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_cols: list[str] | None = None,
+):
     """Build a foreachBatch(batch_df, batch_id) that merges each micro-batch
     into the snapshot: per key keep the row with the greatest ``order_col``
     (latest-wins upsert). Exactly-once: foreachBatch can replay a batch on
-    recovery; latest-wins merge is idempotent so replays are safe.
+    recovery; latest-wins merge is idempotent so replays are safe, and
+    ``_versions``' _SUCCESS gate keeps a crashed partial write invisible.
+
+    The window order must be TOTAL per key or the winner under equal
+    ``order_col`` values (same-timestamp updates in one batch) is partition-
+    placement-dependent. ``tiebreak_cols`` defaults to every remaining
+    column in name order — deterministic snapshots with zero configuration;
+    pass an explicit list (e.g. an ingest sequence column) when one exists.
     """
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -85,7 +105,14 @@ def upsert_snapshot(target_dir: str, key_cols: list[str], order_col: str):
             if current is None
             else current.unionByName(batch_df, allowMissingColumns=True)
         )
-        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        ties = tiebreak_cols
+        if ties is None:
+            ties = sorted(
+                c for c in merged.columns if c not in {*key_cols, order_col}
+            )
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(order_col).desc(), *[F.col(c).desc_nulls_last() for c in ties]
+        )
         deduped = (
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

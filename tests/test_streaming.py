@@ -207,3 +207,45 @@ def test_session_append_mode_emits_only_finalized(spark, tmp_path):
     # the 8h-later session is still open at end of input
     assert len(got) == 1
     assert got[0]["n_events"] == 2 and got[0]["session_start"] == t0
+
+
+def test_partial_snapshot_version_is_invisible(spark, tmp_path):
+    """Crash-safety: a v=N directory without _SUCCESS (a write that died
+    mid-flight) must be skipped by discovery and reclaimed by the next merge."""
+    import os
+
+    target = str(tmp_path / "snap")
+    merge = upsert_snapshot(target, key_cols=["k"], order_col="seq")
+    merge(spark.createDataFrame([(1, 10, "a")], "k long, seq long, val string"), 0)
+    assert latest_snapshot(spark, target).count() == 1
+
+    # simulate a crashed v=1 write: directory + data fragment, no _SUCCESS
+    partial = os.path.join(target, "v=1")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00truncated")
+    snap = latest_snapshot(spark, target)
+    assert [tuple(r) for r in snap.collect()] == [(1, 10, "a")]  # still v=0
+
+    # the next merge reclaims version 1 and the result is the clean union
+    merge(spark.createDataFrame([(2, 5, "b")], "k long, seq long, val string"), 1)
+    rows = sorted(tuple(r) for r in latest_snapshot(spark, target).collect())
+    assert rows == [(1, 10, "a"), (2, 5, "b")]
+    assert os.path.exists(os.path.join(target, "v=1", "_SUCCESS"))
+
+
+def test_upsert_equal_order_ties_are_deterministic(spark, tmp_path):
+    """Two same-key rows with the same order_col in one batch: the winner is
+    chosen by the value tiebreak (all remaining columns, name order, desc),
+    not partition placement — repeated runs give identical snapshots."""
+    batch = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "z"), (1, 10, "m")], "k long, seq long, val string"
+    )
+    results = set()
+    for run in range(3):
+        target = str(tmp_path / f"snap{run}")
+        upsert_snapshot(target, key_cols=["k"], order_col="seq")(
+            batch.repartition(3), 0
+        )
+        results.add(tuple(latest_snapshot(spark, target).collect()[0]))
+    assert results == {(1, 10, "z")}
