@@ -6,9 +6,11 @@ Spark equivalents: ``df.write.jdbc(batchsize=...)`` (mode maps 1:1) and
 ``spark.read.jdbc(query=...)`` which pushes the query to the database — the
 warehouse's btree indexes (S10) keep serving it there.
 
-No JDBC driver jar ships in this container, so these are thin, tested-at-
-the-option-level wrappers; execution requires a cluster with the driver on
-the classpath (standard spark.jars deployment concern, not engine logic).
+Exercised in-container against embedded Apache Derby (on Spark's own
+classpath — ``jdbc:derby:<dir>;create=true``): replace/append/fail modes,
+batchsize, and query pushdown all round-trip in tests/test_sources.py.
+Production databases differ only in URL + driver jar (standard spark.jars
+deployment concern, not engine logic).
 """
 
 from __future__ import annotations

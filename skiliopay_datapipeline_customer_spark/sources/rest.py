@@ -16,8 +16,12 @@ Two tiers:
   ``spark.read.format("paged_rest")``.
 
 No real HTTP in this container: fetchers are injected callables
-(page_index -> list[dict]); the HTTP adapter is a one-liner the deployment
-provides (requests.get(...).json()).
+(page_index -> list[dict]); the in-tree ``pages_dir`` option reads JSON page
+files with identical pagination/termination/rate-limit behavior, and the
+HTTP adapter is a one-liner the deployment provides
+(requests.get(...).json()). Python DataSources are pickled by module
+reference — ship the package to workers (``--py-files`` / pip on the
+cluster image), the standard Python-dependency deployment.
 """
 
 from __future__ import annotations
@@ -30,6 +34,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 PageFetcher = Callable[[int, int], list[dict]]  # (page, page_size) -> records
+
+
+def file_backed_fetcher(pages_dir: str) -> PageFetcher:
+    """A PageFetcher reading ``{pages_dir}/page-{n}.json`` (a JSON array of
+    records per page). The in-tree executable stand-in for an HTTP adapter —
+    same signature, same termination contract (missing file → empty page);
+    the deployment swaps in ``requests.get(...).json()`` one-for-one.
+    """
+    import json
+    import os
+
+    def fetch(page: int, page_size: int) -> list[dict]:
+        path = os.path.join(pages_dir, f"page-{page}.json")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return json.load(f)
+
+    return fetch
 
 
 class RateLimiter:
@@ -110,6 +133,7 @@ try:  # Spark 4 Python DataSource API
     class RestDataSourceReader(DataSourceReader):
         def __init__(self, schema, options):
             self.schema_ = schema
+            self.options = options
             self.total_pages = int(options.get("total_pages", "1"))
             self.page_size = int(options.get("page_size", "100"))
             self.n_partitions = int(options.get("n_partitions", "4"))
@@ -123,12 +147,34 @@ try:  # Spark 4 Python DataSource API
             ]
 
         def read(self, partition):
-            # Executors re-create the fetcher from options — a real adapter
-            # would build an HTTP client here. Per-partition limiter gets an
-            # equal share of the global request budget.
+            # Executors re-create the fetcher from options. In-tree the
+            # fetcher is file-backed (``pages_dir`` option); a real HTTP
+            # adapter binds here via subclassing and builds its client the
+            # same way. Per-partition limiter gets an equal share of the
+            # global request budget so the FLEET respects the API's quota.
+            fetcher = self._make_fetcher()
+            limiter = RateLimiter(
+                max_requests=max(1, self.req_per_min // self.n_partitions)
+            )
+            fields = [f.name for f in self.schema_.fields]
+            for page in range(partition.start + 1, partition.end + 1):
+                limiter.wait()
+                batch = fetcher(page, self.page_size)
+                if not batch:
+                    return  # past the last page of this range
+                for rec in batch:
+                    yield tuple(rec.get(name) for name in fields)
+                if len(batch) < self.page_size:
+                    return  # short page = final page (api_ingestion.py rule)
+
+        def _make_fetcher(self) -> PageFetcher:
+            pages_dir = self.options.get("pages_dir")
+            if pages_dir:
+                return file_backed_fetcher(pages_dir)
             raise NotImplementedError(
-                "bind a page fetcher via subclassing; HTTP clients are "
-                "deployment-provided (no network in the test container)"
+                "set a pages_dir option or bind an HTTP fetcher via "
+                "subclassing; HTTP clients are deployment-provided (no "
+                "network in the test container)"
             )
 
     class RestDataSource(DataSource):

@@ -167,3 +167,91 @@ spark:
     assert conf["spark.sql.shuffle.partitions"] == "64"
     assert conf["spark.sql.autoBroadcastJoinThreshold"] == str(32 * 1024 * 1024)
     assert conf["spark.sql.adaptive.enabled"] == "true"
+
+
+def test_rest_datasource_file_backed_pages(spark, tmp_path):
+    """S4 executable path: spark.read.format('paged_rest') returns rows from
+    a directory of JSON pages — pagination split across partitions, each with
+    its share of the request budget (api_ingestion.py:111-150 semantics)."""
+    import json
+
+    from skiliopay_datapipeline_customer_spark.sources.rest import RestDataSource
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    # 7 pages of 10 + a short final page of 3 → 73 records
+    for p in range(1, 8):
+        rows = [{"uid": (p - 1) * 10 + i, "status": "ok"} for i in range(10)]
+        (pages / f"page-{p}.json").write_text(json.dumps(rows))
+    (pages / "page-8.json").write_text(
+        json.dumps([{"uid": 70 + i, "status": "ok"} for i in range(3)])
+    )
+
+    spark.dataSource.register(RestDataSource)
+    df = (
+        spark.read.format("paged_rest")
+        .option("schema_ddl", "uid int, status string")
+        .option("pages_dir", str(pages))
+        .option("total_pages", "12")  # declared > actual: short page stops
+        .option("page_size", "10")
+        .option("n_partitions", "3")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 73
+    assert {r["uid"] for r in rows} == set(range(73))
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_rest_datasource_requires_fetcher(spark):
+    from skiliopay_datapipeline_customer_spark.sources.rest import (
+        RestDataSourceReader,
+    )
+    from pyspark.sql import types as T
+
+    reader = RestDataSourceReader(
+        T.StructType([T.StructField("x", T.IntegerType())]), {"total_pages": "2"}
+    )
+    with pytest.raises(NotImplementedError):
+        reader._make_fetcher()
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S7/S8 executed end-to-end on embedded Derby: replace/append/fail
+    write modes + batchsize (data_warehouse.py:64-99) and query pushdown
+    (:101-121)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from skiliopay_datapipeline_customer_spark.sources.jdbc import (
+        read_jdbc,
+        write_jdbc,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/wh;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(0, 100).selectExpr("id", "id * 2.5 AS amount")
+
+    write_jdbc(df, url, "tx", mode="replace", batchsize=25, properties=props)
+    back = read_jdbc(spark, url, table="tx", properties=props)
+    assert back.count() == 100
+    assert {r["ID"] if "ID" in back.columns else r["id"] for r in back.collect()} == set(range(100))
+
+    write_jdbc(df, url, "tx", mode="append", batchsize=25, properties=props)
+    assert read_jdbc(spark, url, table="tx", properties=props).count() == 200
+
+    with pytest.raises(AnalysisException):
+        write_jdbc(df, url, "tx", mode="fail", properties=props)
+
+    # replace drops + recreates (the reference's if_exists='replace')
+    write_jdbc(df.limit(10), url, "tx", mode="replace", properties=props)
+    assert read_jdbc(spark, url, table="tx", properties=props).count() == 10
+
+    # pushdown: the WHERE executes in the database, not in Spark
+    pushed = read_jdbc(
+        spark,
+        url,
+        # Spark's Derby dialect creates case-sensitive quoted identifiers
+        query='SELECT "id" FROM tx WHERE "id" < 5',
+        properties=props,
+    )
+    assert pushed.count() == 5
