@@ -104,6 +104,65 @@ def evaluate_classifier(predictions: DataFrame, label_col: str) -> dict[str, flo
     return out
 
 
+def deploy_gate(
+    metrics: dict[str, float],
+    min_accuracy: float = 0.75,
+    min_roc_auc: float = 0.80,
+) -> dict:
+    """M12: the reference's deployment promotion gate
+    (dags/churn_prediction_pipeline.py:179-186) — a model ships only when
+    accuracy >= 0.75 AND ROC-AUC >= 0.80. Returns the decision plus the
+    per-check detail the pipeline logs."""
+    checks = {
+        "accuracy": (metrics["accuracy"], min_accuracy),
+        "roc_auc": (metrics["roc_auc"], min_roc_auc),
+    }
+    return {
+        "deploy": all(v >= t for v, t in checks.values()),
+        "checks": {k: {"value": v, "threshold": t} for k, (v, t) in checks.items()},
+    }
+
+
+def churn_benchmark(
+    spark,
+    sf_dir: str,
+    tracker_path: str,
+    model_type: str = "gbt",
+    **params,
+) -> dict:
+    """M4/M7/M12 end-to-end: train the distributed booster on the churn
+    fixture, evaluate the reference's metric set on the held-out test split,
+    log to the JSONL tracker, and apply the deploy gate — the engine's
+    recorded counterpart of the reference's headline run (model_trainer.py:
+    243-263: XGBoost test ROC-AUC 0.9441 on its 50 k-row dataset; GBT is the
+    survey-sanctioned distributed stand-in)."""
+    from pyspark.sql import functions as F
+
+    from .dataset import FEATURE_COLS, LABEL_COL, churn_dataset
+    from .split import stratified_split
+    from .tuning import RunTracker
+
+    ds = stratified_split(
+        churn_dataset(spark, sf_dir), LABEL_COL, key_col="c_custkey"
+    ).cache()
+    train = ds.filter(F.col("_split") == 0)
+    test = ds.filter(F.col("_split") == 2)
+    model, transform = train_classifier(
+        train, FEATURE_COLS, LABEL_COL, model_type=model_type, **params
+    )
+    metrics = evaluate_classifier(transform(test), LABEL_COL)
+    gate = deploy_gate(metrics)
+    tracker = RunTracker(tracker_path)
+    tracker.start_run(f"churn_{model_type}")
+    tracker.log_params(
+        {"model_type": model_type, "sf_dir": sf_dir, "n_rows": ds.count(), **params}
+    )
+    tracker.log_metrics({**metrics, "deploy": float(gate["deploy"])})
+    tracker.end_run()
+    ds.unpersist()
+    return {"metrics": metrics, "gate": gate}
+
+
 def feature_importances(model, feature_cols: list[str], top_n: int = 20):
     """M10: named importances sorted desc, top-n (model_trainer.py:394-411);
     linear models use |coefficients| like the reference (:404)."""

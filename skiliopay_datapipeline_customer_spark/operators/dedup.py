@@ -148,27 +148,52 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact token-set Jaccard over candidate pairs via inverted-index join.
+    """Exact n-gram-set Jaccard pairs via PREFIX-FILTERED inverted-index join
+    (the AllPairs/PPJoin family — Chaudhuri et al. 2006, Xiao et al. 2008).
 
-    doc→distinct tokens→explode→self-join on token→pair intersection counts;
-    union sizes from per-doc token counts. Exact but pair-heavy: at scale this
-    runs AFTER MinHash-LSH pruning, not on the full corpus.
+    A naive gram self-join blows up on high-frequency grams: a gram present
+    in all N docs alone contributes N² join rows. Prefix filtering keeps the
+    join EXACT while indexing only each doc's rarest
+    ``sz - ceil(t·sz) + 1`` grams (global-document-frequency order): two
+    sets with Jaccard ≥ t must share at least one prefix gram, so every
+    qualifying pair still collides, and ubiquitous grams — which sit at the
+    END of the frequency order — never enter the index. Candidates are then
+    verified with one array_intersect per pair (exact, per-row O(|doc|)).
+
+    ``shingle_n`` controls the gram unit: word 3-shingles by default (the
+    near-dup measure of the dedup ladder; shingle vocabularies are large and
+    flat, which is exactly what prefix filtering needs), ``shingle_n=1`` for
+    plain token sets (degenerates on tiny vocabularies — a corpus whose docs
+    all draw from a few dozen words makes token-set Jaccard quadratic in
+    TRUE output, which no candidate strategy can bound).
+
+    Shuffle profile: df-count agg on gram, per-doc window for the frequency
+    rank, prefix self-join (rare grams only), verify join on the pair ids.
+    Still the verification tier at 100 TB (run post-LSH); prefix filtering
+    is what makes the full-corpus form survive medium scale.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+    from pyspark.sql import Window
+
+    grams = (
+        distinct_tokens(F.col(text_col))
+        if shingle_n == 1
+        else F.array_distinct(word_shingles(F.col(text_col), shingle_n))
     )
-    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
-    # size-compatibility prefilter PUSHED INTO the token join: jaccard(a,b)
-    # ≤ min(sz)/max(sz), so pairs with sz_a < t·sz_b (or vice versa) can
-    # never reach the threshold — pruning them at join time cuts the pair
-    # blowup without changing any surviving result (exactness preserved).
-    # plain join (NOT an explicit broadcast: sizes is one row per doc and
-    # grows with the corpus — AQE broadcasts it only while it actually fits)
-    toks_sz = toks.join(sizes, id_col)
-    a = toks_sz.alias("a")
-    b = toks_sz.alias("b")
-    inter = (
+    toks = df.select(F.col(id_col), F.explode(grams).alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
+    # rarest-first position of each token within its doc
+    w = Window.partitionBy(id_col).orderBy("_df", "tok")
+    ranked = toks.join(dfreq, "tok").withColumn("pos", F.row_number().over(w))
+    sizes = ranked.groupBy(id_col).agg(F.max("pos").alias("sz"))
+    prefix = ranked.join(sizes, id_col).filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    # size-compatibility pushed into the join: jaccard ≤ min(sz)/max(sz)
+    cand = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
@@ -176,20 +201,20 @@ def ngram_jaccard_pairs(
             & (F.col("a.sz") >= threshold * F.col("b.sz"))
             & (F.col("b.sz") >= threshold * F.col("a.sz")),
         )
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-            ),
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
+        .distinct()
+    )
+    sets_ = df.select(F.col(id_col), F.array_sort(grams).alias("_toks"))
+    sa = sets_.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("_ta"))
+    sb = sets_.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size("_ta") + F.size("_tb") - inter
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(inter * 1.0 / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

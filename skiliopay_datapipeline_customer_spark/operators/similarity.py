@@ -54,40 +54,85 @@ def brute_force_topk(
     )
 
 
-def lsh_bucket_id(vec_col, num_planes: int = 8, plane_offset: int = 0):
+def make_planes(
+    num_planes: int, dim: int, plane_offset: int = 0
+) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (md5-derived, components in
+    [-1, 1)) — reproducible across runs with no stored model. Model-sized
+    (planes × dim floats): lives on the driver and folds into expressions as
+    literals, like fitted centroids. `plane_offset` selects an independent
+    plane family (band)."""
+    import hashlib
+
+    planes = []
+    for p in range(plane_offset, plane_offset + num_planes):
+        vec = []
+        for i in range(dim):
+            h = hashlib.md5(f"plane:{p}:{i}".encode()).digest()
+            u = int.from_bytes(h[:8], "big") / 2**64
+            vec.append(2.0 * u - 1.0)
+        planes.append(vec)
+    return planes
+
+
+def lsh_bucket_id(
+    vec_col,
+    num_planes: int = 8,
+    plane_offset: int = 0,
+    planes: list[list[float]] | None = None,
+):
     """Random-hyperplane LSH bucket: sign bits of dot(v, h_p) packed to int.
 
-    Hyperplane components are deterministic pseudo-randoms derived from
-    xxhash64(plane, dim) — reproducible across runs with zero data movement
-    (no stored model needed). `plane_offset` selects an independent plane
-    family (band) without changing the packed bit width.
+    Pass ``planes`` (from :func:`make_planes`, requires knowing the vector
+    dim) to fold the hyperplanes in as LITERAL arrays — the fast path: the
+    per-row work is just multiply-adds. Without ``planes`` the components
+    are derived per-row from xxhash64(plane, dim) inside a nested lambda —
+    dimension-agnostic, but higher-order functions evaluate interpreted, so
+    every row pays hash + array construction per plane (~10× slower;
+    measured on the 64-dim corpus).
     """
     v = as_double(vec_col)
-    dim = F.size(vec_col)
     bits = []
-    for local_bit, p in enumerate(range(plane_offset, plane_offset + num_planes)):
-        # h_p[i] in [-1, 1): hash(p, i) scaled; folded into the dot product
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(
-                    F.sequence(F.lit(0), dim - 1),
-                    lambda i, p=p: (
-                        F.pmod(F.xxhash64(i.cast("string"), F.lit(p)), F.lit(2000003))
-                        / F.lit(1000001.5)
-                        - 1.0
+    if planes is not None:
+        for local_bit, plane in enumerate(planes[:num_planes]):
+            proj = dot(v, _lit_vec(plane))
+            bits.append((proj > 0).cast("int") * F.lit(2**local_bit))
+    else:
+        dim = F.size(vec_col)
+        for local_bit, p in enumerate(
+            range(plane_offset, plane_offset + num_planes)
+        ):
+            # h_p[i] in [-1, 1): hash(p, i) scaled; folded into the dot product
+            proj = F.aggregate(
+                F.zip_with(
+                    v,
+                    F.transform(
+                        F.sequence(F.lit(0), dim - 1),
+                        lambda i, p=p: (
+                            F.pmod(
+                                F.xxhash64(i.cast("string"), F.lit(p)),
+                                F.lit(2000003),
+                            )
+                            / F.lit(1000001.5)
+                            - 1.0
+                        ),
                     ),
+                    lambda x, h: x * h,
                 ),
-                lambda x, h: x * h,
-            ),
-            F.lit(0.0),
-            lambda acc, val: acc + val,
-        )
-        bits.append((proj > 0).cast("int") * F.lit(2**local_bit))
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            )
+            bits.append((proj > 0).cast("int") * F.lit(2**local_bit))
     out = F.lit(0)
     for b in bits:
         out = out + b
     return out
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from one row (metadata-sized driver action)."""
+    row = df.select(F.size(F.col(vec_col))).first()
+    return int(row[0])
 
 
 def lsh_topk(
@@ -103,11 +148,16 @@ def lsh_topk(
     Recall < 1 by construction (single-probe); the 100 TB trade: the scan
     touches ~corpus/2^planes rows. Multi-probe = union over neighbor buckets.
     """
-    bucketed = df.withColumn("_bucket", lsh_bucket_id(F.col(vec_col), num_planes))
+    planes = make_planes(num_planes, _probe_dim(df, vec_col))
+    bucketed = df.withColumn(
+        "_bucket", lsh_bucket_id(F.col(vec_col), num_planes, planes=planes)
+    )
     qb = F.broadcast(
         query_vec_df.select(
             F.col(vec_col).alias("_qvec"),
-            lsh_bucket_id(F.col(vec_col), num_planes).alias("_qbucket"),
+            lsh_bucket_id(F.col(vec_col), num_planes, planes=planes).alias(
+                "_qbucket"
+            ),
         )
     )
     a = as_double(F.col(vec_col))
@@ -286,6 +336,7 @@ def lsh_dup_pairs(
     dropped (degenerate mass, e.g. zero vectors — the skew guard at 100 TB).
     """
     ppb = num_planes // bands
+    dim = _probe_dim(df, vec_col)
     base = df.select(id_col, vec_col)
     bb = base.select(
         id_col,
@@ -296,7 +347,9 @@ def lsh_dup_pairs(
                     F.struct(
                         F.lit(band).alias("band"),
                         lsh_bucket_id(
-                            F.col(vec_col), ppb, plane_offset=band * ppb
+                            F.col(vec_col),
+                            ppb,
+                            planes=make_planes(ppb, dim, plane_offset=band * ppb),
                         ).alias("bucket"),
                     )
                     for band in range(bands)
@@ -306,6 +359,10 @@ def lsh_dup_pairs(
     ).select(
         id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    # the plane-projection subtree (planes × dims hash evaluations per row)
+    # feeds the size agg AND both sides of the self-join — persist it once
+    # instead of recomputing it 4× (Spark's own MinHashLSH does the same)
+    bb = bb.persist()
     sizes = bb.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
     capped = bb.join(
         sizes.filter(F.col("_bsz") <= max_bucket_size), ["band", "bucket"]
@@ -363,10 +420,13 @@ def lsh_topk_multiprobe(
     corpus for one flip — the standard recall/cost dial between single-probe
     LSH and brute force.
     """
-    bucketed = df.withColumn("_bucket", lsh_bucket_id(F.col(vec_col), num_planes))
+    planes = make_planes(num_planes, _probe_dim(df, vec_col))
+    bucketed = df.withColumn(
+        "_bucket", lsh_bucket_id(F.col(vec_col), num_planes, planes=planes)
+    )
     qbase = query_vec_df.select(
         F.col(vec_col).alias("_qvec"),
-        lsh_bucket_id(F.col(vec_col), num_planes).alias("_qbucket"),
+        lsh_bucket_id(F.col(vec_col), num_planes, planes=planes).alias("_qbucket"),
     )
     # expand the probe set: bucket ids within the hamming ball of radius
     # n_probe_flips (the ball is computed driver-side — it is plane-count

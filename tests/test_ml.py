@@ -96,3 +96,29 @@ def test_rf_alternate_and_cv(spark, sf_dir):
     )
     assert cv["cv_roc_auc_mean"] > 0.9
     assert cv["cv_roc_auc_std"] < 0.05
+
+
+def test_churn_benchmark_passes_reference_deploy_gate(spark, sf_dir, tmp_path):
+    """The reference ships a model only at accuracy >= 0.75 and ROC-AUC >=
+    0.80 (dags/churn_prediction_pipeline.py:179-186; its recorded XGBoost
+    test ROC-AUC is 0.9441). The engine's GBT twin must clear the same gate,
+    and the run must land in the JSONL tracker."""
+    from skiliopay_datapipeline_customer_spark.ml.pipeline import churn_benchmark
+    from skiliopay_datapipeline_customer_spark.ml.tuning import RunTracker
+
+    path = str(tmp_path / "runs.jsonl")
+    result = churn_benchmark(spark, sf_dir, path, maxIter=10)
+    assert result["gate"]["deploy"] is True
+    assert result["metrics"]["accuracy"] >= 0.75
+    assert result["metrics"]["roc_auc"] >= 0.80
+    runs = RunTracker(path).runs()
+    assert len(runs) == 1 and runs[0]["metrics"]["roc_auc"] >= 0.80
+
+
+def test_deploy_gate_rejects_below_threshold():
+    from skiliopay_datapipeline_customer_spark.ml.pipeline import deploy_gate
+
+    bad = deploy_gate({"accuracy": 0.74, "roc_auc": 0.95})
+    assert bad["deploy"] is False and bad["checks"]["accuracy"]["value"] == 0.74
+    good = deploy_gate({"accuracy": 0.76, "roc_auc": 0.81})
+    assert good["deploy"] is True
