@@ -104,6 +104,39 @@ def global_row_number_distributed(spark, sf_dir):
     return ranked.select("row_id", "o_orderkey").orderBy("row_id").limit(100)
 
 
+# Scale-safe percent_rank: under a TOTAL order (value + key tiebreak) rank
+# equals row_number, so percent_rank = (rank - 1) / (n - 1) falls out of the
+# distributed global rank — same oracle as the single-window form.
+
+
+@query(
+    "percent_rank_distributed",
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS price_pr
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def percent_rank_distributed(spark, sf_dir):
+    from ..operators.ranks import global_rank_distributed
+
+    orders = table(spark, sf_dir, "orders")
+    ranked = global_rank_distributed(
+        orders,
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        rank_col="_r",
+    )
+    n = orders.count()
+    return (
+        ranked.select(
+            "o_orderkey",
+            F.round((F.col("_r") - 1) / F.lit(float(n - 1)), 6).alias("price_pr"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 # W3 top-N per group (ROW_NUMBER pattern, docs/PERFORMANCE_OPTIMIZATION.md:228-237):
 # top 3 orders per customer. Partitioned window → one shuffle on o_custkey.
 
