@@ -18,6 +18,7 @@ frames (the batch twins in queries/temporal.py are the correctness oracle).
 from .sources import EVENTS_SCHEMA, events_stream
 from .transforms import (
     dedup_events,
+    running_user_totals,
     session_stats,
     sliding_counts,
     tumbling_counts,
@@ -31,6 +32,7 @@ __all__ = [
     "sliding_counts",
     "session_stats",
     "dedup_events",
+    "running_user_totals",
     "run_available_now",
     "upsert_snapshot",
 ]

@@ -82,6 +82,57 @@ def session_stats(
     )
 
 
+def running_user_totals(
+    df: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (St+ beyond
+    the built-in windows): per-user LIFETIME counters (event count, value
+    total) held in the state store and carried across micro-batches — the
+    shape of "documents seen per source" / "tokens emitted per shard"
+    counters a training-data pipeline keeps forever (no window bounds them,
+    so ``groupBy(window)`` can't express it).
+
+    Emits one row per user per micro-batch that touched the user (update
+    mode), carrying the cumulative totals. State is (n, total) per key —
+    bounded by key cardinality, not event volume; Arrow-batched transfer.
+
+    The closure is self-contained (imports inside) so executors never need
+    this module importable.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]], dtype="int64"),
+                "n_events": pd.Series([n], dtype="int64"),
+                "total_value": pd.Series([round(total, 4)], dtype="float64"),
+            }
+        )
+
+    return (
+        df.withColumnRenamed(value_col, "value")
+        .withColumnRenamed(user_col, "user_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def dedup_events(
     df: DataFrame,
     keys: list[str] | None = None,

@@ -249,3 +249,53 @@ def test_upsert_equal_order_ties_are_deterministic(spark, tmp_path):
         )
         results.add(tuple(latest_snapshot(spark, target).collect()[0]))
     assert results == {(1, 10, "z")}
+
+
+def test_apply_in_pandas_with_state_accumulates_across_batches(spark, sf_dir, tmp_path):
+    """Custom stateful operator: per-user lifetime totals must carry state
+    across separate stream runs (checkpointed state store), ending equal to
+    the batch groupBy over everything seen."""
+    import os
+    import shutil
+
+    from skiliopay_datapipeline_customer_spark.streaming import (
+        events_stream,
+        running_user_totals,
+    )
+
+    events = table(spark, sf_dir, "events").limit(3000).cache()
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    latest: dict[int, tuple] = {}
+
+    def capture(batch_df, batch_id):
+        for r in batch_df.collect():
+            latest[r["user_id"]] = (r["n_events"], r["total_value"])
+
+    for part in (half_a, half_b):
+        staged = str(tmp_path / "stage")
+        part.write.mode("overwrite").parquet(staged)
+        os.makedirs(landing, exist_ok=True)
+        for f in os.listdir(staged):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(staged, f), os.path.join(landing, f))
+        run_available_now(
+            running_user_totals(events_stream(spark, landing)),
+            checkpoint_dir=ckpt,
+            output_mode="update",
+            foreach_batch=capture,
+        )
+
+    expected = {
+        r["user_id"]: (r["n"], round(r["t"], 4))
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("t"),
+        )
+        .collect()
+    }
+    assert latest == expected
