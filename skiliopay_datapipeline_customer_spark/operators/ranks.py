@@ -65,6 +65,75 @@ def global_rank_distributed(
     )
 
 
+def global_cumsum_distributed(
+    df: DataFrame,
+    order_exprs: list,
+    value_col: str,
+    out: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact inclusive running sum of ``value_col`` under a TOTAL order —
+    same two-pass shape as :func:`global_rank_distributed`, with per-
+    partition VALUE sums as the broadcast prefix offsets instead of counts.
+    """
+    nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(nparts, *order_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_psum"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_psum").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_psum")
+    )
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parts.withColumn("_local", F.sum(value_col).over(local_w))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out, F.col("_offset") + F.col("_local"))
+        .drop("_pid", "_local", "_offset")
+    )
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    order_exprs: list,
+    pack_col: str = "pack_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing for training-data assembly: assign each document to
+    a fixed-token-budget pack by its cumulative-token START OFFSET under a
+    declared total order — ``pack = floor((cumsum - tokens) / budget)``.
+
+    Offset-based assignment (not greedy bin packing): a document straddling
+    a budget boundary stays in the pack its offset starts in, so packs can
+    overflow by at most one document — the deterministic, shuffle-once form
+    (greedy first-fit resets a running remainder per pack, which is a
+    sequential dependence no partition-parallel plan can express; trainers
+    that need hard caps truncate the straddler downstream). Entirely
+    SQL-expressible → oracle-checkable.
+    """
+    cum = global_cumsum_distributed(
+        df, order_exprs, token_col, out="_cs", num_partitions=num_partitions
+    )
+    pack = F.floor((F.col("_cs") - F.col(token_col)) / F.lit(budget)).cast("long")
+    return cum.withColumn(pack_col, pack).drop("_cs")
+
+
 def quantile_bucket_distributed(
     df: DataFrame,
     col: str,

@@ -200,3 +200,42 @@ def rolling_fingerprints(spark, sf_dir):
     return rolling_fingerprint_rows(docs, k=8, w=4).orderBy(
         "doc_id", "fingerprint"
     )
+
+
+# Sequence packing for training-data assembly: documents → fixed-token-budget
+# packs by cumulative-token start offset under the doc_id order. The cumsum
+# is the distributed two-pass form (operators/ranks.py) — no single-task
+# global window; assignment is offset-based (straddlers stay in the pack
+# their offset starts in), which keeps it deterministic and oracle-exact.
+
+
+@query(
+    "token_pack_assignments",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((cs - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+    FROM c ORDER BY doc_id
+    """,
+)
+def token_pack_assignments(spark, sf_dir):
+    from ..operators.ranks import pack_by_token_budget
+
+    docs = table(spark, sf_dir, "documents")
+    withn = docs.select(
+        "doc_id", T.whitespace_token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_by_token_budget(
+        withn, 2048, "n_tokens", [F.col("doc_id").asc()]
+    )
+    return packed.select("doc_id", "n_tokens", "pack_id").orderBy("doc_id")

@@ -146,3 +146,61 @@ def test_quantile_bucket_distributed_degenerate_cardinality(spark):
     out = quantile_bucket_distributed(df, "v", [5, 4, 3, 2, 1], ascending=False)
     vals = {r["v_q"] for r in out.collect()}
     assert vals == {1}  # constant column → everyone gets the fill label
+
+
+def test_global_cumsum_distributed_matches_single_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from skiliopay_datapipeline_customer_spark.operators.ranks import (
+        global_cumsum_distributed,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    # integer values: distributed partial sums are EXACTLY the sequential
+    # window (long addition is associative); doubles differ by fp rounding
+    # order like any distributed sum, checked with tolerance below
+    dist = global_cumsum_distributed(
+        orders, [F.col("o_orderkey").asc()], "o_custkey", out="cs"
+    )
+    w = (
+        Window.orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    single = orders.select("o_orderkey", F.sum("o_custkey").over(w).alias("cs"))
+    a = {(r["o_orderkey"], r["cs"]) for r in dist.select("o_orderkey", "cs").collect()}
+    b = {(r["o_orderkey"], r["cs"]) for r in single.collect()}
+    assert a == b
+
+    dist_d = {
+        r["o_orderkey"]: r["cs"]
+        for r in global_cumsum_distributed(
+            orders, [F.col("o_orderkey").asc()], "o_totalprice", out="cs"
+        ).collect()
+    }
+    single_d = {
+        r["o_orderkey"]: r["cs"]
+        for r in orders.select(
+            "o_orderkey", F.sum("o_totalprice").over(w).alias("cs")
+        ).collect()
+    }
+    for k, v in single_d.items():
+        assert abs(dist_d[k] - v) <= 1e-9 * max(1.0, abs(v))
+
+
+def test_pack_by_token_budget_respects_offsets(spark):
+    from skiliopay_datapipeline_customer_spark.operators.ranks import (
+        pack_by_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 40) for i in range(10)], "doc_id long, n long"
+    )
+    packed = pack_by_token_budget(df, 100, "n", [F.col("doc_id").asc()])
+    rows = {r["doc_id"]: r["pack_id"] for r in packed.collect()}
+    # offsets 0,40,80,120,... → packs 0,0,0,1,1,2,2,2,3,3
+    assert [rows[i] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    # each pack holds 2-3 docs; a straddler (offset 80) stays in pack 0
+    import collections
+
+    counts = collections.Counter(rows.values())
+    assert all(2 <= c <= 3 for c in counts.values())
