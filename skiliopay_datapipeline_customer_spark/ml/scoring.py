@@ -31,6 +31,32 @@ def align_features(df: DataFrame, feature_cols: list[str]) -> DataFrame:
     )
 
 
+def score_external_model(
+    df: DataFrame,
+    feature_cols: list[str],
+    make_predict_fn,
+    batch_size: int = 1024,
+    out_col: str = "score",
+) -> DataFrame:
+    """External-model scoring via ``predict_batch_udf`` (SURVEY §2.12 model-
+    apply mapping, src/ml/model_trainer.py:287-289 predict_proba): the model
+    loads ONCE per executor (``make_predict_fn`` runs worker-side, so heavy
+    artifacts never ship through the driver), inputs arrive as batched numpy
+    arrays over Arrow, and the scoring job stays map-only.
+
+    ``make_predict_fn`` must be a self-contained closure returning
+    ``fn(*cols: np.ndarray) -> np.ndarray`` — the adapter for any pickled
+    sklearn/xgboost/torch artifact the deployment mounts.
+    """
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql.types import DoubleType
+
+    udf = predict_batch_udf(
+        make_predict_fn, return_type=DoubleType(), batch_size=batch_size
+    )
+    return df.withColumn(out_col, udf(*[F.col(c) for c in feature_cols]))
+
+
 def score_batch(
     transform,
     df: DataFrame,

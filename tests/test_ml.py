@@ -122,3 +122,31 @@ def test_deploy_gate_rejects_below_threshold():
     assert bad["deploy"] is False and bad["checks"]["accuracy"]["value"] == 0.74
     good = deploy_gate({"accuracy": 0.76, "roc_auc": 0.81})
     assert good["deploy"] is True
+
+
+def test_score_external_model_predict_batch_udf(spark, sf_dir):
+    """External-model tier: predict_batch_udf loads the 'model' once per
+    executor and scores batched numpy arrays — equivalent here to the
+    closed-form expression it wraps."""
+    from skiliopay_datapipeline_customer_spark.ml.scoring import (
+        score_external_model,
+    )
+
+    ds = churn_dataset(spark, sf_dir)
+
+    def make_fn():
+        import numpy as np
+
+        def predict(recency, monetary):
+            return 1.0 / (1.0 + np.exp(-(0.01 * recency - 0.0001 * monetary)))
+
+        return predict
+
+    scored = score_external_model(ds, ["recency_days", "monetary"], make_fn)
+    rows = scored.select("c_custkey", "recency_days", "monetary", "score").collect()
+    import math
+
+    assert len(rows) == ds.count()
+    for r in rows[:50]:
+        expect = 1.0 / (1.0 + math.exp(-(0.01 * r["recency_days"] - 0.0001 * r["monetary"])))
+        assert abs(r["score"] - expect) < 1e-9
