@@ -75,8 +75,12 @@ def minhash_signatures(
     shingled = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
     )
-    return shingled.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("sh", F.lit(j))).alias(f"mh_{j}") for j in range(num_hashes)]
+    # hash the shingle STRING once, derive the k family members by mixing
+    # the resulting long with the seed — hashing (long, int) is a fixed-width
+    # JVM op vs re-hashing a ~20-char string k times
+    base = shingled.select(F.col(id_col), F.xxhash64("sh").alias("_h0"))
+    return base.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("_h0", F.lit(j))).alias(f"mh_{j}") for j in range(num_hashes)]
     )
 
 
@@ -123,6 +127,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # banded feeds the size agg AND both join sides — persist so the
+    # signature pipeline (explode + k min-aggs) runs once, not three times
+    banded = banded.persist()
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
     capped = banded.join(
         sizes.filter(F.col("_bsz") <= max_bucket_size), ["band", "bucket"]

@@ -199,7 +199,9 @@ def simhash_md5_fingerprints(spark, sf_dir):
     """,
 )
 def simhash_near_pairs(spark, sf_dir):
-    fp = D.simhash_signatures_md5(table(spark, sf_dir, "documents"))
+    # the fingerprint aggregation feeds BOTH sides of the chunk self-join —
+    # persist it once instead of recomputing the md5+32-sum pipeline twice
+    fp = D.simhash_signatures_md5(table(spark, sf_dir, "documents")).persist()
     chunks = fp.select(
         "doc_id",
         "simhash",
