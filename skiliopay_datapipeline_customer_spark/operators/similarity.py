@@ -338,26 +338,16 @@ def lsh_dup_pairs(
     ppb = num_planes // bands
     dim = _probe_dim(df, vec_col)
     base = df.select(id_col, vec_col)
-    bb = base.select(
-        id_col,
-        vec_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        lsh_bucket_id(
-                            F.col(vec_col),
-                            ppb,
-                            planes=make_planes(ppb, dim, plane_offset=band * ppb),
-                        ).alias("bucket"),
-                    )
-                    for band in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(
-        id_col, vec_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # all band buckets in ONE Arrow-batched numpy matmul per batch: the
+    # expression-tree form evaluates planes × dims multiply-adds per row in
+    # the interpreter (higher-order fns don't codegen) — the vectorized UDF
+    # is the sanctioned fast path for exactly this dense-math shape
+    buckets_udf = _band_buckets_udf(
+        [make_planes(ppb, dim, plane_offset=band * ppb) for band in range(bands)]
+    )
+    bb = (
+        base.withColumn("_bks", buckets_udf(F.col(vec_col)))
+        .select(id_col, vec_col, F.posexplode("_bks").alias("band", "bucket"))
     )
     # the plane-projection subtree (planes × dims hash evaluations per row)
     # feeds the size agg AND both sides of the self-join — persist it once
@@ -389,6 +379,31 @@ def lsh_dup_pairs(
         cand.select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def _band_buckets_udf(planes_by_band: list[list[list[float]]]):
+    """Arrow-batched bucket assignment: for each row vector, the packed sign
+    bits of its projections onto every band's plane family — one
+    batch × planesᵀ BLAS multiply per Arrow batch, returning
+    ``array<long>`` indexed by band."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [np.array(p, dtype=np.float64) for p in planes_by_band]
+    weights = [(2 ** np.arange(m.shape[0])).astype(np.int64) for m in mats]
+
+    def band_buckets(vecs):
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        per_band = [((x @ m.T) > 0) @ w for m, w in zip(mats, weights)]
+        stacked = np.stack(per_band, axis=1)
+        return pd.Series([row.tolist() for row in stacked])
+
+    # real-object annotations: the module's `from __future__ import
+    # annotations` would stringify inline hints, and pandas_udf's eval-type
+    # inference can't resolve strings against locally-imported names
+    band_buckets.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(band_buckets, "array<long>")
 
 
 def hamming_ball_masks(num_planes: int, radius: int) -> list[int]:
