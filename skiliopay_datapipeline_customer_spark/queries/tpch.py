@@ -165,3 +165,67 @@ def grouping_sets_revenue(spark, sf_dir):
         ORDER BY status, priority
         """
     )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice), 2) AS total_price_small_qty,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    ) t ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.qty_threshold
+    """,
+)
+def small_quantity_revenue(spark, sf_dir):
+    """Q17 shape: correlated per-key average subquery → keyed aggregate
+    joined back on the same key (one shuffle each side, co-partitioned).
+    The threshold is 0.2·avg of integral quantities — identical IEEE ops in
+    both engines, so the filter is deterministic."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    thresholds = lineitem.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        lineitem.join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price_small_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "significant_parts",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey, sum(l_quantity) AS part_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, round(part_qty, 4) AS part_qty
+    FROM per_part
+    WHERE part_qty > (SELECT 1.2 * avg(part_qty) FROM per_part)
+    ORDER BY l_partkey
+    """,
+)
+def significant_parts(spark, sf_dir):
+    """Q11 shape: group aggregate gated by a scalar over the SAME aggregate
+    (parts 20% above the mean part — scale-invariant, unlike a fixed
+    fraction of the global total, which goes vacuous as part count grows).
+    The scalar is a 1-row broadcast crossjoin, no driver round-trip; all
+    sums are integral doubles < 2^53, so both engines agree exactly."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("_raw")
+    )
+    cut = per_part.agg((1.2 * F.avg("_raw")).alias("_cut"))
+    return (
+        per_part.crossJoin(F.broadcast(cut))
+        .filter(F.col("_raw") > F.col("_cut"))
+        .select("l_partkey", F.round(F.col("_raw"), 4).alias("part_qty"))
+        .orderBy("l_partkey")
+    )
