@@ -188,7 +188,10 @@ def ngram_jaccard_pairs(
         if shingle_n == 1
         else F.array_distinct(word_shingles(F.col(text_col), shingle_n))
     )
-    toks = df.select(F.col(id_col), F.explode(grams).alias("tok"))
+    # the shingle explosion is an interpreted higher-order expression and
+    # feeds every downstream stage (df-count, rank, sizes, both join sides,
+    # verify) — persist it once instead of re-deriving it ~5×
+    toks = df.select(F.col(id_col), F.explode(grams).alias("tok")).persist()
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
     # rarest-first position of each token within its doc
     w = Window.partitionBy(id_col).orderBy("_df", "tok")
@@ -196,7 +199,7 @@ def ngram_jaccard_pairs(
     sizes = ranked.groupBy(id_col).agg(F.max("pos").alias("sz"))
     prefix = ranked.join(sizes, id_col).filter(
         F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    )
+    ).persist()
     a = prefix.alias("a")
     b = prefix.alias("b")
     # size-compatibility pushed into the join: jaccard ≤ min(sz)/max(sz)
@@ -213,7 +216,9 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    sets_ = df.select(F.col(id_col), F.array_sort(grams).alias("_toks"))
+    # rebuild per-doc gram sets from the persisted explosion (collect_set)
+    # rather than re-evaluating the shingle expression over the raw text
+    sets_ = toks.groupBy(id_col).agg(F.array_sort(F.collect_set("tok")).alias("_toks"))
     sa = sets_.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("_ta"))
     sb = sets_.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("_tb"))
     inter = F.size(F.array_intersect("_ta", "_tb"))
