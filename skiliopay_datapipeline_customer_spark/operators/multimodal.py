@@ -185,3 +185,123 @@ def resize_stub(media: DataFrame, target_bytes: int = 256) -> DataFrame:
             "meta", F.create_map(F.lit("resized_to"), F.lit(str(target_bytes)))
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec tier (stdlib-only): PNG. The container has no PIL/ffmpeg, but a
+# grayscale PNG needs nothing beyond struct + zlib — so this tier round-trips
+# genuine image bytes end-to-end: encode real PNGs, decode them back (chunk
+# walk, IHDR parse, IDAT inflate, filter strip), all inside Arrow-batched
+# mapInPandas. Dimensions and pixel values follow a closed form, which makes
+# the whole encode→decode loop DuckDB-oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_PNG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+_PNG_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+    ]
+)
+
+
+def synthetic_png_media(documents: DataFrame) -> DataFrame:
+    """One REAL grayscale PNG per document: width = 8 + doc_id % 9,
+    height = 8 + doc_id % 7, pixel[i] = (7·i + doc_id) % 256. Valid files —
+    any external viewer or PIL decodes them identically."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        def png(media_id: int) -> bytes:
+            w = 8 + media_id % 9
+            h = 8 + media_id % 7
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+            raw = b"".join(
+                b"\x00"  # filter type 0 per scanline
+                + bytes((7 * (y * w + x) + media_id) % 256 for x in range(w))
+                for y in range(h)
+            )
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": [png(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(encode, schema=_PNG_SCHEMA)
+
+
+def decode_png(media: DataFrame) -> DataFrame:
+    """Real PNG decode (stdlib-only): walk chunks, parse IHDR dimensions,
+    inflate the IDAT stream, strip per-scanline filter bytes (type 0 only —
+    raises on filtered files rather than returning wrong pixels), report
+    true dimensions and mean pixel value."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def parse(b: bytes) -> tuple[int, int, float]:
+            if b[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG payload")
+            w = h = None
+            idat = b""
+            pos = 8
+            while pos < len(b):
+                (length,) = struct.unpack(">I", b[pos : pos + 4])
+                tag = b[pos + 4 : pos + 8]
+                data = b[pos + 8 : pos + 8 + length]
+                if tag == b"IHDR":
+                    w, h = struct.unpack(">II", data[:8])
+                elif tag == b"IDAT":
+                    idat += data
+                elif tag == b"IEND":
+                    break
+                pos += 12 + length
+            raw = zlib.decompress(idat)
+            total = 0
+            for y in range(h):
+                row = raw[y * (w + 1) : (y + 1) * (w + 1)]
+                if row[0] != 0:
+                    raise NotImplementedError("only filter type 0 supported")
+                total += sum(row[1:])
+            return w, h, total / (w * h)
+
+        for pdf in batches:
+            out = [parse(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": pd.Series([o[0] for o in out], dtype="int32"),
+                    "height": pd.Series([o[1] for o in out], dtype="int32"),
+                    "mean_pixel": pd.Series([o[2] for o in out], dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(decode, schema=_PNG_DECODE_SCHEMA)

@@ -56,3 +56,43 @@ def media_frame_sample(spark, sf_dir):
         .select("media_id", "frame_idx", F.length("frame").alias("frame_len"))
         .orderBy("media_id", "frame_idx")
     )
+
+
+# REAL codec round-trip (stdlib-only PNG): encode genuine grayscale PNGs,
+# decode them back (IHDR parse + IDAT inflate + filter strip) inside
+# mapInPandas. Dimensions and pixels follow a closed form, so the DuckDB
+# oracle recomputes the expected decode output analytically — if either the
+# encoder or the decoder were wrong, the hash would not match.
+
+
+@query(
+    "png_roundtrip_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 9 AS INT) AS width,
+             CAST(8 + doc_id % 7 AS INT) AS height
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id AS media_id, width, height,
+           round(avg(CAST((7 * r.range + doc_id) % 256 AS DOUBLE)), 6) AS mean_pixel
+    FROM d CROSS JOIN range(0, 300) r
+    WHERE r.range < width * height
+    GROUP BY doc_id, width, height
+    ORDER BY media_id
+    """,
+)
+def png_roundtrip_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_png, synthetic_png_media
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        decode_png(synthetic_png_media(docs))
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.round("mean_pixel", 6).alias("mean_pixel"),
+        )
+        .orderBy("media_id")
+    )

@@ -61,3 +61,36 @@ def test_resize_stub_native(spark, sf_dir):
     assert resized.filter(F.length("payload_resized") > 100).count() == 0
     row = resized.select(F.map_contains_key("meta", "resized_to").alias("ok")).first()
     assert row["ok"]
+
+
+def test_png_roundtrip_is_a_real_codec(spark, sf_dir):
+    """The PNG tier produces genuinely valid files: decodable by any
+    third-party reader. Verify the signature/IHDR/IDAT structure by hand and
+    cross-check one payload against the closed-form pixel generator."""
+    import struct
+    import zlib
+
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.operators.multimodal import (
+        decode_png,
+        synthetic_png_media,
+    )
+    import pyspark.sql.functions as F
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    media = synthetic_png_media(docs)
+    row = media.filter(F.col("media_id") == 3).first()
+    b = bytes(row["payload"])
+    assert b[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", b[16:24])
+    assert (w, h) == (8 + 3 % 9, 8 + 3 % 7)
+    # inflate the IDAT by hand and compare pixels to the closed form
+    (length,) = struct.unpack(">I", b[33:37])
+    assert b[37:41] == b"IDAT"
+    raw = zlib.decompress(b[41 : 41 + length])
+    pixels = b"".join(raw[y * (w + 1) + 1 : (y + 1) * (w + 1)] for y in range(h))
+    assert list(pixels) == [(7 * i + 3) % 256 for i in range(w * h)]
+
+    decoded = {r["media_id"]: r for r in decode_png(media).collect()}
+    assert decoded[3]["width"] == w and decoded[3]["height"] == h
+    assert abs(decoded[3]["mean_pixel"] - sum(pixels) / (w * h)) < 1e-9
