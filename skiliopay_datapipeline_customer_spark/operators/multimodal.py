@@ -305,3 +305,100 @@ def decode_png(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema=_PNG_DECODE_SCHEMA)
+
+
+# Audio twin of the PNG tier: RIFF/WAVE PCM needs only struct, so the audio
+# leg also gets a REAL codec path — 16-bit mono PCM with a closed-form
+# sample pattern, decoded back via header parse + sample unpack.
+
+_WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+_WAV_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("mean_abs_sample", T.DoubleType()),
+    ]
+)
+
+
+def synthetic_wav_media(documents: DataFrame) -> DataFrame:
+    """One REAL 16-bit mono PCM WAV per document: sample_rate = 8000,
+    n_samples = 64 + doc_id % 97, sample[i] = ((31·i + doc_id) % 2001) - 1000.
+    Valid RIFF files — any audio library reads them identically."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def wav(media_id: int) -> bytes:
+            rate = 8000
+            n = 64 + media_id % 97
+            samples = [((31 * i + media_id) % 2001) - 1000 for i in range(n)]
+            data = struct.pack(f"<{n}h", *samples)
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            body = (
+                b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": [wav(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(encode, schema=_WAV_SCHEMA)
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """Real WAV decode (stdlib-only): RIFF chunk walk, fmt parse (PCM,
+    16-bit only — raises otherwise), sample unpack, mean |amplitude|."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def parse(b: bytes) -> tuple[int, int, float]:
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise ValueError("not a WAV payload")
+            pos, rate, bits, data = 12, None, None, None
+            while pos + 8 <= len(b):
+                tag = b[pos : pos + 4]
+                (length,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                chunk = b[pos + 8 : pos + 8 + length]
+                if tag == b"fmt ":
+                    fmt_code, _ch, rate, _bps, _align, bits = struct.unpack(
+                        "<HHIIHH", chunk[:16]
+                    )
+                    if fmt_code != 1 or bits != 16:
+                        raise NotImplementedError("PCM 16-bit only")
+                elif tag == b"data":
+                    data = chunk
+                pos += 8 + length + (length & 1)
+            n = len(data) // 2
+            samples = struct.unpack(f"<{n}h", data)
+            return rate, n, sum(abs(s) for s in samples) / n
+
+        for pdf in batches:
+            out = [parse(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "sample_rate": pd.Series([o[0] for o in out], dtype="int32"),
+                    "n_samples": pd.Series([o[1] for o in out], dtype="int32"),
+                    "mean_abs_sample": pd.Series(
+                        [o[2] for o in out], dtype="float64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(decode, schema=_WAV_DECODE_SCHEMA)

@@ -96,3 +96,41 @@ def png_roundtrip_decode(spark, sf_dir):
         )
         .orderBy("media_id")
     )
+
+
+# Audio twin of png_roundtrip_decode: real RIFF/WAVE PCM files encoded and
+# decoded in-engine; the oracle recomputes sample stats analytically.
+
+
+@query(
+    "wav_roundtrip_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, CAST(64 + doc_id % 97 AS INT) AS n_samples
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           n_samples,
+           round(avg(abs(CAST((31 * r.range + doc_id) % 2001 - 1000 AS DOUBLE))), 6)
+             AS mean_abs_sample
+    FROM d CROSS JOIN range(0, 161) r
+    WHERE r.range < n_samples
+    GROUP BY doc_id, n_samples
+    ORDER BY media_id
+    """,
+)
+def wav_roundtrip_decode(spark, sf_dir):
+    from ..operators.multimodal import decode_wav, synthetic_wav_media
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        decode_wav(synthetic_wav_media(docs))
+        .select(
+            "media_id",
+            "sample_rate",
+            "n_samples",
+            F.round("mean_abs_sample", 6).alias("mean_abs_sample"),
+        )
+        .orderBy("media_id")
+    )

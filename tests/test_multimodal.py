@@ -94,3 +94,29 @@ def test_png_roundtrip_is_a_real_codec(spark, sf_dir):
     decoded = {r["media_id"]: r for r in decode_png(media).collect()}
     assert decoded[3]["width"] == w and decoded[3]["height"] == h
     assert abs(decoded[3]["mean_pixel"] - sum(pixels) / (w * h)) < 1e-9
+
+
+def test_wav_roundtrip_is_a_real_codec(spark, sf_dir):
+    """Generated WAVs are valid by an INDEPENDENT reader (stdlib wave
+    module), and the engine decoder agrees with it."""
+    import io
+    import wave
+
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.operators.multimodal import (
+        decode_wav,
+        synthetic_wav_media,
+    )
+    import pyspark.sql.functions as F
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    media = synthetic_wav_media(docs)
+    payload = bytes(media.filter(F.col("media_id") == 7).first()["payload"])
+    wf = wave.open(io.BytesIO(payload))
+    assert wf.getframerate() == 8000
+    assert wf.getnframes() == 64 + 7 % 97
+    assert wf.getsampwidth() == 2 and wf.getnchannels() == 1
+
+    decoded = {r["media_id"]: r for r in decode_wav(media).collect()}
+    assert decoded[7]["sample_rate"] == 8000
+    assert decoded[7]["n_samples"] == wf.getnframes()
