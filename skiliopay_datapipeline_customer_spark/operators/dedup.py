@@ -320,3 +320,63 @@ def simhash_signatures_md5(
     for i in range(bits):
         fp = fp + (F.col(f"b{i}") > 0).cast("long") * F.lit(1 << i).cast("long")
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Dedup cluster assignment: connected components over an undirected
+    near-dup pair list via MIN-LABEL PROPAGATION — each round every node
+    takes the smallest label among itself and its neighbors; fixpoint in
+    O(graph diameter) rounds (near-dup clusters are dense, so diameter is
+    tiny). Returns (node, cluster) with cluster = min reachable id — the
+    canonical-document rule (keep min id, drop the rest).
+
+    Scale posture: each round is one join + one groupBy on the edge list
+    (both shuffles on node id); the driver only checks a convergence COUNT
+    per round, never collects labels. This is the same loop GraphFrames'
+    connectedComponents runs; inlined here to stay dependency-free.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster"))

@@ -242,3 +242,50 @@ def simhash_near_pairs(spark, sf_dir):
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
+
+
+# Dedup cluster assignment: connected components over the shingle-Jaccard
+# near-dup pairs (min-label propagation; cluster = min reachable doc_id —
+# the canonical-document rule). The oracle computes the same transitive
+# closure with a recursive CTE over the identical edge set, so chains
+# (A~B, B~C without A~C) are genuinely exercised.
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, len(t) - 2),
+               i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
+      FROM (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+      )
+    ),
+    e0 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM e0
+      UNION SELECT id_b, id_a FROM e0
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT node, min(r) AS cluster
+    FROM reach GROUP BY node
+    ORDER BY node
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    pairs = D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.9, shingle_n=3
+    )
+    return D.connected_components(pairs).orderBy("node")

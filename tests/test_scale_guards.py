@@ -204,3 +204,16 @@ def test_pack_by_token_budget_respects_offsets(spark):
 
     counts = collections.Counter(rows.values())
     assert all(2 <= c <= 3 for c in counts.values())
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Label propagation must follow CHAINS (A~B, B~C without A~C) and keep
+    islands separate — the topology a group-by-key dedup cannot express."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["cluster"] for r in D.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
