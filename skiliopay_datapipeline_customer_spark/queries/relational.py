@@ -525,3 +525,42 @@ def sql_interface_probe(spark, sf_dir):
         FROM orders GROUP BY o_orderstatus ORDER BY status
         """,
     )
+
+
+# J+ salted skew join as a declared query: events.event_type has a handful of
+# values, so a plain hash join hot-spots one task per type at scale. The
+# salted form replicates the small side across salt buckets and splits each
+# hot key ~evenly. The oracle is the PLAIN join — hash-matching it proves
+# salting changes the physical plan, never the result.
+
+
+@query(
+    "salted_skew_join_counts",
+    oracle="""
+    WITH lookup AS (
+      SELECT event_type, count(*) AS type_total FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           max(l.type_total) AS type_total,
+           round(sum(e.value), 4) AS total_value
+    FROM events e JOIN lookup l ON e.event_type = l.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def salted_skew_join_counts(spark, sf_dir):
+    from ..operators.joins import salted_join
+
+    events = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    lookup = events.groupBy("event_type").agg(F.count("*").alias("type_total"))
+    joined = salted_join(events, lookup, "event_type", salt_buckets=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("type_total").alias("type_total"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
