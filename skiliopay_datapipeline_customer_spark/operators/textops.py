@@ -137,3 +137,40 @@ def rolling_fingerprint_rows(df, text_col: str = "text", id_col: str = "doc_id",
     return wins.select(
         F.col(id_col), F.col("wmin").alias("fingerprint")
     ).distinct()
+
+
+def normalize_text(col):
+    """C4-style cleaning normalization, all native expressions: lowercase,
+    strip non-alphanumeric/space characters, collapse whitespace runs, trim.
+    The canonical pre-dedup normalization pass of a training-data pipeline —
+    exact dedup runs on the NORMALIZED text so case/punct variants collide.
+    """
+    cleaned = F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def gopher_quality_flags(col):
+    """Gopher-style quality-filter signals (Rae et al. 2021 §A1.1 idea, on
+    the stats expressible natively): word count bounds, mean word length
+    bounds, symbol-to-word ratio cap. Returns a struct of the signals plus
+    the composite keep/drop decision — pipelines log the per-rule flags and
+    filter on `keep`."""
+    toks = tokens(col)
+    n_words = F.size(toks)
+    mean_word_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_words, F.lit(1))
+    symbols = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    symbol_ratio = symbols / F.greatest(n_words, F.lit(1))
+    ok_words = (n_words >= 5) & (n_words <= 100_000)
+    ok_word_len = (mean_word_len >= 2.0) & (mean_word_len <= 12.0)
+    ok_symbols = symbol_ratio < 0.5
+    return F.struct(
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        ok_words.alias("ok_words"),
+        ok_word_len.alias("ok_word_len"),
+        ok_symbols.alias("ok_symbols"),
+        (ok_words & ok_word_len & ok_symbols).alias("keep"),
+    )

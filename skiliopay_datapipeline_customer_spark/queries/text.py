@@ -239,3 +239,65 @@ def token_pack_assignments(spark, sf_dir):
         withn, 2048, "n_tokens", [F.col("doc_id").asc()]
     )
     return packed.select("doc_id", "n_tokens", "pack_id").orderBy("doc_id")
+
+
+# C4-style normalization: the pre-dedup cleaning pass. Oracle mirrors the
+# regex pipeline exactly (lower → strip non-alnum → collapse spaces → trim).
+
+
+@query(
+    "normalized_text",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+             '\\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def normalized_text(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.normalize_text(F.col("text")).alias("norm_text")
+    ).orderBy("doc_id")
+
+
+# Gopher-style quality filter signals + composite keep decision.
+
+
+@query(
+    "gopher_quality_filter",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_words,
+             list_sum(list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+                      t -> length(t))) * 1.0
+               / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)
+               AS mwl,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+               / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)
+               AS sr
+      FROM documents
+    )
+    SELECT doc_id,
+           n_words,
+           round(mwl, 6) AS mean_word_len,
+           round(sr, 6) AS symbol_ratio,
+           (n_words >= 5 AND n_words <= 100000
+            AND mwl >= 2.0 AND mwl <= 12.0 AND sr < 0.5) AS keep
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def gopher_quality_filter(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    flags = T.gopher_quality_flags(F.col("text"))
+    return docs.select(
+        "doc_id",
+        flags["n_words"].cast("long").alias("n_words"),
+        flags["mean_word_len"].alias("mean_word_len"),
+        flags["symbol_ratio"].alias("symbol_ratio"),
+        flags["keep"].alias("keep"),
+    ).orderBy("doc_id")
