@@ -463,3 +463,38 @@ def lsh_topk_multiprobe(
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scalar (per-dimension) int8 quantization — the compression pass ANN
+    pipelines run before indexing (4× smaller than float32, ~32× smaller
+    than float64; recall loss is negligible for top-k with rescoring).
+
+    Two-pass shape: per-dimension min/max from one posexplode+groupBy (64
+    rows out), broadcast back into the code expression:
+
+        code = round((x - min_d) / (max_d - min_d) * 255)
+
+    Returns EXPLODED rows (id, dim, code) — the layout a PQ/IVF index
+    builder consumes, and the one an ANSI-SQL oracle can replicate as a
+    plain join.
+    """
+    exploded = df.select(
+        F.col(id_col), F.posexplode(as_double(F.col(vec_col))).alias("dim", "x")
+    )
+    stats = exploded.groupBy("dim").agg(
+        F.min("x").alias("_mn"), F.max("x").alias("_mx")
+    )
+    code = F.round(
+        (F.col("x") - F.col("_mn"))
+        / (F.col("_mx") - F.col("_mn"))
+        * 255
+    ).cast("int")
+    return (
+        exploded.join(F.broadcast(stats), "dim")
+        .select(F.col(id_col), F.col("dim"), code.alias("code"))
+    )

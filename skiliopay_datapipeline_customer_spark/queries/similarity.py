@@ -163,3 +163,36 @@ def embedding_dup_pairs(spark, sf_dir):
 def lsh_dup_pairs(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     return S.lsh_dup_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
+
+
+# Int8 scalar quantization of the embedding column (exploded layout, the
+# PQ/IVF-builder input): per-dim min/max over the WHOLE corpus, codes for a
+# bounded id range. Oracle replicates the two-pass shape as a plain join.
+
+
+@query(
+    "embedding_int8_codes",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY dim
+    )
+    SELECT x.vec_id, x.dim,
+           CAST(round((x.x - s.mn) / (s.mx - s.mn) * 255) AS INT) AS code
+    FROM x JOIN stats s ON x.dim = s.dim
+    WHERE x.vec_id < 50
+    ORDER BY x.vec_id, x.dim
+    """,
+)
+def embedding_int8_codes(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        S.quantize_embeddings_int8(emb)
+        .filter(F.col("vec_id") < 50)
+        .orderBy("vec_id", "dim")
+    )
