@@ -32,11 +32,14 @@ HEADLINE = [
     "one_hot_segments",            # column expansion
     "exact_dedup_docs",            # hash dedup
     "minhash_lsh_candidates",      # LSH banding + bucket join
-    "ngram_jaccard_dups",          # inverted-index exact-Jaccard verify
+    "ngram_jaccard_dups",          # prefix-filtered shingle-Jaccard verify
     "simhash_near_pairs",          # banded hamming self-join
+    "dedup_clusters",              # connected components over dup pairs
     "cosine_topk",                 # embedding similarity
     "lsh_dup_pairs",               # tiered LSH near-dup pairs
     "token_stats",                 # text analysis
+    "token_pack_assignments",      # distributed cumsum sequence packing
+    "png_roundtrip_decode",        # real codec round-trip (mapInPandas)
     "running_total",               # frame-spec window
     "behavioral_columns_from_events",  # event-window conditional aggs
     "rfm_quintiles_distributed",   # range-partitioned global rank
