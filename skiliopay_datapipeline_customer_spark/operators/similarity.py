@@ -212,14 +212,18 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF ANN top-k: scan only the n_probe inverted lists nearest to the
     query. At 100 TB, write the corpus partitioned by `_centroid` so a probe
     is a partition-pruned scan of ~n_probe/C of the data; recall grows with
-    n_probe (n_probe=C ≡ exact brute force)."""
+    n_probe (n_probe=C ≡ exact brute force). ``refine_iters`` > 0 runs that
+    many Lloyd rounds on the coarse centroids before assignment."""
     import math
 
     cents = centroids or choose_centroids(df, n_centroids, vec_col, id_col)
+    if refine_iters > 0:
+        cents = kmeans_refine_centroids(df, cents, vec_col, n_iters=refine_iters)
     qrow = query_vec_df.select(vec_col).first()
     qvec = [float(x) for x in qrow[0]]
 
@@ -498,3 +502,41 @@ def quantize_embeddings_int8(
         exploded.join(F.broadcast(stats), "dim")
         .select(F.col(id_col), F.col("dim"), code.alias("code"))
     )
+
+
+def kmeans_refine_centroids(
+    df: DataFrame,
+    init_centroids: list[list[float]],
+    vec_col: str = "embedding",
+    n_iters: int = 5,
+) -> list[list[float]]:
+    """Lloyd refinement of the IVF coarse centroids, fully distributed:
+    each round is one map-side nearest-centroid assignment (inlined dot
+    products, no shuffle) plus one posexplode+groupBy computing per-centroid
+    per-dimension means (shuffle of C×dim cells). The centroid set is
+    model-sized, so only C×dim floats ever reach the driver per round —
+    the same contract as `choose_centroids`.
+
+    Empty clusters keep their previous centroid (standard Lloyd guard).
+    Deterministic given the deterministic init — no RNG anywhere.
+    """
+    cents = [list(map(float, c)) for c in init_centroids]
+    base = df.select(as_double(F.col(vec_col)).alias("_v"))
+    for _ in range(n_iters):
+        assigned = base.withColumn("_c", ivf_assign(F.col("_v"), cents))
+        means = (
+            assigned.select("_c", F.posexplode("_v").alias("_dim", "_x"))
+            .groupBy("_c", "_dim")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        per_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            per_c.setdefault(int(r["_c"]), {})[int(r["_dim"])] = float(r["_m"])
+        for ci, dims in per_c.items():
+            new_cents[ci] = [dims[d] for d in sorted(dims)]
+        if new_cents == cents:
+            break
+        cents = new_cents
+    return cents

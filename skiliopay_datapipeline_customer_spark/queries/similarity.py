@@ -105,16 +105,18 @@ def lsh_ann_topk(spark, sf_dir):
     return S.lsh_topk(emb, qvec, k=10)
 
 
-# IVF ANN: deterministic hash-sampled centroids, map-side assignment,
-# n_probe inverted lists scanned. Centroid choice is hash-order-dependent →
-# rows-only check (the exact-tier queries above carry the oracles).
+# IVF ANN: deterministic hash-sampled centroids + 2 Lloyd refinement rounds
+# (distributed assign + per-dim mean; only C×dim floats reach the driver),
+# map-side assignment, n_probe inverted lists scanned. Centroid values are
+# data-order-derived floats → rows-only check (the exact-tier queries above
+# carry the oracles).
 
 
 @query("ivf_ann_topk")
 def ivf_ann_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0)
-    return S.ivf_topk(emb, qvec, k=10, n_centroids=8, n_probe=2)
+    return S.ivf_topk(emb, qvec, k=10, n_centroids=8, n_probe=2, refine_iters=2)
 
 
 # Embedding-cosine near-dup pairs — exact all-pairs tier, oracle-checked.

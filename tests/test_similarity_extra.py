@@ -74,3 +74,23 @@ def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     # the exact top-10 can only improve (or stay equal)
     assert len(multi & exact) >= len(single & exact)
     assert 0 in multi  # the query vector itself always survives
+
+
+def test_kmeans_refinement_improves_assignment_quality(spark, sf_dir):
+    """Lloyd rounds must not make the coarse quantizer worse: the mean
+    cosine of each vector to its assigned centroid is at least as good as
+    under the unrefined hash-sampled init, and assignments still cover all
+    vectors."""
+    emb = table(spark, sf_dir, "embeddings")
+    init = S.choose_centroids(emb, n_centroids=4)
+    refined = S.kmeans_refine_centroids(emb, init, n_iters=3)
+    assert len(refined) == 4 and len(refined[0]) == 64
+
+    def mean_assigned_cos(cents):
+        v = S.as_double(F.col("embedding"))
+        best = F.greatest(*[S.cosine(v, S._lit_vec(c)) for c in cents])
+        return emb.agg(F.avg(best)).first()[0]
+
+    assert mean_assigned_cos(refined) >= mean_assigned_cos(init) - 1e-9
+    assigned = emb.withColumn("_c", S.ivf_assign(F.col("embedding"), refined))
+    assert assigned.filter(F.col("_c").isNull()).count() == 0
