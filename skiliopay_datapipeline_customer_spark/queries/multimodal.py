@@ -134,3 +134,47 @@ def wav_roundtrip_decode(spark, sf_dir):
         )
         .orderBy("media_id")
     )
+
+
+# Real resize round-trip: encode PNGs, nearest-neighbor resize to 6x5,
+# decode the RESIZED files. The oracle recomputes the sampled pixel grid
+# analytically: resized pixel (x,y) = source ((x*sw)//6, (y*sh)//5).
+
+
+@query(
+    "png_resize_roundtrip",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 9 AS BIGINT) AS sw,
+             CAST(8 + doc_id % 7 AS BIGINT) AS sh
+      FROM documents WHERE doc_id < 100
+    ),
+    px AS (
+      SELECT doc_id,
+             (7 * (((r.range // 6) * sh // 5) * sw + ((r.range % 6) * sw // 6))
+              + doc_id) % 256 AS v
+      FROM d CROSS JOIN range(0, 30) r
+    )
+    SELECT doc_id AS media_id,
+           CAST(6 AS INT) AS width, CAST(5 AS INT) AS height,
+           round(avg(CAST(v AS DOUBLE)), 6) AS mean_pixel
+    FROM px GROUP BY doc_id
+    ORDER BY media_id
+    """,
+)
+def png_resize_roundtrip(spark, sf_dir):
+    from ..operators.multimodal import decode_png, resize_png, synthetic_png_media
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    resized = resize_png(synthetic_png_media(docs), target_w=6, target_h=5)
+    return (
+        decode_png(resized)
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.round("mean_pixel", 6).alias("mean_pixel"),
+        )
+        .orderBy("media_id")
+    )
