@@ -473,3 +473,141 @@ def resize_png(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
             )
 
     return media.mapInPandas(work, schema=_PNG_SCHEMA)
+
+
+# Video leg with a REAL standard container: APNG (animated PNG, the
+# acTL/fcTL/fdAT chunk extension). Encoder emits spec-valid animations;
+# the frame sampler genuinely parses the container — walks the chunk
+# sequence, pairs fcTL frame-control with its IDAT/fdAT payload, inflates
+# only the SAMPLED frames (every_n) — the decode-on-demand shape a real
+# ffmpeg frame sampler has.
+
+_APNG_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+    ]
+)
+
+
+def synthetic_apng_media(documents: DataFrame) -> DataFrame:
+    """One REAL APNG per document: n_frames = 3 + doc_id % 4 full-size
+    frames, frame f pixel[i] = (7·i + doc_id + 31·f) % 256."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        def apng(media_id: int) -> bytes:
+            w = 8 + media_id % 9
+            h = 8 + media_id % 7
+            n_frames = 3 + media_id % 4
+            out = b"\x89PNG\r\n\x1a\n"
+            out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            out += chunk(b"acTL", struct.pack(">II", n_frames, 0))
+            seq = 0
+            for f in range(n_frames):
+                fctl = struct.pack(
+                    ">IIIIIHHBB", seq, w, h, 0, 0, 1, 10, 0, 0
+                )
+                out += chunk(b"fcTL", fctl)
+                seq += 1
+                raw = b"".join(
+                    b"\x00"
+                    + bytes(
+                        (7 * (y * w + x) + media_id + 31 * f) % 256
+                        for x in range(w)
+                    )
+                    for y in range(h)
+                )
+                comp = zlib.compress(raw)
+                if f == 0:
+                    out += chunk(b"IDAT", comp)
+                else:
+                    out += chunk(b"fdAT", struct.pack(">I", seq) + comp)
+                    seq += 1
+            return out + chunk(b"IEND", b"")
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": [apng(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(encode, schema=_PNG_SCHEMA)
+
+
+def apng_frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Real video frame sampling: parse the APNG chunk stream, keep every
+    ``every_n``-th frame, inflate ONLY those frames, return per-frame
+    dimensions and mean pixel. One output row per sampled frame."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def frames(b: bytes):
+            if b[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG/APNG payload")
+            pos = 8
+            w = h = None
+            pending = None  # fcTL of the frame whose data comes next
+            idx = 0
+            while pos < len(b):
+                (length,) = struct.unpack(">I", b[pos : pos + 4])
+                tag = b[pos + 4 : pos + 8]
+                data = b[pos + 8 : pos + 8 + length]
+                if tag == b"IHDR":
+                    w, h = struct.unpack(">II", data[:8])
+                elif tag == b"fcTL":
+                    fw, fh = struct.unpack(">II", data[4:12])
+                    pending = (idx, fw, fh)
+                    idx += 1
+                elif tag in (b"IDAT", b"fdAT") and pending is not None:
+                    comp = data if tag == b"IDAT" else data[4:]
+                    yield (*pending, comp)
+                    pending = None
+                elif tag == b"IEND":
+                    break
+                pos += 12 + length
+
+        for pdf in batches:
+            ids, idxs, ws, hs, means = [], [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                for fi, fw, fh, comp in frames(bytes(b)):
+                    if fi % every_n != 0:
+                        continue  # skipped frames are never inflated
+                    raw = zlib.decompress(comp)
+                    total = sum(
+                        sum(raw[y * (fw + 1) + 1 : (y + 1) * (fw + 1)])
+                        for y in range(fh)
+                    )
+                    ids.append(int(mid))
+                    idxs.append(fi)
+                    ws.append(fw)
+                    hs.append(fh)
+                    means.append(total / (fw * fh))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "mean_pixel": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(sample, schema=_APNG_FRAME_SCHEMA)

@@ -178,3 +178,52 @@ def png_resize_roundtrip(spark, sf_dir):
         )
         .orderBy("media_id")
     )
+
+
+# Video-leg round-trip on a REAL standard container (APNG): encode animated
+# PNGs, sample every 2nd frame by parsing the chunk stream, decode only the
+# sampled frames. Oracle recomputes each sampled frame's mean analytically.
+
+
+@query(
+    "apng_frame_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 9 AS BIGINT) AS w,
+             CAST(8 + doc_id % 7 AS BIGINT) AS h,
+             3 + doc_id % 4 AS n_frames
+      FROM documents WHERE doc_id < 100
+    ),
+    f AS (
+      SELECT doc_id, w, h, fr.range AS frame_idx
+      FROM d CROSS JOIN range(0, 7) fr
+      WHERE fr.range < n_frames AND fr.range % 2 = 0
+    )
+    SELECT doc_id AS media_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(avg(CAST((7 * px.range + doc_id + 31 * frame_idx) % 256
+                          AS DOUBLE)), 6) AS mean_pixel
+    FROM f CROSS JOIN range(0, 300) px
+    WHERE px.range < w * h
+    GROUP BY doc_id, frame_idx, w, h
+    ORDER BY media_id, frame_idx
+    """,
+)
+def apng_frame_sample(spark, sf_dir):
+    from ..operators.multimodal import apng_frame_sample as sample_op
+    from ..operators.multimodal import synthetic_apng_media
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        sample_op(synthetic_apng_media(docs), every_n=2)
+        .select(
+            "media_id",
+            "frame_idx",
+            "width",
+            "height",
+            F.round("mean_pixel", 6).alias("mean_pixel"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )

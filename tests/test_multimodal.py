@@ -120,3 +120,28 @@ def test_wav_roundtrip_is_a_real_codec(spark, sf_dir):
     decoded = {r["media_id"]: r for r in decode_wav(media).collect()}
     assert decoded[7]["sample_rate"] == 8000
     assert decoded[7]["n_samples"] == wf.getnframes()
+
+
+def test_apng_degrades_to_plain_png_frame_zero(spark, sf_dir):
+    """APNG spec compliance: a plain-PNG decoder (ours, ignoring the
+    animation chunks) must decode exactly frame 0 — the format's designed
+    fallback behavior."""
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.operators.multimodal import (
+        apng_frame_sample,
+        decode_png,
+        synthetic_apng_media,
+    )
+    import pyspark.sql.functions as F
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 8)
+    media = synthetic_apng_media(docs)
+    as_png = {r["media_id"]: r for r in decode_png(media).collect()}
+    frames = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in apng_frame_sample(media, every_n=1).collect()
+    }
+    for mid, png_row in as_png.items():
+        f0 = frames[(mid, 0)]
+        assert (png_row["width"], png_row["height"]) == (f0["width"], f0["height"])
+        assert abs(png_row["mean_pixel"] - f0["mean_pixel"]) < 1e-9
