@@ -177,6 +177,69 @@ try:  # Spark 4 Python DataSource API
                 "network in the test container)"
             )
 
+    try:
+        from pyspark.sql.datasource import SimpleDataSourceStreamReader
+    except ImportError:  # pragma: no cover
+        SimpleDataSourceStreamReader = None  # type: ignore[assignment]
+
+    if SimpleDataSourceStreamReader is not None:
+
+        class RestStreamReader(SimpleDataSourceStreamReader):
+            """Incremental paginated ingestion as a STREAM: the offset is the
+            last fully-consumed page, so each micro-batch reads only pages
+            that appeared since — the reference's ``updated_since``
+            incremental pull (src/ingestion/api_ingestion.py:53-78) with
+            exactly-once bookkeeping from the checkpoint instead of ad-hoc
+            state files. Replays (`readBetweenOffsets`) re-fetch the same
+            page range deterministically.
+            """
+
+            def __init__(self, schema, options):
+                self.schema_ = schema
+                self.options = options
+                self.page_size = int(options.get("page_size", "100"))
+                self.fields = [f.name for f in schema.fields]
+
+            def _fetcher(self) -> PageFetcher:
+                pages_dir = self.options.get("pages_dir")
+                if pages_dir:
+                    return file_backed_fetcher(pages_dir)
+                raise NotImplementedError(
+                    "set a pages_dir option or bind an HTTP fetcher via "
+                    "subclassing"
+                )
+
+            def initialOffset(self):
+                return {"page": 0}
+
+            def _rows_between(self, first_page: int, last_page: int):
+                fetch = self._fetcher()
+                for page in range(first_page, last_page + 1):
+                    for rec in fetch(page, self.page_size):
+                        yield tuple(rec.get(n) for n in self.fields)
+
+            def read(self, start):
+                # consume every COMPLETE page currently available; a partial
+                # (short) page is left for a later batch so the offset only
+                # ever advances past immutable pages
+                fetch = self._fetcher()
+                page = start["page"] + 1
+                rows: list[tuple] = []
+                while True:
+                    batch = fetch(page, self.page_size)
+                    if len(batch) < self.page_size:
+                        page -= 1
+                        break
+                    rows.extend(
+                        tuple(rec.get(n) for n in self.fields) for rec in batch
+                    )
+                    page += 1
+                end = {"page": max(page, start["page"])}
+                return iter(rows), end
+
+            def readBetweenOffsets(self, start, end):
+                return self._rows_between(start["page"] + 1, end["page"])
+
     class RestDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -189,6 +252,11 @@ try:  # Spark 4 Python DataSource API
 
         def reader(self, schema):
             return RestDataSourceReader(schema, self.options)
+
+        def simpleStreamReader(self, schema):
+            if SimpleDataSourceStreamReader is None:  # pragma: no cover
+                raise NotImplementedError("streaming needs pyspark >= 4")
+            return RestStreamReader(schema, self.options)
 
 except ImportError:  # pragma: no cover - older pyspark
     RestDataSource = None  # type: ignore[assignment]

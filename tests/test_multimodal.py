@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from skiliopay_datapipeline_customer_spark.io import table
@@ -145,3 +146,28 @@ def test_apng_degrades_to_plain_png_frame_zero(spark, sf_dir):
         f0 = frames[(mid, 0)]
         assert (png_row["width"], png_row["height"]) == (f0["width"], f0["height"])
         assert abs(png_row["mean_pixel"] - f0["mean_pixel"]) < 1e-9
+
+
+def test_codec_decoders_reject_corrupt_payloads(spark):
+    """Real decoders fail loudly on garbage rather than emitting wrong
+    values: non-PNG bytes, non-WAV bytes, and a truncated-but-signed PNG."""
+    from skiliopay_datapipeline_customer_spark.operators.multimodal import (
+        decode_png,
+        decode_wav,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"definitely not an image"))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="not a PNG payload"):
+        decode_png(bad).collect()
+    with pytest.raises(Exception, match="not a WAV payload"):
+        decode_wav(bad).collect()
+
+    truncated = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception):
+        decode_png(truncated).collect()

@@ -255,3 +255,53 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
         properties=props,
     )
     assert pushed.count() == 5
+
+
+def test_rest_stream_reader_incremental_pages(spark, tmp_path):
+    """Streaming REST ingestion: the checkpointed offset is the last fully
+    consumed page, so a second run with new pages emits ONLY the new rows
+    (the reference's updated_since incremental pull, exactly-once). Short
+    pages are left for a later batch (a page is immutable once full)."""
+    import json
+
+    from skiliopay_datapipeline_customer_spark.sources.rest import RestDataSource
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+
+    def write_page(p, uids):
+        (pages / f"page-{p}.json").write_text(
+            json.dumps([{"uid": u} for u in uids])
+        )
+
+    write_page(1, [0, 1, 2, 3, 4])
+    write_page(2, [5, 6, 7, 8, 9])
+
+    spark.dataSource.register(RestDataSource)
+    got: list[int] = []
+
+    def run_once():
+        stream = (
+            spark.readStream.format("paged_rest")
+            .option("schema_ddl", "uid int")
+            .option("pages_dir", str(pages))
+            .option("page_size", "5")
+            .load()
+        )
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(
+                lambda df, _id: got.extend(r["uid"] for r in df.collect())
+            )
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert sorted(got) == list(range(10))
+
+    write_page(3, [10, 11, 12, 13, 14])
+    write_page(4, [15, 16])  # short → not yet consumed
+    run_once()
+    assert sorted(got) == list(range(15))  # page 3 only, no replays, no 15/16
