@@ -288,3 +288,47 @@ def profile_sketches(spark, sf_dir):
         .crossJoin(total)
         .orderBy("l_returnflag")
     )
+
+
+# V+ quarantine split: the rule-flagged ROWS themselves, with a
+# machine-readable reason list — the side output a medallion gate routes to
+# a review/quarantine table while the remaining rows continue to silver.
+# Hard-validity rules (validity_report) never fire on the clean testdata, so
+# this uses business-review rules that DO flag real rows: bulk orders over
+# the quantity cap and max-discount lines carrying the top tax band.
+
+
+@query(
+    "quarantine_rows",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           concat_ws(',',
+             CASE WHEN l_quantity > 48 THEN 'bulk_order_review' END,
+             CASE WHEN l_discount >= 0.1 AND l_tax >= 0.08
+                  THEN 'max_discount_top_tax' END
+           ) AS reasons
+    FROM lineitem
+    WHERE l_quantity > 48 OR (l_discount >= 0.1 AND l_tax >= 0.08)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def quarantine_rows(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    rules = [
+        ("bulk_order_review", F.col("l_quantity") > 48),
+        (
+            "max_discount_top_tax",
+            (F.col("l_discount") >= 0.1) & (F.col("l_tax") >= 0.08),
+        ),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    any_bad = rules[0][1]
+    for _, cond in rules[1:]:
+        any_bad = any_bad | cond
+    return (
+        l.filter(any_bad)
+        .select("l_orderkey", "l_linenumber", reasons.alias("reasons"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
