@@ -175,3 +175,71 @@ def test_incremental_silver_processes_only_new_files(spark, sf_dir, tmp_path):
     v_before = sorted(__import__("os").listdir(silver))
     snap = run()
     assert snap.count() == 3
+
+
+def test_rest_stream_to_silver_to_gold_composes(spark, tmp_path):
+    """End-to-end composition: paginated REST source consumed as a STREAM
+    (checkpointed page offsets) → latest-wins silver snapshot via
+    foreachBatch upsert → gold aggregate — after two incremental runs the
+    gold result equals the batch aggregate over everything published."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from skiliopay_datapipeline_customer_spark.sources.rest import RestDataSource
+    from skiliopay_datapipeline_customer_spark.streaming.sinks import (
+        latest_snapshot,
+        upsert_snapshot,
+    )
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    spark.dataSource.register(RestDataSource)
+    silver = str(tmp_path / "silver")
+    merge = upsert_snapshot(silver, key_cols=["uid"], order_col="seq")
+
+    def publish(page, recs):
+        (pages / f"page-{page}.json").write_text(json.dumps(recs))
+
+    def run_ingest():
+        stream = (
+            spark.readStream.format("paged_rest")
+            .option("schema_ddl", "uid long, seq long, amount double")
+            .option("pages_dir", str(pages))
+            .option("page_size", "4")
+            .load()
+        )
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(merge)
+            .start()
+        )
+        q.awaitTermination()
+
+    # day 1: users 0-7 at seq 1
+    publish(1, [{"uid": u, "seq": 1, "amount": 10.0 * u} for u in range(4)])
+    publish(2, [{"uid": u, "seq": 1, "amount": 10.0 * u} for u in range(4, 8)])
+    run_ingest()
+    assert latest_snapshot(spark, silver).count() == 8
+
+    # day 2: users 2,3 updated at seq 2 (latest wins), users 8-9 new
+    publish(3, [
+        {"uid": 2, "seq": 2, "amount": 99.0},
+        {"uid": 3, "seq": 2, "amount": 77.0},
+        {"uid": 8, "seq": 2, "amount": 80.0},
+        {"uid": 9, "seq": 2, "amount": 90.0},
+    ])
+    run_ingest()
+
+    gold = (
+        latest_snapshot(spark, silver)
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.sum("amount"), 2).alias("total"),
+        )
+        .first()
+    )
+    # latest state: 0,10,99,77,40,50,60,70 (uids 0-7) + 80,90 (8-9)
+    assert gold["n_users"] == 10
+    assert abs(gold["total"] - (0 + 10 + 99 + 77 + 40 + 50 + 60 + 70 + 80 + 90)) < 1e-9
