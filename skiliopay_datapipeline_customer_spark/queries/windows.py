@@ -18,37 +18,17 @@ from pyspark.sql import functions as F
 from ..io import table
 from . import query
 
-# W1/W2 quantile bucketing = ntile over total order (RFM quintiles,
-# feature_engineering.py:89-98).
+# W1/W2 quantile bucketing (RFM quintiles, feature_engineering.py:89-98).
+# PRIMARY = the two-pass range-partitioned rank + qcut edge formula
+# (operators/ranks.py) — the form that survives 100 TB. Buckets follow the
+# rank+qcut edges (right-closed at 1 + (n-1)·k/q), evaluated with identical
+# IEEE scalar arithmetic in the oracle. The single-task ntile transcription
+# survives as `rfm_quintiles_parity` (tests-only; identical when n % 5 == 0,
+# which holds for every customer fixture).
 
 
 @query(
     "rfm_quintiles",
-    oracle="""
-    SELECT c_custkey,
-           ntile(5) OVER (ORDER BY c_acctbal, c_custkey) AS bal_quintile
-    FROM customer
-    ORDER BY c_custkey
-    """,
-)
-def rfm_quintiles(spark, sf_dir):
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (
-        table(spark, sf_dir, "customer")
-        .select("c_custkey", F.ntile(5).over(w).alias("bal_quintile"))
-        .orderBy("c_custkey")
-    )
-
-
-# W1 scale-safe twin: same global quintile assignment, but computed with the
-# two-pass range-partitioned rank (operators/ranks.py) instead of a single-
-# task ntile window — the form that survives 100 TB. Buckets follow the
-# rank+qcut edge formula (right-closed at 1 + (n-1)·k/q), evaluated with
-# identical IEEE scalar arithmetic in the oracle.
-
-
-@query(
-    "rfm_quintiles_distributed",
     oracle="""
     WITH n AS (SELECT count(*) AS n FROM customer),
     ranked AS (
@@ -65,7 +45,7 @@ def rfm_quintiles(spark, sf_dir):
     ORDER BY c_custkey
     """,
 )
-def rfm_quintiles_distributed(spark, sf_dir):
+def rfm_quintiles(spark, sf_dir):
     from ..operators.ranks import quantile_bucket_distributed
 
     bucketed = quantile_bucket_distributed(
@@ -80,60 +60,13 @@ def rfm_quintiles_distributed(spark, sf_dir):
     return bucketed.select("c_custkey", "bal_quintile").orderBy("c_custkey")
 
 
-# P1 scale-safe twin of global_row_number: exact global row id from
-# range-partitioned rank — no single-task window.
-
-
-@query(
-    "global_row_number_distributed",
-    oracle="""
-    SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS row_id,
-           o_orderkey
-    FROM orders
-    ORDER BY row_id LIMIT 100
-    """,
-)
-def global_row_number_distributed(spark, sf_dir):
-    from ..operators.ranks import global_rank_distributed
-
-    ranked = global_rank_distributed(
-        table(spark, sf_dir, "orders"),
-        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
-        rank_col="row_id",
-    )
-    return ranked.select("row_id", "o_orderkey").orderBy("row_id").limit(100)
-
-
-# Scale-safe percent_rank: under a TOTAL order (value + key tiebreak) rank
-# equals row_number, so percent_rank = (rank - 1) / (n - 1) falls out of the
-# distributed global rank — same oracle as the single-window form.
-
-
-@query(
-    "percent_rank_distributed",
-    oracle="""
-    SELECT o_orderkey,
-           round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS price_pr
-    FROM orders
-    ORDER BY o_orderkey
-    """,
-)
-def percent_rank_distributed(spark, sf_dir):
-    from ..operators.ranks import global_rank_distributed
-
-    orders = table(spark, sf_dir, "orders")
-    ranked = global_rank_distributed(
-        orders,
-        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
-        rank_col="_r",
-    )
-    n = orders.count()
+def rfm_quintiles_parity(spark, sf_dir):
+    """Single-window ntile form (tests-only): one task sees every row."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
     return (
-        ranked.select(
-            "o_orderkey",
-            F.round((F.col("_r") - 1) / F.lit(float(n - 1)), 6).alias("price_pr"),
-        )
-        .orderBy("o_orderkey")
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", F.ntile(5).over(w).alias("bal_quintile"))
+        .orderBy("c_custkey")
     )
 
 

@@ -123,12 +123,14 @@ def test_global_rank_distributed_matches_single_window(spark, sf_dir):
 
 
 def test_quantile_bucket_distributed_matches_parity_form(spark, sf_dir):
+    # the PARITY form (single global window) is the ground truth the
+    # distributed primaries are judged against
     from skiliopay_datapipeline_customer_spark.functions.churn_features import (
-        quantile_bucket,
+        quantile_bucket_parity,
     )
 
     cust = table(spark, sf_dir, "customer")
-    exact = quantile_bucket(
+    exact = quantile_bucket_parity(
         cust, "c_acctbal", [1, 2, 3, 4, 5], ascending=True, tiebreak="c_custkey", out="qb"
     )
     dist = quantile_bucket_distributed(
