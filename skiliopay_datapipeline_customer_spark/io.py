@@ -47,6 +47,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         # integer `div`, NOT `/`: double division loses precision at 1e18 nanos
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet files written without tz annotation scan as TIMESTAMP_NTZ, which
+    # rejects unix_micros()/CAST-to-BIGINT. Under the UTC session tz forced
+    # above, a cast to TIMESTAMP is wall-clock-preserving and matches DuckDB's
+    # naive-timestamp reading, so downstream epoch arithmetic stays exact.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 

@@ -50,11 +50,126 @@ def load_all() -> None:
     )
 
 
+# The driver's correctness gate samples the FIRST 50 registry entries each
+# round. With 114 declared queries a static order leaves the back half
+# permanently unverified, so the registry self-rotates: queries the driver has
+# never green-checked come first (ordered by _PRIORITY, then declaration
+# order), then previously-green queries ordered by the round they were last
+# verified in (oldest first). Each round's CORRECTNESS_r{N}.json feeds the
+# next round's order, so every query cycles through the window.
+_PRIORITY = [
+    # changed or newly-oracled this round — verify first
+    "lag_time_delta",
+    "rfm_quintiles",
+    "global_row_number",
+    "embedding_int8_codes",
+    "lsh_dup_pairs",
+    # flagship + the join/relational suite
+    "flagship_revenue_by_nation",
+    "pricing_summary",
+    "point_lookup",
+    "range_enum_filter",
+    "deterministic_sample",
+    "pagination",
+    "broadcast_dim_join",
+    "left_join_lookup",
+    "semi_join_active",
+    "anti_join_churned",
+    "topk_customers",
+    "distinct_rows",
+    "union_append",
+    "intersect_segments",
+    "except_all_pending",
+    "star_revenue_rollup",
+    "sql_interface_probe",
+    "salted_skew_join_counts",
+    # r01-red quality reports, fixed but never re-sampled
+    "validity_report",
+    "consistency_report",
+    "outlier_report",
+    "distribution_report",
+    "quality_metrics_probe",
+    "quarantine_rows",
+    # remaining window frames
+    "topn_per_customer",
+    "share_within_group",
+    "running_total",
+    # TPC-H-shape subqueries
+    "priority_with_lineitems",
+    "customer_order_distribution",
+    "large_quantity_orders",
+    "wealthy_inactive_customers",
+    "grouping_sets_revenue",
+    "small_quantity_revenue",
+    "significant_parts",
+    "schema_validation_report",
+    # text-analysis suite
+    "token_stats",
+    "language_id",
+    "quality_scores",
+    "doc_fingerprints",
+    "tfidf_scores",
+    "rolling_fingerprints",
+    "token_pack_assignments",
+    "gopher_quality_filter",
+    # marquee custom operators
+    "cosine_topk",
+    "asof_purchase_click",
+]
+
+
+def _last_verified() -> dict[str, int]:
+    """Latest round each query got a green driver row, from the repo-root
+    CORRECTNESS_r*.json audit trail. Non-green rows don't count, so a failed
+    query rotates straight back into the window after a fix."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for q, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            err = rec.get("err")
+            # green oracle row, or a rows-only query that got its (weaker)
+            # contract check — both count as "verified this round" so they
+            # rotate out of the window; real failures rotate back in.
+            green = err is None and (
+                rec.get("hash_match")
+                or (rec.get("rows_match") and rec.get("hash_match") is None)
+            )
+            if green or err == "no_oracle":
+                last[q] = max(last.get(q, 0), rnd)
+    return last
+
+
+def _rotated(names: list[str]) -> list[str]:
+    last = _last_verified()
+    pri = {q: i for i, q in enumerate(_PRIORITY)}
+    idx = {q: i for i, q in enumerate(names)}
+    return sorted(
+        names, key=lambda q: (last.get(q, -1), pri.get(q, len(pri)), idx[q])
+    )
+
+
 def all_queries():
     load_all()
-    return dict(QUERIES)
+    return {name: QUERIES[name] for name in _rotated(list(QUERIES))}
 
 
 def all_oracles():
     load_all()
-    return dict(ORACLES)
+    order = _rotated(list(QUERIES))
+    return {name: ORACLES[name] for name in order if name in ORACLES}
