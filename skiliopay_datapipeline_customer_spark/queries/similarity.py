@@ -156,15 +156,94 @@ def embedding_dup_pairs(spark, sf_dir):
 
 # Corpus-scale tiered near-dup pairs: banded hyperplane-LSH candidates +
 # exact cosine verify, fully distributed (no driver materialization).
-# xxhash64-derived planes → not oracle-expressible: rows-only check; the
-# exact all-pairs twin above carries the oracle, and the pytest suite
-# asserts this tier's output ⊆ the exact tier at precision 1.
+# The declared query runs the EXPR kernel — sequential left-fold projections
+# whose IEEE add order the oracle replicates with the same md5-derived plane
+# literals (list_sum is the fold DuckDB side; proven bit-compatible by the
+# cosine oracles above) — so the full band→bucket→cap→self-join→verify
+# pipeline is hash-checked, not rows-only. The numpy BLAS kernel (which may
+# reorder the projection sum, flipping a sign that lands exactly on a
+# hyperplane) stays as the rows-only production tier below; the pytest suite
+# asserts its recall ≥ 0.9 against the exact all-pairs tier.
+
+_LSH_PLANES = 16
+_LSH_BANDS = 4
+_LSH_DIM = 64
+_LSH_THRESHOLD = 0.45
 
 
-@query("lsh_dup_pairs")
+def _plane_list_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(c) for c in plane) + "]"
+
+
+def _lsh_dup_pairs_oracle() -> str:
+    ppb = _LSH_PLANES // _LSH_BANDS
+    band_exprs = []
+    for band in range(_LSH_BANDS):
+        planes = S.make_planes(ppb, _LSH_DIM, plane_offset=band * ppb)
+        bits = []
+        for j, pl in enumerate(planes):
+            proj = (
+                "list_sum(list_transform(list_zip(embedding, "
+                f"{_plane_list_sql(pl)}), p -> CAST(p[1] AS DOUBLE) * p[2]))"
+            )
+            bits.append(f"CAST({proj} > 0 AS INT) * {2 ** j}")
+        band_exprs.append("(" + "\n        + ".join(bits) + ")")
+    bands_sql = ",\n      ".join(band_exprs)
+    band_ids = ", ".join(str(b) for b in range(_LSH_BANDS))
+    return f"""
+    WITH bb AS (
+      SELECT vec_id, embedding,
+             unnest([{band_ids}]) AS band,
+             unnest([
+      {bands_sql}
+             ]) AS bucket
+      FROM embeddings
+    ),
+    sizes AS (
+      SELECT band, bucket, count(*) AS bsz FROM bb GROUP BY band, bucket
+    ),
+    capped AS (
+      SELECT bb.vec_id, bb.embedding, bb.band, bb.bucket
+      FROM bb JOIN sizes USING (band, bucket) WHERE sizes.bsz <= 10000
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS va, b.embedding AS vb
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    sims AS (
+      SELECT id_a, id_b,
+             round(list_sum(list_transform(list_zip(va, vb),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(va,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(vb,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+      FROM cand
+    )
+    SELECT id_a, id_b, cos_sim FROM sims
+    WHERE cos_sim >= {_LSH_THRESHOLD}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("lsh_dup_pairs", oracle=_lsh_dup_pairs_oracle())
 def lsh_dup_pairs(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
-    return S.lsh_dup_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
+    return S.lsh_dup_pairs(
+        emb,
+        threshold=_LSH_THRESHOLD,
+        num_planes=_LSH_PLANES,
+        bands=_LSH_BANDS,
+        kernel="expr",
+    ).orderBy("id_a", "id_b")
+
+
+@query("lsh_dup_pairs_fast")
+def lsh_dup_pairs_fast(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return S.lsh_dup_pairs(emb, threshold=_LSH_THRESHOLD).orderBy("id_a", "id_b")
 
 
 # Int8 scalar quantization of the embedding column (exploded layout, the
@@ -185,7 +264,9 @@ def lsh_dup_pairs(spark, sf_dir):
       SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY dim
     )
     SELECT x.vec_id, x.dim,
-           CAST(round((x.x - s.mn) / (s.mx - s.mn) * 255) AS INT) AS code
+           CASE WHEN s.mx = s.mn THEN 0
+                ELSE CAST(round((x.x - s.mn) / (s.mx - s.mn) * 255) AS INT)
+           END AS code
     FROM x JOIN stats s ON x.dim = s.dim
     WHERE x.vec_id < 50
     ORDER BY x.vec_id, x.dim

@@ -219,3 +219,106 @@ def test_connected_components_chain_and_islands(spark):
         r["node"]: r["cluster"] for r in D.connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_path_past_checkpoint_interval(spark):
+    """A path graph needs ~diameter rounds — length 12 crosses the
+    localCheckpoint interval (5) twice, so convergence exercises the
+    lineage-truncation path, not just the persist path."""
+    n = 13
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["cluster"]
+        for r in D.connected_components(pairs, checkpoint_interval=5).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exiting the loop with labels still changing must be LOUD: silent
+    partial labels would merge/split dedup clusters wrongly downstream."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iters=3)
+    # non-strict tier: warn and hand back the partial labels
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        partial = D.connected_components(pairs, max_iters=3, strict=False)
+    assert partial.count() == 20
+
+
+def test_quantize_int8_constant_dimension_guard(spark):
+    """A constant dimension (max == min) must code to 0, not NULL-divide."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [2.0, 5.0]), (2, [3.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        (r["vec_id"], r["dim"]): r["code"]
+        for r in S.quantize_embeddings_int8(df).collect()
+    }
+    assert rows[(0, 1)] == rows[(1, 1)] == rows[(2, 1)] == 0
+    assert rows[(0, 0)] == 0 and rows[(2, 0)] == 255
+    assert all(c is not None for c in rows.values())
+
+
+def test_word_shingles_short_docs_match_oracle_semantics(spark):
+    """Docs shorter than n tokens have NO n-shingles — same as the oracles'
+    range(0, len - n + 1), which is empty for short docs."""
+    import duckdb
+
+    texts = ["one two", "one", "", "one two three", "one two three four"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in df.select(
+            "doc_id", D.word_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {}
+    for i, t in enumerate(texts):
+        (sh,) = con.execute(
+            """
+            SELECT list_transform(range(0, len(t) - 2),
+                   i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])
+            FROM (SELECT string_split_regex(trim(lower(?)), '\\s+') AS t)
+            """,
+            [t],
+        ).fetchone()
+        want[i] = sorted(sh)
+    con.close()
+    assert got == want
+
+
+def test_lsh_dup_pairs_recall_on_planted_near_dups(spark):
+    """The numpy-kernel production tier must find ≥ 90% of the true
+    near-dup pairs (recall vs the exact all-pairs tier) on a corpus with
+    PLANTED near-duplicates — the workload the operator exists for."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(100, 16))
+    jitter = base[:50] + 0.02 * rng.normal(size=(50, 16))
+    vecs = np.vstack([base, jitter])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert len(exact) >= 50  # the plant worked
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in S.lsh_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert lsh <= exact  # exact verify keeps precision at 1
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} below 0.9"
