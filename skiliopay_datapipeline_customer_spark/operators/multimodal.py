@@ -172,21 +172,6 @@ def frame_sample(
     return media.mapInPandas(sample, schema=_FRAME_SCHEMA)
 
 
-def resize_stub(media: DataFrame, target_bytes: int = 256) -> DataFrame:
-    """Resize plumbing: native binary slice (no Python needed for the fake
-    path — substr works on BinaryType and stays in codegen). A real resize
-    would be a mapInPandas like decode_media; keeping the fake native shows
-    the preferred tiering: JVM expression > pandas UDF."""
-    return media.withColumn(
-        "payload_resized", F.expr(f"substring(payload, 1, {target_bytes})")
-    ).withColumn(
-        "meta",
-        F.map_concat(
-            "meta", F.create_map(F.lit("resized_to"), F.lit(str(target_bytes)))
-        ),
-    )
-
-
 # ---------------------------------------------------------------------------
 # REAL codec tier (stdlib-only): PNG. The container has no PIL/ffmpeg, but a
 # grayscale PNG needs nothing beyond struct + zlib — so this tier round-trips

@@ -15,13 +15,14 @@ Two tiers:
   ``spark.dataSource.register(RestDataSource)`` and read via
   ``spark.read.format("paged_rest")``.
 
-No real HTTP in this container: fetchers are injected callables
-(page_index -> list[dict]); the in-tree ``pages_dir`` option reads JSON page
-files with identical pagination/termination/rate-limit behavior, and the
-HTTP adapter is a one-liner the deployment provides
-(requests.get(...).json()). Python DataSources are pickled by module
-reference — ship the package to workers (``--py-files`` / pip on the
-cluster image), the standard Python-dependency deployment.
+Fetchers are injected callables (page_index -> list[dict]). Two in-tree
+implementations: ``pages_dir`` reads JSON page files; ``base_url`` does real
+HTTP GETs via stdlib urllib (``{base_url}?page=N&page_size=S`` returning a
+JSON array — the reference's requests.get params shape,
+api_ingestion.py:111-150). Both share identical pagination / termination /
+rate-limit behavior. Python DataSources are pickled by module reference —
+ship the package to workers (``--py-files`` / pip on the cluster image),
+the standard Python-dependency deployment.
 """
 
 from __future__ import annotations
@@ -53,6 +54,51 @@ def file_backed_fetcher(pages_dir: str) -> PageFetcher:
             return json.load(f)
 
     return fetch
+
+
+def http_fetcher(base_url: str, timeout: float = 10.0) -> PageFetcher:
+    """A PageFetcher doing real HTTP GETs with stdlib urllib (no extra
+    deps): ``GET {base_url}?page=N&page_size=S``, expecting a JSON array of
+    records — the reference's paginated-GET contract
+    (src/ingestion/api_ingestion.py:111-150, params {'page': n,
+    'page_size': s}). A 404 terminates pagination like a missing page file;
+    other HTTP errors propagate (the caller's retry policy owns them)."""
+    import json
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    def fetch(page: int, page_size: int) -> list[dict]:
+        qs = urllib.parse.urlencode({"page": page, "page_size": page_size})
+        sep = "&" if "?" in base_url else "?"
+        try:
+            with urllib.request.urlopen(
+                f"{base_url}{sep}{qs}", timeout=timeout
+            ) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return []
+            raise
+
+    return fetch
+
+
+def _fetcher_from_options(options) -> PageFetcher:
+    """Shared option → fetcher resolution for the batch and stream readers:
+    ``pages_dir`` (file-backed) or ``base_url`` (stdlib HTTP)."""
+    pages_dir = options.get("pages_dir")
+    if pages_dir:
+        return file_backed_fetcher(pages_dir)
+    base_url = options.get("base_url")
+    if base_url:
+        return http_fetcher(
+            base_url, timeout=float(options.get("http_timeout", "10"))
+        )
+    raise ValueError(
+        "paged_rest needs a pages_dir (file-backed pages) or base_url "
+        "(stdlib-urllib HTTP) option; custom clients bind via subclassing"
+    )
 
 
 class RateLimiter:
@@ -168,14 +214,7 @@ try:  # Spark 4 Python DataSource API
                     return  # short page = final page (api_ingestion.py rule)
 
         def _make_fetcher(self) -> PageFetcher:
-            pages_dir = self.options.get("pages_dir")
-            if pages_dir:
-                return file_backed_fetcher(pages_dir)
-            raise NotImplementedError(
-                "set a pages_dir option or bind an HTTP fetcher via "
-                "subclassing; HTTP clients are deployment-provided (no "
-                "network in the test container)"
-            )
+            return _fetcher_from_options(self.options)
 
     try:
         from pyspark.sql.datasource import SimpleDataSourceStreamReader
@@ -185,13 +224,21 @@ try:  # Spark 4 Python DataSource API
     if SimpleDataSourceStreamReader is not None:
 
         class RestStreamReader(SimpleDataSourceStreamReader):
-            """Incremental paginated ingestion as a STREAM: the offset is the
-            last fully-consumed page, so each micro-batch reads only pages
-            that appeared since — the reference's ``updated_since``
+            """Incremental paginated ingestion as a STREAM: the offset is
+            ``{"page": P, "tail": K}`` — P fully-consumed pages plus the
+            first K rows of page P+1 — so each micro-batch reads only rows
+            that appeared since: the reference's ``updated_since``
             incremental pull (src/ingestion/api_ingestion.py:53-78) with
             exactly-once bookkeeping from the checkpoint instead of ad-hoc
-            state files. Replays (`readBetweenOffsets`) re-fetch the same
-            page range deterministically.
+            state files.
+
+            The row-level ``tail`` is what lets a SHORT page be delivered
+            immediately (same totals as the batch tier, which emits short
+            pages) without giving up exactly-once on a growing feed: if the
+            short page later fills, the next batch re-reads it and emits
+            only rows past the recorded tail. Replays
+            (``readBetweenOffsets``) re-fetch the same page/row range
+            deterministically — pages are append-only by contract.
             """
 
             def __init__(self, schema, options):
@@ -201,44 +248,51 @@ try:  # Spark 4 Python DataSource API
                 self.fields = [f.name for f in schema.fields]
 
             def _fetcher(self) -> PageFetcher:
-                pages_dir = self.options.get("pages_dir")
-                if pages_dir:
-                    return file_backed_fetcher(pages_dir)
-                raise NotImplementedError(
-                    "set a pages_dir option or bind an HTTP fetcher via "
-                    "subclassing"
-                )
+                return _fetcher_from_options(self.options)
 
             def initialOffset(self):
-                return {"page": 0}
-
-            def _rows_between(self, first_page: int, last_page: int):
-                fetch = self._fetcher()
-                for page in range(first_page, last_page + 1):
-                    for rec in fetch(page, self.page_size):
-                        yield tuple(rec.get(n) for n in self.fields)
+                return {"page": 0, "tail": 0}
 
             def read(self, start):
-                # consume every COMPLETE page currently available; a partial
-                # (short) page is left for a later batch so the offset only
-                # ever advances past immutable pages
                 fetch = self._fetcher()
                 page = start["page"] + 1
+                skip = int(start.get("tail", 0))
                 rows: list[tuple] = []
                 while True:
                     batch = fetch(page, self.page_size)
-                    if len(batch) < self.page_size:
-                        page -= 1
-                        break
                     rows.extend(
-                        tuple(rec.get(n) for n in self.fields) for rec in batch
+                        tuple(rec.get(n) for n in self.fields)
+                        for rec in batch[skip:]
                     )
+                    if len(batch) < self.page_size:
+                        # short (or empty) page: emit what's new, record a
+                        # row-level offset into it
+                        end = {"page": page - 1, "tail": len(batch)}
+                        break
                     page += 1
-                end = {"page": max(page, start["page"])}
+                    skip = 0
                 return iter(rows), end
 
             def readBetweenOffsets(self, start, end):
-                return self._rows_between(start["page"] + 1, end["page"])
+                fetch = self._fetcher()
+                sp, st = start["page"], int(start.get("tail", 0))
+                ep, et = end["page"], int(end.get("tail", 0))
+                rows: list[tuple] = []
+                for page in range(sp + 1, ep + 1):
+                    batch = fetch(page, self.page_size)
+                    skip = st if page == sp + 1 else 0
+                    rows.extend(
+                        tuple(rec.get(n) for n in self.fields)
+                        for rec in batch[skip:]
+                    )
+                if et:
+                    batch = fetch(ep + 1, self.page_size)
+                    skip = st if ep == sp else 0
+                    rows.extend(
+                        tuple(rec.get(n) for n in self.fields)
+                        for rec in batch[skip:et]
+                    )
+                return iter(rows)
 
     class RestDataSource(DataSource):
         @classmethod

@@ -10,7 +10,6 @@ from skiliopay_datapipeline_customer_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     decode_media,
     frame_sample,
-    resize_stub,
     synthetic_media,
 )
 
@@ -54,14 +53,6 @@ def test_frame_sample_fanout(spark, sf_dir):
     assert frames.count() == expected
     assert frames.filter(F.length("frame") > 64).count() == 0
     assert frames.filter(F.col("frame_idx") % 4 != 0).count() == 0
-
-
-def test_resize_stub_native(spark, sf_dir):
-    media = synthetic_media(table(spark, sf_dir, "documents"))
-    resized = resize_stub(media, target_bytes=100)
-    assert resized.filter(F.length("payload_resized") > 100).count() == 0
-    row = resized.select(F.map_contains_key("meta", "resized_to").alias("ok")).first()
-    assert row["ok"]
 
 
 def test_png_roundtrip_is_a_real_codec(spark, sf_dir):

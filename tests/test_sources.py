@@ -212,7 +212,7 @@ def test_rest_datasource_requires_fetcher(spark):
     reader = RestDataSourceReader(
         T.StructType([T.StructField("x", T.IntegerType())]), {"total_pages": "2"}
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="pages_dir.*base_url"):
         reader._make_fetcher()
 
 
@@ -258,10 +258,12 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
 
 
 def test_rest_stream_reader_incremental_pages(spark, tmp_path):
-    """Streaming REST ingestion: the checkpointed offset is the last fully
-    consumed page, so a second run with new pages emits ONLY the new rows
-    (the reference's updated_since incremental pull, exactly-once). Short
-    pages are left for a later batch (a page is immutable once full)."""
+    """Streaming REST ingestion: the checkpointed offset is (page, tail) —
+    last fully consumed page plus rows already taken from the next — so a
+    second run with new pages emits ONLY the new rows (the reference's
+    updated_since incremental pull, exactly-once). A SHORT page is emitted
+    immediately (same totals as the batch tier); if it later fills, only
+    the rows past the recorded tail are emitted — no replays, no loss."""
     import json
 
     from skiliopay_datapipeline_customer_spark.sources.rest import RestDataSource
@@ -302,6 +304,141 @@ def test_rest_stream_reader_incremental_pages(spark, tmp_path):
     assert sorted(got) == list(range(10))
 
     write_page(3, [10, 11, 12, 13, 14])
-    write_page(4, [15, 16])  # short → not yet consumed
+    write_page(4, [15, 16])  # short page: delivered, tail offset recorded
     run_once()
-    assert sorted(got) == list(range(15))  # page 3 only, no replays, no 15/16
+    assert sorted(got) == list(range(17))
+
+    # the short page fills + a new short page appears: only NEW rows emit
+    write_page(4, [15, 16, 17, 18, 19])
+    write_page(5, [20])
+    run_once()
+    assert sorted(got) == list(range(21))
+    assert len(got) == 21  # exactly-once: no replay of 15/16
+
+
+def test_rest_stream_and_batch_tiers_agree_on_short_final_page(
+    spark, tmp_path
+):
+    """A feed that ends on a short page (the normal case: total % page_size
+    != 0) must ingest IDENTICAL totals through the batch reader and the
+    stream reader — the divergence class where the stream silently dropped
+    the final partial page."""
+    import json
+
+    from skiliopay_datapipeline_customer_spark.sources.rest import RestDataSource
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    total = 23  # 4 pages of 5 + short page of 3
+    for p in range(5):
+        uids = list(range(p * 5, min((p + 1) * 5, total)))
+        (pages / f"page-{p + 1}.json").write_text(
+            json.dumps([{"uid": u} for u in uids])
+        )
+
+    spark.dataSource.register(RestDataSource)
+    batch_rows = (
+        spark.read.format("paged_rest")
+        .option("schema_ddl", "uid int")
+        .option("pages_dir", str(pages))
+        .option("page_size", "5")
+        .option("total_pages", "10")
+        .load()
+        .collect()
+    )
+    got: list[int] = []
+    stream = (
+        spark.readStream.format("paged_rest")
+        .option("schema_ddl", "uid int")
+        .option("pages_dir", str(pages))
+        .option("page_size", "5")
+        .load()
+    )
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .foreachBatch(lambda df, _id: got.extend(r["uid"] for r in df.collect()))
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r["uid"] for r in batch_rows) == list(range(total))
+    assert sorted(got) == list(range(total))
+
+
+class _PagesHandler:
+    """Request handler factory serving /data?page=N&page_size=S as JSON."""
+
+    def __new__(cls, records: list[dict]):
+        import http.server
+        import json
+        import urllib.parse
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                parsed = urllib.parse.urlparse(self.path)
+                qs = urllib.parse.parse_qs(parsed.query)
+                page = int(qs.get("page", ["1"])[0])
+                size = int(qs.get("page_size", ["100"])[0])
+                body = json.dumps(
+                    records[(page - 1) * size : page * size]
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):  # quiet test output
+                pass
+
+        return Handler
+
+
+@pytest.fixture()
+def http_pages_server():
+    """In-process HTTP server paginating 23 records (short final page)."""
+    import http.server
+    import threading
+
+    records = [{"uid": u} for u in range(23)]
+    server = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), _PagesHandler(records)
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}/data"
+    server.shutdown()
+    thread.join(timeout=5)
+
+
+def test_http_fetcher_real_get(http_pages_server):
+    """S4 over real HTTP: stdlib urllib against an in-process server —
+    same pagination/termination contract as the file-backed fetcher."""
+    from skiliopay_datapipeline_customer_spark.sources.rest import (
+        fetch_paginated,
+        http_fetcher,
+    )
+
+    fetch = http_fetcher(http_pages_server)
+    batches = list(fetch_paginated(fetch, page_size=5))
+    assert [len(b) for b in batches] == [5, 5, 5, 5, 3]
+    assert [r["uid"] for b in batches for r in b] == list(range(23))
+
+
+def test_rest_datasource_over_http(spark, http_pages_server):
+    """The partition-parallel DataSource fetching over real HTTP via the
+    base_url option: executors build their own urllib fetchers."""
+    from skiliopay_datapipeline_customer_spark.sources.rest import RestDataSource
+
+    spark.dataSource.register(RestDataSource)
+    rows = (
+        spark.read.format("paged_rest")
+        .option("schema_ddl", "uid int")
+        .option("base_url", http_pages_server)
+        .option("page_size", "5")
+        .option("total_pages", "10")
+        .option("n_partitions", "3")
+        .load()
+        .collect()
+    )
+    assert sorted(r["uid"] for r in rows) == list(range(23))
