@@ -70,19 +70,37 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(col, n: int = 3):
-    """n-gram word shingles as an array column (native higher-order fns).
+def shingles_from_tokens(toks_col, n: int):
+    """n-gram shingles from an ALREADY-SPLIT token array column.
+
+    Take ``toks_col`` as an attribute reference (a projected column), not an
+    inline ``split(...)`` expression: higher-order functions evaluate
+    interpreted, and this tree references the token array three times (the
+    guard, the index bound, the transform) — inlining the split re-runs the
+    regex per reference, measured ~2.5× slower on the shingle explode.
+    ``element_at`` per gram position instead of ``slice`` skips the
+    per-shingle subarray allocation.
 
     Docs shorter than ``n`` tokens have NO n-shingles — empty array, same as
-    the oracles' ``range(0, len - n + 1)`` (empty for short docs). The old
-    clamp emitted one truncated shingle there, silently diverging from every
-    shingle oracle the moment a short doc entered a fixture."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    the oracles' ``range(0, len - n + 1)`` (empty for short docs)."""
+    idx = F.sequence(F.lit(0), F.size(toks_col) - n)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks_col, i + j + 1) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks_col) >= n, sh).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_shingles(col, n: int = 3):
+    """n-gram word shingles as an array column. Prefer projecting
+    :func:`tokens` first and calling :func:`shingles_from_tokens` on the
+    attribute — this convenience form re-evaluates the split per reference
+    (see shingles_from_tokens)."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def minhash_signatures(
@@ -100,8 +118,9 @@ def minhash_signatures(
     doc length. (A per-row nested array expression recomputes the shingle
     array k times and melts codegen — measured 60× slower.)
     """
-    shingled = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    shingled = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("sh"),
     )
     # hash the shingle STRING once, derive the k family members by mixing
     # the resulting long with the seed — hashing (long, int) is a fixed-width
@@ -213,20 +232,31 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window
 
     grams = (
-        distinct_tokens(F.col(text_col))
+        F.array_distinct(F.col("_toks"))
         if shingle_n == 1
-        else F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        else F.array_distinct(shingles_from_tokens(F.col("_toks"), shingle_n))
     )
     # the shingle explosion is an interpreted higher-order expression and
     # feeds every downstream stage (df-count, rank, sizes, both join sides,
     # verify) — persist it once instead of re-deriving it ~5×
-    toks = df.select(F.col(id_col), F.explode(grams).alias("tok")).persist()
+    toks = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.explode(grams).alias("tok"))
+        .persist()
+    )
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
-    # rarest-first position of each token within its doc
+    # rarest-first position of each token within its doc, and the doc's gram
+    # count from the SAME partitioning — a count window over the row_number
+    # window's partition key reuses its exchange, where a groupBy+join would
+    # add a shuffle and a join to compute the identical value
     w = Window.partitionBy(id_col).orderBy("_df", "tok")
-    ranked = toks.join(dfreq, "tok").withColumn("pos", F.row_number().over(w))
-    sizes = ranked.groupBy(id_col).agg(F.max("pos").alias("sz"))
-    prefix = ranked.join(sizes, id_col).filter(
+    wsz = Window.partitionBy(id_col)
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(wsz))
+    )
+    prefix = ranked.filter(
         F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     ).persist()
     a = prefix.alias("a")
@@ -274,10 +304,14 @@ def simhash_signatures(
     sign of the sum is the fingerprint bit. Same explode-once shape as
     minhash: one shuffle of 63 small ints per doc, map-side combined.
     """
-    hashed = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).select(F.col(id_col), F.xxhash64("sh").alias("h"))
+    hashed = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("sh"),
+        )
+        .select(F.col(id_col), F.xxhash64("sh").alias("h"))
+    )
     agg = hashed.groupBy(id_col).agg(
         *[
             F.sum(
@@ -330,12 +364,24 @@ def simhash_signatures_md5(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 32,
+    shingle_n: int = 1,
 ) -> DataFrame:
-    """Token-set simhash with portable hashes (verification twin of
-    simhash_signatures)."""
-    hashed = df.select(
-        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
-    ).select(F.col(id_col), portable_hash64(F.col("tok"), 0).alias("hv"))
+    """Token/shingle-set simhash with portable hashes (verification twin of
+    simhash_signatures). ``shingle_n > 1`` fingerprints the n-gram shingle
+    set instead of the token set — on a corpus whose docs all draw from a
+    tiny vocabulary (the synthetic documents use ~31 words), token sets are
+    nearly identical across docs and the near-pair output degenerates to
+    ~all-pairs; shingle sets stay diverse."""
+    grams = (
+        F.array_distinct(F.col("_toks"))
+        if shingle_n == 1
+        else F.array_distinct(shingles_from_tokens(F.col("_toks"), shingle_n))
+    )
+    hashed = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.explode(grams).alias("tok"))
+        .select(F.col(id_col), portable_hash64(F.col("tok"), 0).alias("hv"))
+    )
     agg = hashed.groupBy(id_col).agg(
         *[
             F.sum(

@@ -57,8 +57,22 @@ def load_all() -> None:
 # order), then previously-green queries ordered by the round they were last
 # verified in (oldest first). Each round's CORRECTNESS_r{N}.json feeds the
 # next round's order, so every query cycles through the window.
+# Queries whose SEMANTICS changed after the stamped round: treated as
+# never-verified (sorted to the very front) until a LATER round's
+# CORRECTNESS file shows a green row — a prior green row verified the old
+# behavior, not the current code.
+_FORCE = {
+    "lag_time_delta": 3,
+    "rfm_quintiles": 3,
+    "global_row_number": 3,
+    "embedding_int8_codes": 3,
+    "lsh_dup_pairs": 3,
+    "simhash_near_pairs": 3,
+}
+
 _PRIORITY = [
     # changed or newly-oracled this round — verify first
+    "simhash_near_pairs",
     "lag_time_delta",
     "rfm_quintiles",
     "global_row_number",
@@ -159,8 +173,15 @@ def _rotated(names: list[str]) -> list[str]:
     last = _last_verified()
     pri = {q: i for i, q in enumerate(_PRIORITY)}
     idx = {q: i for i, q in enumerate(names)}
+
+    def sort_last(q: str) -> int:
+        lv = last.get(q, -1)
+        if q in _FORCE and lv <= _FORCE[q]:
+            return -2  # semantics changed since last green row: re-verify
+        return lv
+
     return sorted(
-        names, key=lambda q: (last.get(q, -1), pri.get(q, len(pri)), idx[q])
+        names, key=lambda q: (sort_last(q), pri.get(q, len(pri)), idx[q])
     )
 
 

@@ -150,16 +150,25 @@ def simhash_md5_fingerprints(spark, sf_dir):
 # (pigeonhole: hamming ≤ 3 on 32 bits → at least one identical chunk),
 # candidates verified by exact hamming distance via bit_count(xor). The
 # chunk join is the scale path: no all-pairs scan, one shuffle on
-# (chunk_idx, chunk_value).
+# (chunk_idx, chunk_value). Fingerprints hash the 2-gram SHINGLE set, not
+# the token set: the synthetic docs draw from a ~31-word vocabulary, so
+# token-set fingerprints are near-identical corpus-wide and the "near-dup"
+# output degenerates to ~all-pairs (2.5M rows at sf0.1); shingle sets keep
+# fingerprints diverse, which is also the measure the dedup ladder uses.
 
 
 @query(
     "simhash_near_pairs",
     oracle="""
     WITH toks AS (
-      SELECT DISTINCT doc_id,
-             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-      FROM documents
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(0, len(t) - 1),
+               i -> t[i + 1] || ' ' || t[i + 2]))) AS tok
+      FROM (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+      )
     ),
     h AS (
       SELECT doc_id,
@@ -201,7 +210,9 @@ def simhash_md5_fingerprints(spark, sf_dir):
 def simhash_near_pairs(spark, sf_dir):
     # the fingerprint aggregation feeds BOTH sides of the chunk self-join —
     # persist it once instead of recomputing the md5+32-sum pipeline twice
-    fp = D.simhash_signatures_md5(table(spark, sf_dir, "documents")).persist()
+    fp = D.simhash_signatures_md5(
+        table(spark, sf_dir, "documents"), shingle_n=2
+    ).persist()
     chunks = fp.select(
         "doc_id",
         "simhash",
