@@ -174,3 +174,144 @@ def gopher_quality_flags(col):
         ok_symbols.alias("ok_symbols"),
         (ok_words & ok_word_len & ok_symbols).alias("keep"),
     )
+
+
+def shared_span_pairs(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 10,
+    min_shared: int = 2,
+):
+    """Exact shared-substring near-dup PAIRS via the winnowing inverted
+    index (the substring-dedup flavor of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): two docs sharing any
+    substring of length ≥ k + w - 1 chars are guaranteed to share a
+    winnowed fingerprint, so the fingerprint inverted index finds every
+    long-span overlap without an all-pairs scan.
+
+    ``max_df`` is the ubiquitous-gram guard (the PPJoin move): fingerprints
+    present in more than ``max_df`` docs index nothing — a corpus-wide
+    common phrase would otherwise contribute ~N² pairs. ``min_shared``
+    requires that many distinct rare fingerprints per pair (one shared
+    8-gram is noise on a small vocabulary; spans share many).
+
+    Shuffle profile: fingerprint agg (per doc) → document-frequency agg →
+    self-join on fingerprint (rare ones only) → pair count agg. All
+    bounded: each rare fingerprint contributes ≤ C(max_df, 2) pairs.
+    """
+    from .dedup import materialize
+
+    fps = rolling_fingerprint_rows(df, text_col, id_col, k=k, w=w).persist()
+    dfreq = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_df"))
+    rare = fps.join(
+        dfreq.filter(F.col("_df") <= max_df), "fingerprint"
+    ).drop("_df")
+    a = rare.alias("a")
+    b = rare.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return materialize(pairs, fps)
+
+
+def repetition_metrics(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Within-document repetition signals (the Gopher repetition family,
+    Rae et al. 2021 §A1.1): duplicate-token fraction and the share of the
+    most frequent bigram. High values flag boilerplate/spam docs that slip
+    past cross-doc dedup (repetition is INTERNAL to the doc).
+
+    One shuffle: the bigram top-count agg; token counts are map-only.
+    """
+    from .dedup import shingles_from_tokens
+
+    toks_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    base = toks_df.select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).alias("n_distinct"),
+    )
+    bi = toks_df.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("_toks"), 2)).alias("bg"),
+    )
+    top = (
+        bi.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("top_bigram_cnt"))
+    )
+    return (
+        base.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_tokens"), 6
+            ).alias("dup_token_ratio"),
+            F.coalesce("top_bigram_cnt", F.lit(0)).alias("top_bigram_cnt"),
+            F.when(
+                F.col("n_tokens") > 1,
+                F.round(
+                    F.coalesce("top_bigram_cnt", F.lit(0))
+                    / (F.col("n_tokens") - F.lit(1.0)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("top_bigram_share"),
+        )
+    )
+
+
+# PII redaction patterns: deliberately conservative, engine-portable regexes
+# (same semantics under Java regex and RE2). Each maps to a typed tag.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}(?:[- .][0-9]{2,4})?",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+# Redaction order is LOAD-BEARING: emails first (their digits/dots never
+# reach later passes), IPv4 before phone (a dotted IP like 192.168.255.254
+# parses as a dot-separated phone otherwise). Counts use the same
+# sequential semantics: each kind is counted on the text with earlier kinds
+# already redacted, so one substring is never double-counted.
+PII_KINDS = ("email", "ipv4", "phone")
+
+
+def redact_pii(col, kinds: tuple = PII_KINDS):
+    """Training-data PII scrubbing: replace emails / IPv4 addresses / phone
+    numbers with typed tags (``<EMAIL>`` …) — map-only regexp_replace
+    chain, no UDF."""
+    out = col
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(col, kinds: tuple = PII_KINDS):
+    """Per-kind PII match counts (audit signal logged next to redaction),
+    counted sequentially on the progressively-redacted text."""
+    out = col
+    fields = []
+    for kind in kinds:
+        fields.append(
+            F.size(
+                F.regexp_extract_all(out, F.lit(PII_PATTERNS[kind]), F.lit(0))
+            ).alias(f"n_{kind}")
+        )
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return F.struct(*fields)

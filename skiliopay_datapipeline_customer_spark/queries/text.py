@@ -301,3 +301,150 @@ def gopher_quality_filter(spark, sf_dir):
         flags["symbol_ratio"].alias("symbol_ratio"),
         flags["keep"].alias("keep"),
     ).orderBy("doc_id")
+
+
+# Exact shared-substring near-dup pairs (the Lee et al. 2022 substring-dedup
+# flavor): winnowing-fingerprint inverted index with a document-frequency
+# cap — two docs sharing a span of >= k+w-1 chars share a fingerprint by the
+# winnowing guarantee; ubiquitous grams (df > 10) index nothing, and pairs
+# need >= 3 distinct rare fingerprints. Fully SQL-expressible -> oracled.
+
+
+@query(
+    "shared_span_pairs",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, r.range AS pos,
+             CAST('0x' || substr(md5(substr(text, CAST(r.range AS INT), 8)), 1, 15)
+                  AS BIGINT) AS h,
+             greatest(length(text) - 7, 1) AS n_grams
+      FROM documents, range(1, 5001) r
+      WHERE r.range <= greatest(length(text) - 7, 1)
+    ),
+    wins AS (
+      SELECT doc_id, pos, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      FROM g
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, wmin AS fingerprint
+      FROM wins WHERE pos <= greatest(n_grams - 3, 1)
+    ),
+    rare AS (
+      SELECT fingerprint FROM fps GROUP BY fingerprint HAVING count(*) <= 10
+    ),
+    rf AS (
+      SELECT fps.doc_id, fps.fingerprint FROM fps JOIN rare USING (fingerprint)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM rf a JOIN rf b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def shared_span_pairs(spark, sf_dir):
+    from ..operators.textops import shared_span_pairs as op
+
+    return op(
+        table(spark, sf_dir, "documents"), k=8, w=4, max_df=10, min_shared=3
+    ).orderBy("id_a", "id_b")
+
+
+# Within-doc repetition metrics (Gopher repetition family): duplicate-token
+# fraction + most-frequent-bigram share — the boilerplate/spam signal that
+# cross-doc dedup cannot see.
+
+
+@query(
+    "repetition_metrics",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct
+      FROM t
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(t) - 1),
+                    i -> t[i + 1] || ' ' || t[i + 2])) AS bg
+      FROM t
+    ),
+    top AS (
+      SELECT doc_id, max(c) AS top_bigram_cnt FROM (
+        SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+      ) GROUP BY doc_id
+    )
+    SELECT base.doc_id, n_tokens, n_distinct,
+           round(1.0 - n_distinct * 1.0 / n_tokens, 6) AS dup_token_ratio,
+           CAST(coalesce(top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+           CASE WHEN n_tokens > 1
+                THEN round(coalesce(top_bigram_cnt, 0) / (n_tokens - 1.0), 6)
+                ELSE 0.0 END AS top_bigram_share
+    FROM base LEFT JOIN top USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def repetition_metrics(spark, sf_dir):
+    from ..operators.textops import repetition_metrics as op
+
+    return op(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# PII scrubbing over the corpus: typed-tag redaction + per-kind counts.
+# The synthetic corpus is PII-free, so corpus-side this verifies the
+# redaction chain is the identity on clean text (and that both engines
+# compile the same patterns); the planted-fixture pytest carries the
+# positive cases.
+
+
+@query(
+    "pii_redaction_report",
+    oracle="""
+    WITH s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+      FROM documents
+    ),
+    s2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t1,
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ipv4,
+             regexp_replace(t1,
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+               '<IPV4>', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id,
+           regexp_replace(t2,
+             '\\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}(?:[- .][0-9]{2,4})?',
+             '<PHONE>', 'g') AS redacted,
+           n_email, n_ipv4,
+           len(regexp_extract_all(t2,
+             '\\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}(?:[- .][0-9]{2,4})?'))
+             AS n_phone
+    FROM s2
+    ORDER BY doc_id
+    """,
+)
+def pii_redaction_report(spark, sf_dir):
+    from ..operators.textops import pii_counts, redact_pii
+
+    docs = table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("redacted"),
+        pii_counts(F.col("text")).alias("_c"),
+    )
+    return counted.select(
+        "doc_id", "redacted", "_c.n_email", "_c.n_ipv4", "_c.n_phone"
+    ).orderBy("doc_id")

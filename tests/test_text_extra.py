@@ -1,0 +1,64 @@
+"""Planted-fixture coverage for the text operators whose corpus-side
+behavior is vacuous on the clean synthetic documents: PII redaction
+(corpus has no PII) and shared-span dedup guards."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skiliopay_datapipeline_customer_spark.operators import textops as TX
+
+
+def test_redact_pii_planted_fixtures(spark):
+    rows = [
+        (0, "contact jo.doe+x@test-site.org for details"),
+        (1, "call +1 555 123 4567 or 555-867-5309 today"),
+        (2, "server at 10.0.0.1 and 192.168.255.254 up"),
+        (3, "clean text stays exactly as written"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["red"], r["c"]["n_email"], r["c"]["n_phone"], r["c"]["n_ipv4"])
+        for r in df.select(
+            "doc_id",
+            TX.redact_pii(F.col("text")).alias("red"),
+            TX.pii_counts(F.col("text")).alias("c"),
+        ).collect()
+    }
+    assert got[0] == ("contact <EMAIL> for details", 1, 0, 0)
+    assert got[1] == ("call <PHONE> or <PHONE> today", 0, 2, 0)
+    assert got[2] == ("server at <IPV4> and <IPV4> up", 0, 0, 2)
+    assert got[3] == ("clean text stays exactly as written", 0, 0, 0)
+
+
+def test_shared_span_pairs_planted_span_and_ubiquity_guard(spark):
+    """Two docs sharing a long literal span must pair; a phrase present in
+    EVERY doc must index nothing (df cap) — no all-pairs blowup."""
+    common = "alpha beta gamma delta"  # ubiquitous: in all docs
+    span = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, f"{common} {span} unique zero tail words here"),
+        (1, f"{common} {span} other one ending entirely different"),
+        (2, f"{common} completely unrelated body of text body"),
+        (3, f"{common} yet another separate document body text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in TX.shared_span_pairs(df, max_df=2, min_shared=2).collect()
+    }
+    assert (0, 1) in pairs
+    # the ubiquitous-common-prefix docs must NOT all pair with each other
+    assert (2, 3) not in pairs
+
+
+def test_repetition_metrics_flags_repeated_doc(spark):
+    rows = [
+        (0, "spam spam spam spam spam spam"),
+        (1, "one two three four five six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in TX.repetition_metrics(df).collect()}
+    assert got[0]["dup_token_ratio"] > 0.8 and got[0]["top_bigram_share"] == 1.0
+    assert got[1]["dup_token_ratio"] == 0.0
+    assert got[1]["top_bigram_share"] < 0.5
