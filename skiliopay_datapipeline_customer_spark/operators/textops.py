@@ -315,3 +315,54 @@ def pii_counts(col, kinds: tuple = PII_KINDS):
         )
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return F.struct(*fields)
+
+
+def contamination_report(
+    docs,
+    benchmark,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Train/test contamination detection (the decontamination pass of a
+    training-data pipeline, e.g. GPT-3 appendix C / PaLM §7): flag training
+    docs sharing any n-token gram with a BENCHMARK set, with the count of
+    distinct shared grams as the evidence strength.
+
+    Shape: benchmark grams are distinct-collected and broadcast (benchmark
+    suites are model-sized next to a training corpus); the corpus side is
+    one map-side explode + broadcast semi-style join + per-doc count — the
+    corpus never shuffles on its own size, only the (tiny) hit set
+    aggregates. Grams join as strings here for oracle exactness; at 100 TB
+    hash them (xxhash64) to shrink the broadcast and the shuffle keys.
+    """
+    from .dedup import materialize, shingles_from_tokens
+
+    def grams(df):
+        return (
+            df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.array_distinct(shingles_from_tokens(F.col("_toks"), n))
+                ).alias("gram"),
+            )
+        )
+
+    bench_grams = grams(benchmark).select("gram").distinct()
+    hits = (
+        grams(docs)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    report = (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+    return materialize(report)

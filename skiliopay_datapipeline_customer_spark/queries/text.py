@@ -448,3 +448,49 @@ def pii_redaction_report(spark, sf_dir):
     return counted.select(
         "doc_id", "redacted", "_c.n_email", "_c.n_ipv4", "_c.n_phone"
     ).orderBy("doc_id")
+
+
+# Train/test contamination: docs sharing any 4-token gram with a benchmark
+# set (docs 0-9 stand in for the benchmark suite). Benchmark grams broadcast
+# (model-sized next to a corpus); the corpus side never shuffles on its own
+# size — the decontamination pass of a training-data pipeline.
+
+
+@query(
+    "benchmark_contamination",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(0, len(t) - 3),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])))
+               AS gram
+      FROM t
+    ),
+    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+    hits AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+      FROM g JOIN bg USING (gram)
+      WHERE g.doc_id >= 10
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+           coalesce(h.n_shared_grams, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+    LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def benchmark_contamination(spark, sf_dir):
+    from ..operators.textops import contamination_report
+
+    docs = table(spark, sf_dir, "documents")
+    return contamination_report(
+        docs.filter(F.col("doc_id") >= 10),
+        docs.filter(F.col("doc_id") < 10),
+        n=4,
+    ).orderBy("doc_id")

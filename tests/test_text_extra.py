@@ -62,3 +62,23 @@ def test_repetition_metrics_flags_repeated_doc(spark):
     assert got[0]["dup_token_ratio"] > 0.8 and got[0]["top_bigram_share"] == 1.0
     assert got[1]["dup_token_ratio"] == 0.0
     assert got[1]["top_bigram_share"] < 0.5
+
+
+def test_contamination_report_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "prefix words then the quick brown fox jumps too"),  # 4-gram hit
+            (11, "completely unrelated document body with other words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shared_grams"], r["contaminated"])
+        for r in TX.contamination_report(corpus, bench, n=4).collect()
+    }
+    assert got[10][1] and got[10][0] >= 1
+    assert got[11] == (0, False)
