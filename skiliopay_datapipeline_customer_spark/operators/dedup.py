@@ -481,3 +481,28 @@ def connected_components(
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     result = labels.select(F.col("node"), F.col("label").alias("cluster"))
     return materialize(result, labels)
+
+
+def survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The corpus AFTER near-dedup: every document except non-canonical
+    near-dup cluster members (keep-min-id policy — the cluster label IS the
+    survivor, reference keep='first' drop_duplicates semantics at
+    src/processing/etl_pipeline.py:141-149 lifted to near-dup clusters).
+
+    Composition of :func:`connected_components` over the pair list with one
+    anti-join back to the corpus: nodes whose label differs from their own
+    id are dropped; cluster representatives and never-matched documents pass
+    through. Scale posture: the loser list is pair-sized (tiny next to the
+    corpus) and the anti-join shuffles on the id key once.
+    """
+    labels = connected_components(pairs, id_a=id_a, id_b=id_b)
+    losers = labels.filter(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

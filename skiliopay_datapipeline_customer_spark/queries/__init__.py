@@ -34,6 +34,7 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     from . import (  # noqa: F401
         aggregates,
+        corpus,
         dedup,
         features,
         ml,
@@ -68,6 +69,10 @@ _FORCE = {
     "embedding_int8_codes": 3,
     "lsh_dup_pairs": 3,
     "simhash_near_pairs": 3,
+    # new in round 4 — verify in their landing round
+    "corpus_mixture_sample": 3,
+    "quality_top_quartile": 3,
+    "dedup_survivors": 3,
 }
 
 _PRIORITY = [

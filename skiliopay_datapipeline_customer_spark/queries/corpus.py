@@ -1,0 +1,163 @@
+"""Corpus-construction queries: mixing, quality gating, dedup output.
+
+The training-data pipeline stages that sit AFTER analysis and BEFORE
+training: choose the language/source mixture, gate on per-language quality,
+and emit the post-dedup corpus. Each is oracle-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..operators import dedup as D
+from ..operators import sampling as SM
+from ..operators import textops as T
+from . import query
+
+# ---------------------------------------------------------------------------
+# Corpus mixture: per-language target sampling rates (data mixing). The keep
+# decision is md5-bucket-deterministic, so the oracle selects the identical
+# rows — reproducible sampling is the point of the operator.
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"en": 25, "de": 75, "es": 50, "fr": 50, "zh": 100}
+
+
+def _mix_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_RATES.items())
+    )
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+@query(
+    "corpus_mixture_sample",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 100 AS mix_bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, mix_bucket
+    FROM b
+    WHERE mix_bucket < {_mix_rate_case()}
+    ORDER BY doc_id
+    """,
+)
+def corpus_mixture_sample(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        SM.stratified_sample(docs, "lang", _MIX_RATES, id_col="doc_id")
+        .select("doc_id", "lang", "mix_bucket")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language quality gate: keep the top quartile of each language by the
+# composite quality score. Integer-threshold rank test (no float percentile
+# boundary); the rank itself comes from the range-partitioned two-pass rank,
+# so a dominant language never becomes a single sort task.
+# ---------------------------------------------------------------------------
+
+_QUALITY_SQL = """
+      round(
+        least(length(text) / 200.0, 1.0) * 0.4
+        + (len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+               t -> t IN ('the','a','of','and','to'))) * 1.0
+           / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)) * 0.4
+        + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                 / greatest(length(text), 1)) * 0.2,
+      6)
+"""
+
+
+@query(
+    "quality_top_quartile",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {_QUALITY_SQL} AS quality FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, quality,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM scored
+    )
+    SELECT doc_id, lang, quality
+    FROM r
+    WHERE (rk - 1) * 4 <= (n - 1)
+    ORDER BY doc_id
+    """,
+)
+def quality_top_quartile(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", T.quality_score(F.col("text")).alias("quality")
+    )
+    return (
+        SM.group_top_fraction(
+            scored, "lang", "quality", "doc_id", num=1, den=4
+        )
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Post-dedup corpus: the documents that survive near-dedup under the
+# keep-min-id policy — ngram-Jaccard pairs -> connected components -> drop
+# non-canonical members. The oracle replays the same closure with a
+# recursive CTE over the identical edge set (as dedup_clusters) and
+# anti-selects the losers.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_survivors",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, len(t) - 2),
+               i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
+      FROM (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+      )
+    ),
+    e0 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM e0
+      UNION SELECT id_b, id_a FROM e0
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    lab AS (
+      SELECT node, min(r) AS cluster FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM lab WHERE node <> cluster)
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_survivors(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.9, shingle_n=3)
+    return (
+        D.survivors(docs, pairs)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,70 @@
+"""Corpus-construction operators: mixing, quality gate, dedup survivors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skiliopay_datapipeline_customer_spark.io import table
+from skiliopay_datapipeline_customer_spark.operators import dedup as D
+from skiliopay_datapipeline_customer_spark.operators import sampling as SM
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    rates = {"en": 25, "de": 75, "es": 50, "fr": 50, "zh": 100}
+    kept = SM.stratified_sample(docs, "lang", rates)
+
+    # Deterministic: two independent evaluations select identical rows.
+    ids1 = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert ids1 == ids2 and len(ids1) > 0
+
+    # Achieved per-stratum rates track the targets (md5 buckets are uniform;
+    # generous tolerance for the small test corpus).
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept_n = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, rate in rates.items():
+        achieved = kept_n.get(lang, 0) / totals[lang]
+        assert abs(achieved - rate / 100.0) < 0.25, (lang, achieved, rate)
+    # rate-100 stratum keeps everything, allowlist drops unknown strata
+    assert kept_n["zh"] == totals["zh"]
+    assert kept.filter(~F.col("lang").isin(*rates)).count() == 0
+
+
+def test_stratified_sample_is_subset_invariant(spark, sf_dir):
+    """Raising a stratum's rate only ADDS rows (bucket test is monotone) —
+    the property that makes deterministic-hash mixing re-runnable."""
+    docs = table(spark, sf_dir, "documents")
+    low = SM.stratified_sample(docs, "lang", {"en": 20}, bucket_out=None)
+    high = SM.stratified_sample(docs, "lang", {"en": 60}, bucket_out=None)
+    assert low.join(high, "doc_id", "left_anti").count() == 0
+    assert high.count() > low.count()
+
+
+def test_group_top_fraction_exact_counts_and_members(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("score")
+    )
+    kept = SM.group_top_fraction(docs, "lang", "score", "doc_id", num=1, den=4)
+
+    pdf = docs.toPandas()
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    for lang, grp in pdf.groupby("lang"):
+        grp = grp.sort_values(["score", "doc_id"], ascending=[False, True])
+        n = len(grp)
+        # (rank-1)*4 <= (n-1)  =>  rank <= floor((n-1)/4) + 1
+        want = set(grp.head((n - 1) // 4 + 1).doc_id)
+        got = kept_ids & set(grp.doc_id)
+        assert got == want, (lang, sorted(got)[:5], sorted(want)[:5])
+
+
+def test_survivors_drop_only_non_canonical_members(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], ["doc_id", "text"]
+    )
+    # two clusters: {1,2,3} (a chain) and {5,7}; 0,4,6 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 7)], ["id_a", "id_b"]
+    )
+    kept = sorted(r.doc_id for r in D.survivors(docs, pairs).collect())
+    assert kept == [0, 1, 4, 5, 6]
