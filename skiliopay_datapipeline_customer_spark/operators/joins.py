@@ -98,3 +98,53 @@ def salted_join(
     )
     out = left_salted.join(right_rep, on=[key, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def interval_containment_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_time: str,
+    start: str,
+    end: str,
+    bin_micros: int = 86_400_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join: each point row matched to every interval (same ``key``)
+    whose ``[start, end]`` (inclusive, epoch-micros columns) contains its
+    ``point_time``.
+
+    Scale posture — time-bin bucketing turns the theta join into an
+    equi-join: intervals explode to the bins they cover
+    (``sequence(start/g, end/g)``), points compute their single bin, the
+    join runs hash-partitioned on ``(key, bin)`` and the exact BETWEEN
+    predicate filters inside each bucket. A point's one bin is covered by
+    every containing interval exactly once, so no post-dedup is needed.
+    Without the bin, a heavy key with n points and m intervals compares
+    n·m pairs in one task; with it, candidates are bounded per (key, bin)
+    and skew splits across bins. Pick ``bin_micros`` near the typical
+    interval length: much smaller explodes interval rows, much larger
+    degrades toward the per-key cross product.
+    """
+    g = F.lit(int(bin_micros))
+    exploded = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.col(start) / g).cast("long"), (F.col(end) / g).cast("long")
+            )
+        ),
+    )
+    pts = points.withColumn("_bin", (F.col(point_time) / g).cast("long"))
+    cond = (
+        (pts[key] == exploded[key])
+        & (pts["_bin"] == exploded["_bin"])
+        & (pts[point_time] >= exploded[start])
+        & (pts[point_time] <= exploded[end])
+    )
+    return (
+        pts.join(exploded, cond, how)
+        .drop(pts["_bin"])
+        .drop(exploded["_bin"])
+        .drop(exploded[key])
+    )

@@ -73,6 +73,8 @@ _FORCE = {
     "corpus_mixture_sample": 3,
     "quality_top_quartile": 3,
     "dedup_survivors": 3,
+    "session_purchase_attribution": 3,
+    "trailing_week_user_value": 3,
 }
 
 _PRIORITY = [

@@ -358,3 +358,114 @@ def funnel_counts(spark, sf_dir):
             "reached_purchase"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-containment range join: sessionize clicks (48 h inactivity gap —
+# classic lag + cumulative new-session flag), then count purchases falling
+# inside each session window. The Spark side runs the bin-bucketed range
+# join (operators/joins.py::interval_containment_join): intervals explode to
+# covered day-bins, points hash to one bin, the join is equi on (user, bin)
+# with the exact BETWEEN filter inside the bucket — no per-key cross
+# product at 100 TB. All times integer epoch-micros; session ids are
+# cumulative ints — every column is engine-exact.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 48 * 3600 * 1_000_000
+
+
+@query(
+    "session_purchase_attribution",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click'
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN lag(ts_us) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id) IS NULL
+                  OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                              ORDER BY ts_us, event_id)
+                     > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM clicks
+    ),
+    sess0 AS (
+      SELECT user_id, ts_us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, session_id,
+             min(ts_us) AS start_us, max(ts_us) AS end_us,
+             count(*) AS n_clicks
+      FROM sess0 GROUP BY user_id, session_id
+    ),
+    purch AS (
+      SELECT user_id, epoch_us(ts) AS p_us FROM events
+      WHERE event_type = 'purchase'
+    ),
+    counts AS (
+      SELECT s.user_id, s.session_id, count(p.p_us) AS n_purchases
+      FROM sess s LEFT JOIN purch p
+        ON p.user_id = s.user_id AND p.p_us BETWEEN s.start_us AND s.end_us
+      GROUP BY s.user_id, s.session_id
+    )
+    SELECT s.user_id, CAST(s.session_id AS BIGINT) AS session_id,
+           s.start_us, s.end_us,
+           CAST(s.n_clicks AS BIGINT) AS n_clicks,
+           CAST(c.n_purchases AS BIGINT) AS n_purchases
+    FROM sess s JOIN counts c USING (user_id, session_id)
+    ORDER BY user_id, session_id
+    """,
+)
+def session_purchase_attribution(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.joins import interval_containment_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    flagged = clicks.withColumn(
+        "_new",
+        (prev.isNull() | ((F.col("ts_us") - prev) > _SESSION_GAP_US)).cast("int"),
+    )
+    sid = F.sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        flagged.withColumn("session_id", sid)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_clicks"),
+        )
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    hits = interval_containment_join(
+        purch, sess, "user_id", "p_us", "start_us", "end_us"
+    )
+    counts = hits.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+    return (
+        sess.join(counts, ["user_id", "session_id"], "left")
+        .select(
+            "user_id",
+            "session_id",
+            "start_us",
+            "end_us",
+            "n_clicks",
+            F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -191,3 +191,38 @@ def running_total(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# Time-interval RANGE frame: per-user trailing-7-day value sum. The frame is
+# defined over integer epoch-micros (not row counts), so ties are peers in
+# both engines and the boundary arithmetic is exact; round(4) absorbs
+# frame-order float summation like the ROWS twin above.
+
+
+@query(
+    "trailing_week_user_value",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW),
+           4) AS trailing_7d_value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def trailing_week_user_value(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86_400_000_000, 0)
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(w), 4).alias("trailing_7d_value"),
+        )
+        .orderBy("event_id")
+    )

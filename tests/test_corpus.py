@@ -68,3 +68,34 @@ def test_survivors_drop_only_non_canonical_members(spark):
     )
     kept = sorted(r.doc_id for r in D.survivors(docs, pairs).collect())
     assert kept == [0, 1, 4, 5, 6]
+
+
+def test_interval_containment_join_bins_and_bounds(spark):
+    from skiliopay_datapipeline_customer_spark.operators.joins import (
+        interval_containment_join,
+    )
+
+    DAY = 86_400_000_000
+    # interval spanning 3 bins; points at boundaries, inside, outside, other key
+    intervals = spark.createDataFrame(
+        [(1, 10, int(0.5 * DAY), int(2.5 * DAY)), (2, 20, 0, DAY)],
+        ["user_id", "iv_id", "s", "e"],
+    )
+    points = spark.createDataFrame(
+        [
+            (1, 100, int(0.5 * DAY)),   # == start, inclusive
+            (1, 101, int(2.5 * DAY)),   # == end, inclusive
+            (1, 102, int(1.7 * DAY)),   # inside, middle bin
+            (1, 103, int(2.6 * DAY)),   # outside (after end, same bin as end)
+            (2, 104, int(1.7 * DAY)),   # right key, outside its interval
+            (3, 105, int(1.0 * DAY)),   # unknown key
+        ],
+        ["user_id", "pt_id", "t"],
+    )
+    hits = interval_containment_join(
+        points, intervals, "user_id", "t", "s", "e", bin_micros=DAY
+    )
+    got = sorted((r.pt_id, r.iv_id) for r in hits.collect())
+    assert got == [(100, 10), (101, 10), (102, 10)]
+    # exactly one match row per contained point — no bin-explosion dups
+    assert hits.count() == hits.dropDuplicates(["pt_id", "iv_id"]).count()
