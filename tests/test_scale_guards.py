@@ -322,3 +322,59 @@ def test_lsh_dup_pairs_recall_on_planted_near_dups(spark):
     assert lsh <= exact  # exact verify keeps precision at 1
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall:.3f} below 0.9"
+
+
+def test_interval_join_plan_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The bin-bucketed range join must plan as an equi-join on (key, bin) —
+    a nested-loop/cartesian plan would be the per-key cross product the
+    operator exists to avoid."""
+    from skiliopay_datapipeline_customer_spark.queries.temporal import (
+        session_purchase_attribution,
+    )
+
+    plan = (
+        session_purchase_attribution(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_group_top_fraction_plan_has_no_global_window(spark, sf_dir):
+    """The per-group quality gate must never plan a partition-less window
+    (single-task sort): ranks come from the range-partitioned two-pass
+    form, whose windows are keyed by spark_partition_id."""
+    from skiliopay_datapipeline_customer_spark.operators.sampling import (
+        group_top_fraction,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("score")
+    )
+    kept = group_top_fraction(docs, "lang", "score", "doc_id")
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window \[(.*?)\]", plan):
+        assert "_pid" in m.group(0) or "partitionBy" not in m.group(0)
+    # stronger: every windowspecdefinition in the optimized plan names _pid
+    opt = kept._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_pid" in line, line
+
+
+def test_stratified_sample_plan_is_shuffle_free(spark, sf_dir):
+    """Mixture sampling is a pure narrow filter — any Exchange in the plan
+    would mean the operator shuffles 100 TB to drop rows."""
+    from skiliopay_datapipeline_customer_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    kept = stratified_sample(
+        table(spark, sf_dir, "documents"), "lang", {"en": 25, "de": 75}
+    )
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
