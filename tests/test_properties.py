@@ -158,3 +158,61 @@ def test_asof_join_matches_merge_asof(spark, lefts, rights):
     for _, row in want_df.iterrows():
         w = None if pd.isna(row["payload"]) else int(row["payload"])
         assert got[row["lid"]] == w, (row["lid"], got[row["lid"]], w)
+
+
+# --- corpus sampling properties -------------------------------------------
+
+GROUPS = st.lists(
+    st.tuples(st.sampled_from(["en", "de", "fr"]), st.integers(0, 10**6)),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[1],
+)
+
+
+@given(rows=GROUPS, num=st.integers(0, 4), den=st.just(4))
+@SETTINGS
+def test_group_top_fraction_matches_pandas(spark, rows, num, den):
+    from skiliopay_datapipeline_customer_spark.operators.sampling import (
+        group_top_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [(g, i, float(i % 97)) for g, i in rows], "g string, id long, s double"
+    )
+    kept = {
+        r.id for r in group_top_fraction(df, "g", "s", "id", num, den).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["g", "id"])
+    pdf["s"] = (pdf["id"] % 97).astype(float)
+    want = set()
+    for _, grp in pdf.groupby("g"):
+        grp = grp.sort_values(["s", "id"], ascending=[False, True])
+        n = len(grp)
+        # (rank-1)*den <= (n-1)*num  =>  keep floor((n-1)*num/den) + 1 rows
+        want |= set(grp.head((n - 1) * num // den + 1).id)
+    assert kept == want
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=50, unique=True),
+    r1=st.integers(0, 100),
+    r2=st.integers(0, 100),
+)
+@SETTINGS
+def test_stratified_sample_monotone_in_rate(spark, ids, r1, r2):
+    from skiliopay_datapipeline_customer_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    lo, hi = sorted([r1, r2])
+    df = spark.createDataFrame([("en", i) for i in ids], "lang string, doc_id long")
+    a = {r.doc_id for r in stratified_sample(df, "lang", {"en": lo}).collect()}
+    b = {r.doc_id for r in stratified_sample(df, "lang", {"en": hi}).collect()}
+    assert a <= b
+    if lo == hi:
+        assert a == b
+    if hi == 100:
+        assert b == set(ids)
+    if lo == 0:
+        assert a == set()
