@@ -75,6 +75,7 @@ _FORCE = {
     "dedup_survivors": 3,
     "session_purchase_attribution": 3,
     "trailing_week_user_value": 3,
+    "snapshot_diff_events": 3,
 }
 
 _PRIORITY = [

@@ -469,3 +469,63 @@ def session_purchase_attribution(spark, sf_dir):
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (row-level change capture between two daily snapshots —
+# scripts/check_daily_data.py:12-65 reconciliation lifted from counts to
+# rows). The fixture derives two snapshots from the events table: the
+# "new" day sees five more days of events plus a value correction on
+# 'error' rows (+1.0 — exact IEEE arithmetic, no rounding coin-flips), so
+# 'added' and 'changed' are both non-vacuous. Comparisons are null-safe
+# column predicates; unchanged rows never leave the join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "snapshot_diff_events",
+    oracle="""
+    WITH snap_old AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE ts < TIMESTAMP '2024-01-20'
+    ),
+    snap_new AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_type = 'error' THEN value + 1.0 ELSE value END
+               AS value
+      FROM events WHERE ts < TIMESTAMP '2024-01-25'
+    ),
+    j AS (
+      SELECT coalesce(n.event_id, o.event_id) AS event_id,
+             CASE WHEN o.event_id IS NULL THEN 'added'
+                  WHEN n.event_id IS NULL THEN 'removed'
+                  WHEN o.value IS DISTINCT FROM n.value
+                       OR o.event_type IS DISTINCT FROM n.event_type
+                    THEN 'changed'
+                  ELSE 'same' END AS status
+      FROM snap_old o FULL OUTER JOIN snap_new n ON o.event_id = n.event_id
+    )
+    SELECT event_id, status FROM j WHERE status <> 'same' ORDER BY event_id
+    """,
+)
+def snapshot_diff_events(spark, sf_dir):
+    from ..sources.snapshots import snapshot_diff
+
+    ev = table(spark, sf_dir, "events")
+    old = ev.filter(
+        F.col("ts") < F.lit("2024-01-20").cast("timestamp")
+    ).select("event_id", "event_type", "value")
+    new = ev.filter(
+        F.col("ts") < F.lit("2024-01-25").cast("timestamp")
+    ).select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_type") == "error", F.col("value") + F.lit(1.0)
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return snapshot_diff(
+        old, new, key_cols=["event_id"], compare_cols=["event_type", "value"]
+    ).orderBy("event_id")

@@ -13,6 +13,7 @@ import glob
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def dated_snapshot_path(base_dir: str, prefix: str, date_stamp: str) -> str:
@@ -32,3 +33,56 @@ def write_dated_snapshot(
     path = dated_snapshot_path(base_dir, prefix, date_stamp)
     df.write.mode("overwrite").option("compression", "snappy").parquet(path)
     return path
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same keyed table:
+    'added' (key only in new), 'removed' (key only in old), 'changed'
+    (key in both, any compare column differs null-safely). Unchanged rows
+    are dropped — the output is change-capture-sized, not snapshot-sized.
+
+    The daily reconciliation the reference does by COUNTING
+    (scripts/check_daily_data.py:12-65) lifted to row granularity. Scale
+    posture: one full-outer shuffle join on the key; comparisons are
+    null-safe column predicates (`eqNullSafe`), never row-serialized
+    hashes, so the filter stays in whole-stage codegen and short-circuits
+    on the first differing column.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in key_cols:
+        c = o[f"_ok_{k}"] == n[f"_nk_{k}"]
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+
+    in_old = F.col(f"_ok_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"_nk_{key_cols[0]}").isNotNull()
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    status = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    keys = [
+        F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
+        for k in key_cols
+    ]
+    return (
+        joined.select(*keys, status.alias("status"))
+        .filter(F.col("status") != "same")
+    )

@@ -99,3 +99,29 @@ def test_interval_containment_join_bins_and_bounds(spark):
     assert got == [(100, 10), (101, 10), (102, 10)]
     # exactly one match row per contained point — no bin-explosion dups
     assert hits.count() == hits.dropDuplicates(["pt_id", "iv_id"]).count()
+
+
+def test_snapshot_diff_statuses_and_null_safety(spark):
+    from skiliopay_datapipeline_customer_spark.sources.snapshots import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, None, 4.0)],
+        "k long, t string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 1.0),     # same -> dropped
+            (2, "b", None),    # null == null -> same -> dropped
+            (3, "c", 9.0),     # changed value
+            (5, "e", 5.0),     # added
+            # 4 removed
+        ],
+        "k long, t string, v double",
+    )
+    got = {
+        r.k: r.status
+        for r in snapshot_diff(old, new, ["k"], ["t", "v"]).collect()
+    }
+    assert got == {3: "changed", 4: "removed", 5: "added"}
