@@ -437,16 +437,21 @@ def connected_components(
         .persist()
     )
     changed = 0
+    cached = labels
     for it in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = labels.join(
+        # carry the previous label through the update so the convergence
+        # count is a filter over this round's (already materialized) frame —
+        # not a second node-keyed join+shuffle per iteration
+        merged = labels.join(
             neighbor_min, labels.node == neighbor_min.src, "left"
         ).select(
             "node",
+            F.col("label").alias("_old"),
             F.least(
                 F.col("label"), F.coalesce("nbr_label", F.col("label"))
             ).alias("label"),
@@ -454,17 +459,13 @@ def connected_components(
         if (it + 1) % checkpoint_interval == 0:
             # truncate lineage: the checkpointed RDD replaces the whole
             # join-tower plan built since the last checkpoint
-            new_labels = new_labels.localCheckpoint(eager=True)
+            merged = merged.localCheckpoint(eager=True)
         else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+            merged = merged.persist()
+        changed = merged.filter(F.col("label") != F.col("_old")).count()
+        cached.unpersist()
+        cached = merged
+        labels = merged.select("node", "label")
         if changed == 0:
             break
     sym.unpersist()
@@ -476,11 +477,11 @@ def connected_components(
             "diameter) or switch to a star-contraction variant"
         )
         if strict:
-            labels.unpersist()
+            cached.unpersist()
             raise RuntimeError(msg)
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     result = labels.select(F.col("node"), F.col("label").alias("cluster"))
-    return materialize(result, labels)
+    return materialize(result, cached)
 
 
 def survivors(
