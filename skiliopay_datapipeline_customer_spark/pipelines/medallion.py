@@ -105,13 +105,22 @@ class MedallionPipeline:
     quality_kwargs: dict | None = None
     partition_by: list[str] | None = None
 
-    def _write(self, df: DataFrame, layer: str) -> str:
+    def _write(self, df: DataFrame, layer: str) -> tuple[str, int]:
+        """Write one layer; the row count rides the write action via
+        ``df.observe`` (Spark's observable-metrics channel) instead of a
+        separate count-back scan — one job per layer, not two. This is the
+        engine form of the reference's per-stage row logging
+        (etl_pipeline.py:62-69)."""
+        from pyspark.sql import Observation
+
         path = os.path.join(self.base_dir, layer)
-        writer = df.write.mode("overwrite").option("compression", "snappy")
+        obs = Observation(f"{layer}_metrics")
+        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        writer = observed.write.mode("overwrite").option("compression", "snappy")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(path)
-        return path
+        return path, int(obs.get["rows"])
 
     def run(
         self, spark: SparkSession, source: DataFrame, source_name: str = "memory"
@@ -120,9 +129,8 @@ class MedallionPipeline:
         result: dict = {"rows": {}}
 
         bronze = ingest_metadata(source, source_name)
-        result["bronze"] = self._write(bronze, "bronze")
+        result["bronze"], result["rows"]["bronze"] = self._write(bronze, "bronze")
         bronze = spark.read.parquet(result["bronze"])
-        result["rows"]["bronze"] = bronze.count()
 
         report: QualityReport | None = None
         if self.quality_kwargs is not None:
@@ -134,13 +142,11 @@ class MedallionPipeline:
                 )
 
         silver = clean_frame(bronze, **self.clean_kwargs)
-        result["silver"] = self._write(silver, "silver")
+        result["silver"], result["rows"]["silver"] = self._write(silver, "silver")
         silver = spark.read.parquet(result["silver"])
-        result["rows"]["silver"] = silver.count()
 
         gold = silver
         for t in self.feature_transforms:
             gold = t(gold)
-        result["gold"] = self._write(gold, "gold")
-        result["rows"]["gold"] = spark.read.parquet(result["gold"]).count()
+        result["gold"], result["rows"]["gold"] = self._write(gold, "gold")
         return result
