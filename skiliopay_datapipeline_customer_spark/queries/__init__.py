@@ -76,6 +76,7 @@ _FORCE = {
     "session_purchase_attribution": 3,
     "trailing_week_user_value": 3,
     "snapshot_diff_events": 3,
+    "drift_report": 3,
 }
 
 _PRIORITY = [

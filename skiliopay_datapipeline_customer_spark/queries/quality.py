@@ -332,3 +332,85 @@ def quarantine_rows(spark, sf_dir):
         .select("l_orderkey", "l_linenumber", reasons.alias("reasons"))
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift report (the scenario testing the reference only PLANS,
+# docs/CHURN_PREDICTION_PROCESS_LOG.md:572-584): chi-square comparison of
+# the event-type mix between a baseline window and the current window.
+# Chi-square, not PSI: the statistic is pure rational arithmetic
+# ((obs-exp)^2/exp — counts and ratios), so Spark and the oracle agree
+# bit-for-bit where a log-based PSI would drift by libm ulps. One
+# conditional-sum pass over the fact table + a scalar-totals broadcast.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "drift_report",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_base,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_curr
+      FROM events GROUP BY event_type
+    ),
+    t AS (
+      SELECT sum(n_base) AS tb, sum(n_curr) AS tc FROM c
+    )
+    SELECT c.event_type, c.n_base, c.n_curr,
+           round(c.n_base * 1.0 / t.tb, 6) AS base_share,
+           round(c.n_curr * 1.0 / t.tc, 6) AS curr_share,
+           CASE WHEN c.n_base = 0 THEN NULL
+                ELSE round(
+                  (c.n_curr - (c.n_base * 1.0 / t.tb) * t.tc)
+                  * (c.n_curr - (c.n_base * 1.0 / t.tb) * t.tc)
+                  / ((c.n_base * 1.0 / t.tb) * t.tc), 6)
+           END AS chi2_term
+    FROM c, t
+    ORDER BY event_type
+    """,
+)
+def drift_report(spark, sf_dir):
+    from ..io import table as _table
+
+    split = F.lit("2024-01-16").cast("timestamp")
+    counts = (
+        _table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ts") < split, 1).otherwise(0))
+            .cast("long")
+            .alias("n_base"),
+            F.sum(F.when(F.col("ts") >= split, 1).otherwise(0))
+            .cast("long")
+            .alias("n_curr"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_curr").alias("tc")
+    )
+    base_share = F.col("n_base") * 1.0 / F.col("tb")
+    expected = base_share * F.col("tc")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "event_type",
+            "n_base",
+            "n_curr",
+            F.round(base_share, 6).alias("base_share"),
+            F.round(F.col("n_curr") * 1.0 / F.col("tc"), 6).alias("curr_share"),
+            F.when(F.col("n_base") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    (F.col("n_curr") - expected)
+                    * (F.col("n_curr") - expected)
+                    / expected,
+                    6,
+                )
+            )
+            .alias("chi2_term"),
+        )
+        .orderBy("event_type")
+    )
