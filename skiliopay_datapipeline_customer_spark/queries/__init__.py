@@ -77,6 +77,7 @@ _FORCE = {
     "trailing_week_user_value": 3,
     "snapshot_diff_events": 3,
     "drift_report": 3,
+    "fk_integrity_report": 3,
 }
 
 _PRIORITY = [

@@ -414,3 +414,61 @@ def drift_report(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# FK referential-integrity report: the constraint set the reference's
+# warehouse DDL declares (src/storage/data_warehouse.py:421-530, FK clauses;
+# init.sql:12-133) checked distributed — orphan = child key with no parent
+# row. Each pair is one left-anti-join count; parents are broadcast when
+# dimension-sized, and the counts fuse into a single result row.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fk_integrity_report",
+    oracle="""
+    SELECT
+      CAST((SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+           AS BIGINT) AS lineitem_orphans,
+      CAST((SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+           AS BIGINT) AS order_orphans,
+      CAST((SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+           AS BIGINT) AS customer_orphans,
+      CAST((SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey))
+           AS BIGINT) AS customers_without_orders
+    """,
+)
+def fk_integrity_report(spark, sf_dir):
+    from ..io import table as _table
+
+    lineitem = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders")
+    customer = _table(spark, sf_dir, "customer")
+    nation = _table(spark, sf_dir, "nation")
+
+    li = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("lineitem_orphans"))
+    od = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("order_orphans"))
+    cu = customer.join(
+        F.broadcast(nation),
+        customer.c_nationkey == nation.n_nationkey,
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("customer_orphans"))
+    # coverage, not a violation: childless parents — non-zero on TPC-H-shaped
+    # data, so the report is exercised, not vacuously all-zero
+    no_orders = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("customers_without_orders"))
+    return li.crossJoin(od).crossJoin(cu).crossJoin(no_orders)

@@ -125,3 +125,34 @@ def test_snapshot_diff_statuses_and_null_safety(spark):
         for r in snapshot_diff(old, new, ["k"], ["t", "v"]).collect()
     }
     assert got == {3: "changed", 4: "removed", 5: "added"}
+
+
+def test_fk_integrity_report_detects_planted_orphans(spark, tmp_path):
+    """The testdata has perfect FK coverage (all-zero report is the true
+    answer there); planted orphans prove the operator actually detects
+    violations in every direction."""
+    import os
+
+    from skiliopay_datapipeline_customer_spark.queries.quality import (
+        fk_integrity_report,
+    )
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (99, 9.0)], "l_orderkey long, l_quantity double"
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, 100), (2, 777)], "o_orderkey long, o_custkey long"
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        [(100, 0), (101, 42)], "c_custkey long, c_nationkey long"
+    ).write.parquet(os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        [(0, "GERMANY")], "n_nationkey long, n_name string"
+    ).write.parquet(os.path.join(d, "nation.parquet"))
+
+    row = fk_integrity_report(spark, d).collect()[0]
+    assert row.lineitem_orphans == 1       # l_orderkey 99
+    assert row.order_orphans == 1          # o_custkey 777
+    assert row.customer_orphans == 1       # c_nationkey 42
+    assert row.customers_without_orders == 1  # c_custkey 101
