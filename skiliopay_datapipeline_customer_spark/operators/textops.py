@@ -366,3 +366,45 @@ def contamination_report(
         )
     )
     return materialize(report)
+
+
+def chunk_assignments(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+):
+    """Split each document into fixed-size token windows with overlap —
+    the complement of sequence packing (`ranks.pack_by_token_budget`
+    combines short docs; this splits long ones). Emits one row per
+    (doc, chunk): chunk_id, token start offset, chunk length.
+
+    Stride = chunk_tokens - overlap; the final chunk is the short
+    remainder (trainers pad it). Map-only: per-row sequence + explode, no
+    shuffle, no state — the chunk set for a doc is a pure function of its
+    token count, so re-runs and the SQL oracle agree exactly.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    n = F.size(tokens(F.col(text_col)))
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    out = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
+    )
+    return out.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.least(
+            F.lit(chunk_tokens), F.col("n_tokens") - F.col("chunk_start")
+        )
+        .cast("long")
+        .alias("chunk_len"),
+    )

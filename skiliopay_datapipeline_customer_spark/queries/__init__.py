@@ -78,6 +78,7 @@ _FORCE = {
     "snapshot_diff_events": 3,
     "drift_report": 3,
     "fk_integrity_report": 3,
+    "doc_chunk_assignments": 3,
 }
 
 _PRIORITY = [

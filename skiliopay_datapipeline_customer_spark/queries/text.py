@@ -494,3 +494,39 @@ def benchmark_contamination(spark, sf_dir):
         docs.filter(F.col("doc_id") < 10),
         n=4,
     ).orderBy("doc_id")
+
+
+# Document chunking with overlap (16-token windows, stride 12): the
+# splitting complement of sequence packing. Map-only sequence + posexplode;
+# the oracle replays the identical window arithmetic with generate_series.
+
+
+@query(
+    "doc_chunk_assignments",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             unnest(generate_series(0, greatest(n_tokens - 1, 0), 12))
+               AS chunk_start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY chunk_start)
+                - 1 AS BIGINT) AS chunk_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(least(16, n_tokens - chunk_start) AS BIGINT) AS chunk_len
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_chunk_assignments(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return T.chunk_assignments(
+        docs, chunk_tokens=16, overlap=4
+    ).orderBy("doc_id", "chunk_id")
