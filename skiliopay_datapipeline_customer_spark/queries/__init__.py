@@ -79,6 +79,7 @@ _FORCE = {
     "drift_report": 3,
     "fk_integrity_report": 3,
     "doc_chunk_assignments": 3,
+    "event_props_rollup": 3,
 }
 
 _PRIORITY = [

@@ -529,3 +529,43 @@ def snapshot_diff_events(spark, sf_dir):
     return snapshot_diff(
         old, new, key_cols=["event_id"], compare_cols=["event_type", "value"]
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: events.props is a JSON string. The engine path
+# is TYPED parsing — from_json with a declared schema keeps the extraction
+# inside whole-stage codegen (one parse per row into a struct, pruned to the
+# fields used), never per-field regex or a Python UDF. Rollup of the
+# extracted field per event type; the oracle extracts with DuckDB's JSON
+# operators.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_props_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum,
+           min(CAST(props->>'$.k' AS INTEGER)) AS k_min,
+           max(CAST(props->>'$.k' AS INTEGER)) AS k_max
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def event_props_rollup(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k INT").alias("p")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p.k")).cast("long").alias("k_sum"),
+            F.min(F.col("p.k")).alias("k_min"),
+            F.max(F.col("p.k")).alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
