@@ -60,8 +60,19 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = all_queries()
     timings: dict[str, float] = {}
-    # warm the JVM/session with one untimed tiny action
+    # warm the JVM/session with one untimed tiny action, and the Python
+    # worker pool + Arrow channel with one untimed tiny pandas_udf action —
+    # interpreter fork/init is session overhead, not operator cost
     spark.range(1).count()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(8).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
