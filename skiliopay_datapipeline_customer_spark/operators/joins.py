@@ -127,6 +127,9 @@ def interval_containment_join(
     degrades toward the per-key cross product.
     """
     g = F.lit(int(bin_micros))
+    # explicit aliases: both sides often derive from the same scan (e.g.
+    # sessions and purchases both cut from the events table), and
+    # same-lineage attribute references resolve ambiguously in a self-join
     exploded = intervals.withColumn(
         "_bin",
         F.explode(
@@ -134,17 +137,20 @@ def interval_containment_join(
                 (F.col(start) / g).cast("long"), (F.col(end) / g).cast("long")
             )
         ),
-    )
-    pts = points.withColumn("_bin", (F.col(point_time) / g).cast("long"))
+    ).alias("_iv")
+    pts = points.withColumn(
+        "_bin", (F.col(point_time) / g).cast("long")
+    ).alias("_pt")
     cond = (
-        (pts[key] == exploded[key])
-        & (pts["_bin"] == exploded["_bin"])
-        & (pts[point_time] >= exploded[start])
-        & (pts[point_time] <= exploded[end])
+        (F.col(f"_pt.{key}") == F.col(f"_iv.{key}"))
+        & (F.col("_pt._bin") == F.col("_iv._bin"))
+        & (F.col(f"_pt.{point_time}") >= F.col(f"_iv.{start}"))
+        & (F.col(f"_pt.{point_time}") <= F.col(f"_iv.{end}"))
     )
-    return (
-        pts.join(exploded, cond, how)
-        .drop(pts["_bin"])
-        .drop(exploded["_bin"])
-        .drop(exploded[key])
+    iv_payload = [
+        c for c in intervals.columns if c != key
+    ]
+    return pts.join(exploded, cond, how).select(
+        *[F.col(f"_pt.{c}") for c in points.columns if c != "_bin"],
+        *[F.col(f"_iv.{c}") for c in iv_payload],
     )
