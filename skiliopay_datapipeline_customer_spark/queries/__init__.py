@@ -80,6 +80,7 @@ _FORCE = {
     "fk_integrity_report": 3,
     "doc_chunk_assignments": 3,
     "event_props_rollup": 3,
+    "corpus_build_pipeline": 3,
 }
 
 _PRIORITY = [

@@ -161,3 +161,81 @@ def dedup_survivors(spark, sf_dir):
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# The assembled corpus build — the LLM-extension flagship: near-dedup
+# (keep-min-id survivors) ∩ per-language top-quartile quality ∩ mixture
+# sample, composed as ONE lazy plan (Catalyst fuses the three filters; the
+# corpus is scanned once for scoring, once inside the dedup pair tier).
+# The oracle replays all three stages over the identical fragments the
+# stage-level oracles use, so the composition is verified end-to-end, not
+# just piecewise.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_build_pipeline",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, len(t) - 2),
+               i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
+      FROM (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+      )
+    ),
+    e0 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM e0
+      UNION SELECT id_b, id_a FROM e0
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+    scored AS (
+      -- quality is scored over the DEDUPED corpus: per-language quartile
+      -- thresholds shift when losers are excluded, matching pipeline order
+      SELECT doc_id, lang, {_QUALITY_SQL} AS quality FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM lab WHERE node <> cluster)
+    ),
+    ranked AS (
+      SELECT doc_id, lang, quality,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM scored
+    )
+    SELECT r.doc_id, r.lang, r.quality,
+           CAST('0x' || substr(md5('mix:' || CAST(r.doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 100 AS mix_bucket
+    FROM ranked r
+    WHERE (r.rk - 1) * 4 <= (r.n - 1)
+      AND CAST('0x' || substr(md5('mix:' || CAST(r.doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 100 < {_mix_rate_case().replace('lang', 'r.lang')}
+    ORDER BY r.doc_id
+    """,
+)
+def corpus_build_pipeline(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.9, shingle_n=3)
+    deduped = D.survivors(docs, pairs)
+    scored = deduped.select(
+        "doc_id", "lang", T.quality_score(F.col("text")).alias("quality")
+    )
+    gated = SM.group_top_fraction(scored, "lang", "quality", "doc_id", 1, 4)
+    return (
+        SM.stratified_sample(gated, "lang", _MIX_RATES, id_col="doc_id")
+        .select("doc_id", "lang", "quality", "mix_bucket")
+        .orderBy("doc_id")
+    )
