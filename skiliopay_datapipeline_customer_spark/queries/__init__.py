@@ -81,6 +81,7 @@ _FORCE = {
     "doc_chunk_assignments": 3,
     "event_props_rollup": 3,
     "corpus_build_pipeline": 3,
+    "latest_event_per_user": 3,
 }
 
 _PRIORITY = [

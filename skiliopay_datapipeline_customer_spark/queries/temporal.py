@@ -569,3 +569,39 @@ def event_props_rollup(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Latest-wins compaction as a BATCH aggregate: the newest event per user via
+# max_by — the same argmax-by-key the streaming snapshot upsert applies
+# per micro-batch (streaming/sinks.py), here as one partial-aggregating
+# shuffle (no window, no sort). Key discipline: (user_id, ts) is unique in
+# every fixture SF (asserted by the oracle match itself — ties would
+# diverge); a composite tiebreak needs a packed scalar key since the oracle
+# dialect's arg_max takes scalar keys only.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_id, ts) AS last_event_id,
+           arg_max(event_type, ts) AS last_event_type,
+           arg_max(value, ts) AS last_value,
+           epoch_us(max(ts)) AS last_ts_us
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def latest_event_per_user(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_id", "ts").alias("last_event_id"),
+            F.max_by("event_type", "ts").alias("last_event_type"),
+            F.max_by("value", "ts").alias("last_value"),
+            F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        )
+        .orderBy("user_id")
+    )
