@@ -216,3 +216,51 @@ def test_stratified_sample_monotone_in_rate(spark, ids, r1, r2):
         assert b == set(ids)
     if lo == 0:
         assert a == set()
+
+
+# --- interval-containment join vs brute force ------------------------------
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.integers(1, 3),                      # key
+        st.integers(0, 10**7),                  # start
+        st.integers(0, 4 * 86_400_000_000),     # length
+    ),
+    min_size=1,
+    max_size=12,
+)
+POINTS = st.lists(
+    st.tuples(st.integers(1, 4), st.integers(0, 5 * 86_400_000_000)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(ivs=INTERVALS, pts=POINTS)
+@SETTINGS
+def test_interval_join_matches_brute_force(spark, ivs, pts):
+    from skiliopay_datapipeline_customer_spark.operators.joins import (
+        interval_containment_join,
+    )
+
+    intervals = spark.createDataFrame(
+        [(k, i, s, s + ln) for i, (k, s, ln) in enumerate(ivs)],
+        "k long, iv_id long, s long, e long",
+    )
+    points = spark.createDataFrame(
+        [(k, i, t) for i, (k, t) in enumerate(pts)],
+        "k long, pt_id long, t long",
+    )
+    got = {
+        (r.pt_id, r.iv_id)
+        for r in interval_containment_join(
+            points, intervals, "k", "t", "s", "e"
+        ).collect()
+    }
+    want = {
+        (pi, ii)
+        for ii, (ik, s, ln) in enumerate(ivs)
+        for pi, (pk, t) in enumerate(pts)
+        if pk == ik and s <= t <= s + ln
+    }
+    assert got == want
