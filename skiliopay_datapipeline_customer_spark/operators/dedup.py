@@ -490,6 +490,8 @@ def survivors(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    max_iters: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """The corpus AFTER near-dedup: every document except non-canonical
     near-dup cluster members (keep-min-id policy — the cluster label IS the
@@ -502,7 +504,9 @@ def survivors(
     through. Scale posture: the loser list is pair-sized (tiny next to the
     corpus) and the anti-join shuffles on the id key once.
     """
-    labels = connected_components(pairs, id_a=id_a, id_b=id_b)
+    labels = connected_components(
+        pairs, id_a=id_a, id_b=id_b, max_iters=max_iters, strict=strict
+    )
     losers = labels.filter(F.col("node") != F.col("cluster")).select(
         F.col("node").alias(id_col)
     )

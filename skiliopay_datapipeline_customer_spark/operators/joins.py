@@ -126,6 +126,10 @@ def interval_containment_join(
     interval length: much smaller explodes interval rows, much larger
     degrades toward the per-key cross product.
     """
+    if how not in ("inner", "left"):
+        # the interval side is bin-exploded: an unmatched interval would
+        # surface once PER COVERED BIN under right/full outer joins
+        raise ValueError("interval_containment_join supports how='inner'/'left'")
     g = F.lit(int(bin_micros))
     # explicit aliases: both sides often derive from the same scan (e.g.
     # sessions and purchases both cut from the events table), and

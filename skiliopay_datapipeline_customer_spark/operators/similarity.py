@@ -615,6 +615,13 @@ def train_pq_codebooks(
         .collect()
     )
     X = np.asarray([[float(x) for x in r[0]] for r in rows])
+    # codebooks live on the UNIT SPHERE: vectors are L2-normalized before
+    # encoding (see pq_adc_topk), which makes squared-L2 monotone with
+    # cosine (||a-b||^2 = 2 - 2 cos for unit a, b) — the ADC candidate cut
+    # and the exact cosine re-rank then agree on ordering
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X = X / norms
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -622,8 +629,11 @@ def train_pq_codebooks(
     books = []
     for j in range(m):
         S = X[:, j * dsub : (j + 1) * dsub]
-        # deterministic init: first k distinct sample rows of the subspace
-        C = S[:k].copy()
+        # deterministic init: first k DISTINCT sample rows of the subspace
+        # (duplicate seeds would start Lloyd with coincident centroids that
+        # never separate)
+        uniq = S[np.sort(np.unique(S, axis=0, return_index=True)[1])]
+        C = uniq[:k].copy()
         for _ in range(n_iters):
             d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
@@ -641,7 +651,10 @@ def pq_encode(vec_col, codebooks: list[list[list[float]]]):
     shuffle, no UDF — encoding a 100 TB corpus is a single scan."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    v = as_double(vec_col)
+    raw = as_double(vec_col)
+    nrm = norm(raw)
+    # unit-normalize to match the codebook space (zero vectors pass through)
+    v = F.when(nrm > 0, F.transform(raw, lambda x: x / nrm)).otherwise(raw)
     codes = []
     for j, book in enumerate(codebooks):
         sub = F.slice(v, j * dsub + 1, dsub)
@@ -679,12 +692,15 @@ def pq_adc_topk(
     )
     qrow = query_vec_df.select(vec_col).first()
     qvec = [float(x) for x in qrow[0]]
+    qn = math.sqrt(sum(x * x for x in qvec)) or 1.0
+    qvec_n = [x / qn for x in qvec]
     dsub = len(qvec) // m
-    # driver-side ADC table: dist(query_sub_j, codeword_jk)
+    # driver-side ADC table: dist(normalized query_sub_j, codeword_jk) —
+    # in the unit-sphere code space this ranking is cosine-consistent
     table = [
         [
             sum(
-                (qvec[j * dsub + i] - book[c][i]) ** 2 for i in range(dsub)
+                (qvec_n[j * dsub + i] - book[c][i]) ** 2 for i in range(dsub)
             )
             for c in range(len(book))
         ]

@@ -381,16 +381,20 @@ def chunk_assignments(
     (doc, chunk): chunk_id, token start offset, chunk length.
 
     Stride = chunk_tokens - overlap; the final chunk is the short
-    remainder (trainers pad it). Map-only: per-row sequence + explode, no
-    shuffle, no state — the chunk set for a doc is a pure function of its
-    token count, so re-runs and the SQL oracle agree exactly.
+    remainder (trainers pad it). A start only spawns a chunk if it adds at
+    least one NEW token beyond the overlap — a remainder <= overlap is
+    already fully contained in the previous chunk, and emitting it would
+    duplicate training data (sequence upper bound n-1-overlap). Map-only:
+    per-row sequence + explode, no shuffle, no state — the chunk set for a
+    doc is a pure function of its token count, so re-runs and the SQL
+    oracle agree exactly.
     """
     stride = chunk_tokens - overlap
     if stride <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
     n = F.size(tokens(F.col(text_col)))
     starts = F.sequence(
-        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+        F.lit(0), F.greatest(n - 1 - overlap, F.lit(0)), F.lit(stride)
     )
     out = df.select(
         F.col(id_col),

@@ -82,6 +82,7 @@ _FORCE = {
     "event_props_rollup": 3,
     "corpus_build_pipeline": 3,
     "latest_event_per_user": 3,
+    "ivf_pq_ann_topk": 3,
 }
 
 _PRIORITY = [

@@ -62,16 +62,9 @@ def corpus_mixture_sample(spark, sf_dir):
 # so a dominant language never becomes a single sort task.
 # ---------------------------------------------------------------------------
 
-_QUALITY_SQL = """
-      round(
-        least(length(text) / 200.0, 1.0) * 0.4
-        + (len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-               t -> t IN ('the','a','of','and','to'))) * 1.0
-           / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)) * 0.4
-        + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
-                 / greatest(length(text), 1)) * 0.2,
-      6)
-"""
+# single-source oracle fragment for the composite quality score — shared
+# with queries/text.py (where it is defined next to its Spark twin)
+from .text import QUALITY_SQL as _QUALITY_SQL  # noqa: E402
 
 
 @query(

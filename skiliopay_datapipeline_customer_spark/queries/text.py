@@ -71,10 +71,10 @@ def language_id(spark, sf_dir):
 # Quality scoring: length/stopword/punctuation composite.
 
 
-@query(
-    "quality_scores",
-    oracle="""
-    SELECT doc_id,
+# The composite quality score's oracle fragment — the single source shared
+# by quality_scores here and the corpus queries (queries/corpus.py); it
+# mirrors operators/textops.py::quality_score and must change in lockstep.
+QUALITY_SQL = """
       round(
         least(length(text) / 200.0, 1.0) * 0.4
         + (len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
@@ -82,7 +82,14 @@ def language_id(spark, sf_dir):
            / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)) * 0.4
         + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
                  / greatest(length(text), 1)) * 0.2,
-      6) AS quality
+      6)
+"""
+
+
+@query(
+    "quality_scores",
+    oracle=f"""
+    SELECT doc_id, {QUALITY_SQL} AS quality
     FROM documents
     ORDER BY doc_id
     """,
@@ -511,7 +518,7 @@ def benchmark_contamination(spark, sf_dir):
     ),
     c AS (
       SELECT doc_id, n_tokens,
-             unnest(generate_series(0, greatest(n_tokens - 1, 0), 12))
+             unnest(generate_series(0, greatest(n_tokens - 1 - 4, 0), 12))
                AS chunk_start
       FROM t
     )

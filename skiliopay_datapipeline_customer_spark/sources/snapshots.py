@@ -53,13 +53,18 @@ def snapshot_diff(
     hashes, so the filter stays in whole-stage codegen and short-circuits
     on the first differing column.
     """
+    # presence LITERALS, not key nullness: a NULL-keyed row is still a row,
+    # and using key IS NOT NULL as the row-presence flag would misclassify
+    # it (an old-only NULL-keyed row would read as 'added')
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
         *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(True).alias("_o_present"),
     )
     n = new.select(
         *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
         *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(True).alias("_n_present"),
     )
     cond = None
     for k in key_cols:
@@ -67,8 +72,8 @@ def snapshot_diff(
         cond = c if cond is None else (cond & c)
     joined = o.join(n, cond, "full_outer")
 
-    in_old = F.col(f"_ok_{key_cols[0]}").isNotNull()
-    in_new = F.col(f"_nk_{key_cols[0]}").isNotNull()
+    in_old = F.coalesce(F.col("_o_present"), F.lit(False))
+    in_new = F.coalesce(F.col("_n_present"), F.lit(False))
     differs = F.lit(False)
     for c in compare_cols:
         differs = differs | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))

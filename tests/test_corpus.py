@@ -156,3 +156,20 @@ def test_fk_integrity_report_detects_planted_orphans(spark, tmp_path):
     assert row.order_orphans == 1          # o_custkey 777
     assert row.customer_orphans == 1       # c_nationkey 42
     assert row.customers_without_orders == 1  # c_custkey 101
+
+
+def test_snapshot_diff_null_keys_use_presence_not_key_nullness(spark):
+    from skiliopay_datapipeline_customer_spark.sources.snapshots import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([(None, "x", 1.0)], "k long, t string, v double")
+    new = spark.createDataFrame(
+        [(1, "y", 2.0)], "k long, t string, v double"
+    )
+    got = {
+        (r.k, r.status)
+        for r in snapshot_diff(old, new, ["k"], ["t", "v"]).collect()
+    }
+    # the NULL-keyed old row is REMOVED (it exists only in old), never 'added'
+    assert got == {(None, "removed"), (1, "added")}

@@ -354,16 +354,14 @@ def test_group_top_fraction_plan_has_no_global_window(spark, sf_dir):
         "doc_id", "lang", F.col("n_chars").cast("double").alias("score")
     )
     kept = group_top_fraction(docs, "lang", "score", "doc_id")
-    plan = kept._jdf.queryExecution().executedPlan().toString()
-    import re
-
-    for m in re.finditer(r"Window \[(.*?)\]", plan):
-        assert "_pid" in m.group(0) or "partitionBy" not in m.group(0)
-    # stronger: every windowspecdefinition in the optimized plan names _pid
+    # every windowspecdefinition in the optimized plan must key on _pid
     opt = kept._jdf.queryExecution().optimizedPlan().toString()
-    for line in opt.splitlines():
-        if "windowspecdefinition" in line:
-            assert "_pid" in line, line
+    window_lines = [
+        line for line in opt.splitlines() if "windowspecdefinition" in line
+    ]
+    assert window_lines, "expected a window in the two-pass rank plan"
+    for line in window_lines:
+        assert "_pid" in line, line
 
 
 def test_stratified_sample_plan_is_shuffle_free(spark, sf_dir):
