@@ -264,3 +264,43 @@ def test_interval_join_matches_brute_force(spark, ivs, pts):
         if pk == ik and s <= t <= s + ln
     }
     assert got == want
+
+
+# --- snapshot diff vs a pandas reference -----------------------------------
+
+SNAP = st.lists(
+    st.tuples(
+        st.integers(0, 15),                       # key
+        st.sampled_from(["a", "b", None]),        # t
+        st.sampled_from([1.0, 2.0, None]),        # v
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(old=SNAP, new=SNAP)
+@SETTINGS
+def test_snapshot_diff_matches_reference(spark, old, new):
+    from skiliopay_datapipeline_customer_spark.sources.snapshots import (
+        snapshot_diff,
+    )
+
+    schema = "k long, t string, v double"
+    odf = spark.createDataFrame(old, schema)
+    ndf = spark.createDataFrame(new, schema)
+    got = {
+        r.k: r.status for r in snapshot_diff(odf, ndf, ["k"], ["t", "v"]).collect()
+    }
+    om = {k: (t, v) for k, t, v in old}
+    nm = {k: (t, v) for k, t, v in new}
+    want = {}
+    for k in om.keys() | nm.keys():
+        if k not in om:
+            want[k] = "added"
+        elif k not in nm:
+            want[k] = "removed"
+        elif om[k] != nm[k]:
+            want[k] = "changed"
+    assert got == want
