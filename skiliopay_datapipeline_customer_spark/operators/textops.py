@@ -412,3 +412,114 @@ def chunk_assignments(
         .cast("long")
         .alias("chunk_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training. The corpus never leaves the cluster:
+# each merge round is one pair-count aggregation (explode adjacent symbol
+# pairs weighted by word frequency, groupBy, sum) of which only the single
+# argmax row reaches the driver; the chosen merge applies as a map-side
+# fold over the symbol arrays. Lineage is localCheckpoint-bounded like
+# connected_components. Greedy left-to-right, non-overlapping within a
+# round; ties break on (count desc, left, right) so training is
+# deterministic.
+# ---------------------------------------------------------------------------
+
+
+def word_frequencies(df, text_col: str = "text"):
+    """(word, cnt, syms) — the BPE working set: distinct words with corpus
+    frequencies and their character-symbol arrays."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "syms", F.filter(F.split(F.col("w"), ""), lambda s: s != "")
+        )
+    )
+
+
+def symbol_pair_counts(words):
+    """Adjacent-pair frequencies over the (word, cnt, syms) working set —
+    the per-round BPE kernel: explode zip(syms, tail(syms)), weight by
+    word count. One shuffle."""
+    pairs = words.select(
+        "cnt",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "cnt")
+        .groupBy("l", "r")
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def _merge_pair_expr(syms_col, left: str, right: str):
+    """Apply one merge rule to a symbol array: greedy left-to-right fold —
+    when the carried symbol is `left` and the current is `right`, emit the
+    merged symbol and clear the carry (a merged symbol never re-pairs
+    within the same round)."""
+    l, r = F.lit(left), F.lit(right)
+    merged = F.lit(left + right)
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit("").alias("carry")
+    )
+    step = lambda acc, s: F.when(  # noqa: E731
+        (acc["carry"] == l) & (s == r),
+        F.struct(
+            F.concat(acc["out"], F.array(merged)).alias("out"),
+            F.lit("").alias("carry"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.when(
+                acc["carry"] == "", acc["out"]
+            ).otherwise(F.concat(acc["out"], F.array(acc["carry"]))).alias("out"),
+            s.alias("carry"),
+        )
+    )
+    fin = lambda acc: F.when(  # noqa: E731
+        acc["carry"] == "", acc["out"]
+    ).otherwise(F.concat(acc["out"], F.array(acc["carry"])))
+    return F.aggregate(syms_col, init, step, fin)
+
+
+def bpe_train(
+    df,
+    text_col: str = "text",
+    n_merges: int = 30,
+    checkpoint_interval: int = 5,
+) -> list[tuple[int, str, str]]:
+    """Train `n_merges` BPE merge rules on the corpus. Returns
+    [(rank, left, right)]; stops early when no pair repeats."""
+    words = word_frequencies(df, text_col).persist()
+    cached = words
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(n_merges):
+        best = (
+            symbol_pair_counts(words)
+            .orderBy(F.desc("pair_count"), "l", "r")
+            .first()
+        )
+        if best is None or best["pair_count"] < 2:
+            break
+        merges.append((rank, best["l"], best["r"]))
+        new_words = words.withColumn(
+            "syms", _merge_pair_expr(F.col("syms"), best["l"], best["r"])
+        )
+        if (rank + 1) % checkpoint_interval == 0:
+            new_words = new_words.localCheckpoint(eager=True)
+        else:
+            new_words = new_words.persist()
+        cached.unpersist()
+        cached = new_words
+        words = new_words
+    cached.unpersist()
+    return merges

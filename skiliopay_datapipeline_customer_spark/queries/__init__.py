@@ -83,6 +83,8 @@ _FORCE = {
     "corpus_build_pipeline": 3,
     "latest_event_per_user": 3,
     "ivf_pq_ann_topk": 3,
+    "bpe_pair_counts": 3,
+    "bpe_merges": 3,
 }
 
 _PRIORITY = [

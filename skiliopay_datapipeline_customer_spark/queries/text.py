@@ -537,3 +537,41 @@ def doc_chunk_assignments(spark, sf_dir):
     return T.chunk_assignments(
         docs, chunk_tokens=16, overlap=4
     ).orderBy("doc_id", "chunk_id")
+
+
+# Distributed BPE training surface. The per-round kernel (adjacent symbol-
+# pair counts over the word-frequency working set) is oracle-checked; the
+# merge LOOP is rows-only (its per-round argmax feeds back into the next
+# round's plan — not expressible as one SQL statement) with exact
+# pure-Python reference parity asserted in tests/test_text_extra.py.
+
+
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ),
+    pairs AS (
+      SELECT w[i] AS l, w[i + 1] AS r, cnt
+      FROM words, unnest(range(1, length(w))) AS t(i)
+    )
+    SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY l, r
+    ORDER BY l, r
+    """,
+)
+def bpe_pair_counts(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    words = T.word_frequencies(docs)
+    return T.symbol_pair_counts(words).orderBy("l", "r")
+
+
+@query("bpe_merges")
+def bpe_merges(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    merges = T.bpe_train(docs, n_merges=16)
+    return spark.createDataFrame(merges, "rank int, left string, right string")

@@ -82,3 +82,64 @@ def test_contamination_report_planted_overlap(spark):
     }
     assert got[10][1] and got[10][0] >= 1
     assert got[11] == (0, False)
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python BPE with the same tiebreak (count desc, then (l, r))."""
+    from collections import Counter
+
+    freq = Counter(t for text in texts for t in text.strip().lower().split() if t)
+    words = {w: list(w) for w in freq}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (l, r), _ = best
+        merges.append((rank, l, r))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from skiliopay_datapipeline_customer_spark.operators.textops import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+        "wide wider widest wide",
+        "low new wide lowest newest",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = bpe_train(df, n_merges=12)
+    want = _bpe_reference(texts, 12)
+    assert got == want
+    assert len(got) >= 8  # the fixture genuinely trains several merges
+
+
+def test_bpe_train_on_documents_table(spark, sf_dir):
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.operators.textops import bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8, checkpoint_interval=3)
+    assert len(merges) == 8
+    ranks = [m[0] for m in merges]
+    assert ranks == list(range(8))
+    # merged tokens grow: later merges may reference earlier merge outputs
+    assert all(isinstance(l, str) and isinstance(r, str) for _, l, r in merges)
