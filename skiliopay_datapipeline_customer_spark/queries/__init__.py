@@ -85,6 +85,7 @@ _FORCE = {
     "ivf_pq_ann_topk": 3,
     "bpe_pair_counts": 3,
     "bpe_merges": 3,
+    "semantic_dedup_survivors": 3,
 }
 
 _PRIORITY = [

@@ -281,6 +281,69 @@ def embedding_int8_codes(spark, sf_dir):
     )
 
 
+# Semantic dedup survivors (SemDeDup shape — Abbas et al. 2023,
+# arXiv:2303.09540): embedding-cosine near-dup pairs -> connected components
+# -> keep the min-id representative of each semantic cluster. This is the
+# embedding tier of the dedup ladder, with the SAME keep-min-id survivor
+# semantics as the text tiers (reference keep='first' drop_duplicates,
+# src/processing/etl_pipeline.py:141-149, lifted to near-dup clusters).
+#
+# Scale posture: at 100 TB the pair list comes from the banded-LSH tier
+# (lsh_dup_pairs) instead of the exact all-pairs kernel; components are
+# min-label propagation with checkpointed lineage (operators/dedup.py), and
+# the survivor filter is one pair-sized anti-join against the corpus. The
+# declared query runs the exact pair tier so the DuckDB oracle (transitive
+# closure via recursive CTE) can hash-check the full composition.
+
+_SEMDEDUP_THRESHOLD = 0.45
+
+
+@query(
+    "semantic_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE sims AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             , 6) >= {_SEMDEDUP_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM sims
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM sims
+    ),
+    reach(node, r) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    ),
+    labels AS (
+      SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.node
+    WHERE l.node IS NULL OR l.cluster = e.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def semantic_dedup_survivors(spark, sf_dir):
+    from ..operators.dedup import survivors
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_dup_pairs(emb, threshold=_SEMDEDUP_THRESHOLD)
+    return (
+        survivors(emb, pairs, id_col="vec_id")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
 # IVF-PQ ANN: coarse probe -> asymmetric-distance scan over product-
 # quantization codes -> exact re-rank. Codebooks/centroids are data-derived
 # (driver-fitted model) -> rows-only check; the pytest suite carries the

@@ -148,3 +148,42 @@ def test_ivf_pq_recall_on_planted_clusters(spark):
         for r in S.pq_adc_topk(df, q, k=10, n_probe=8, rerank=100).collect()
     ]
     assert len(set(exact) & set(full)) / 10 >= 0.9
+
+
+def test_semantic_dedup_survivors_on_planted_clusters(spark):
+    """SemDeDup-shape semantics on planted structure: three tight semantic
+    clusters plus isolated vectors -> exactly one (min-id) survivor per
+    cluster, every isolated vector untouched, and each dropped vector is
+    near-dup-reachable from its cluster's survivor."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from skiliopay_datapipeline_customer_spark.operators import similarity as S
+    from skiliopay_datapipeline_customer_spark.operators.dedup import survivors
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(3, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    i = 0
+    for c in range(3):  # 5 near-copies per semantic cluster
+        for _ in range(5):
+            v = centers[c] + 0.02 * rng.normal(size=32)
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    for _ in range(4):  # isolated vectors, mutually near-orthogonal
+        v = rng.normal(size=32)
+        rows.append((i, [float(x) for x in v]))
+        i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = S.cosine_dup_pairs(df, threshold=0.9)
+    kept = sorted(
+        r.vec_id for r in survivors(df, pairs, id_col="vec_id").collect()
+    )
+    assert kept == [0, 5, 10, 15, 16, 17, 18]
+
+    # dropped ids are exactly the non-min members of each planted cluster,
+    # i.e. the pair list connects each of them to a smaller surviving id
+    dropped = sorted(set(range(i)) - set(kept))
+    assert dropped == [1, 2, 3, 4, 6, 7, 8, 9, 11, 12, 13, 14]
