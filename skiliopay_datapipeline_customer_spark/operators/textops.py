@@ -523,3 +523,69 @@ def bpe_train(
         words = new_words
     cached.unpersist()
     return merges
+
+
+def bpe_encode(
+    df,
+    merges: list[tuple[int, str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Tokenize each document with trained BPE merge rules; returns
+    (id, tokens array<string>, n_tokens).
+
+    The classic encoder: split each word to characters, then repeatedly
+    apply the LOWEST-RANK applicable merge until none applies — exactly the
+    order the rules were learned, so encode(train_corpus) reproduces the
+    training segmentation.
+
+    Scale posture: the merge table is model-sized (a few k rules) and ships
+    to executors inside the closure — no join, no shuffle; encoding is
+    map-only over the corpus via Arrow-batched ``mapInPandas``. Within a
+    batch, word→tokens results are memoized: natural text repeats words
+    heavily (Zipf), so the per-row cost collapses to a dict lookup for all
+    but first occurrences. Python-side because rank-order merging is a
+    per-word loop with a data-dependent trip count — not expressible as a
+    bounded Column fold; the TRAINING kernel stays native (bpe_train)."""
+    ranks = {(l, r): k for k, l, r in merges}
+    out_schema = f"{id_col} long, tokens array<string>, n_tokens int"
+
+    def encode_word(word: str, memo: dict) -> list[str]:
+        got = memo.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(syms) - 1):
+                rk = ranks.get((syms[i], syms[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_rank, best_i = rk, i
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        memo[word] = syms
+        return syms
+
+    def encode(batches):
+        import pandas as pd
+
+        memo: dict = {}
+        for pdf in batches:
+            toks = []
+            for text in pdf[text_col]:
+                words = (text or "").lower().split()
+                doc: list[str] = []
+                for w in words:
+                    doc.extend(encode_word(w, memo))
+                toks.append(doc)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "tokens": toks,
+                    "n_tokens": [len(t) for t in toks],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(encode, schema=out_schema)

@@ -86,6 +86,7 @@ _FORCE = {
     "bpe_pair_counts": 3,
     "bpe_merges": 3,
     "semantic_dedup_survivors": 3,
+    "bpe_encoded_docs": 3,
 }
 
 _PRIORITY = [

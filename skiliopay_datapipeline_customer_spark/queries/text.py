@@ -575,3 +575,16 @@ def bpe_merges(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     merges = T.bpe_train(docs, n_merges=16)
     return spark.createDataFrame(merges, "rank int, left string, right string")
+
+
+# Encoding tier of the tokenizer: apply the trained merge rules to the
+# corpus. Rows-only (the merge table is data-derived; training feedback
+# isn't one SQL statement) — exact pure-Python reference parity and the
+# reconstruction invariant are asserted in tests/test_text_extra.py.
+
+
+@query("bpe_encoded_docs")
+def bpe_encoded_docs(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    merges = T.bpe_train(docs, n_merges=16)
+    return T.bpe_encode(docs, merges).orderBy("doc_id")

@@ -143,3 +143,53 @@ def test_bpe_train_on_documents_table(spark, sf_dir):
     assert ranks == list(range(8))
     # merged tokens grow: later merges may reference earlier merge outputs
     assert all(isinstance(l, str) and isinstance(r, str) for _, l, r in merges)
+
+
+def test_bpe_encode_matches_reference_and_reconstructs(spark):
+    """Encoding invariants: (a) concatenating a word's subword tokens
+    reproduces the word for every document; (b) the distributed encoder
+    matches a pure-Python reference encoder applying the same rank-ordered
+    merge rules; (c) encode() on the training corpus uses merged symbols
+    (compression actually happened)."""
+    from skiliopay_datapipeline_customer_spark.operators import textops as T
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cats sat on the mats"),
+        (2, "that hat is the cat hat"),
+        (3, "mats and hats and cats"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = T.bpe_train(df, n_merges=10)
+    assert merges and merges[0][0] == 0
+
+    got = {
+        r.doc_id: list(r.tokens)
+        for r in T.bpe_encode(df, merges).collect()
+    }
+
+    ranks = {(l, r): k for k, l, r in merges}
+
+    def ref_word(word):
+        syms = list(word)
+        while len(syms) > 1:
+            cands = [
+                (ranks[(syms[i], syms[i + 1])], i)
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks
+            ]
+            if not cands:
+                break
+            _, i = min(cands)
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        return syms
+
+    for doc_id, text in rows:
+        words = text.lower().split()
+        expected = [s for w in words for s in ref_word(w)]
+        assert got[doc_id] == expected
+        # reconstruction: tokens concatenate back to the original words
+        assert "".join(expected) == "".join(words)
+
+    # compression happened: at least one multi-char token appears
+    assert any(len(t) > 1 for toks in got.values() for t in toks)
