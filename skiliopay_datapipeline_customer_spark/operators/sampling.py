@@ -106,3 +106,58 @@ def group_top_fraction(
         )
         .drop("_gr", "_base", "_n")
     )
+
+
+def hash_order_key(col, salt: str = "order"):
+    """Deterministic engine-portable 60-bit sort key: first 15 hex chars of
+    md5(salt ':' id) — DuckDB mirrors it with
+    ``CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)``."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def shard_assignments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shard",
+    order_salt: str = "order",
+) -> DataFrame:
+    """Deterministic global shuffle + shard layout for training-data writes:
+    (id, shard, pos) where ``shard`` is an md5 bucket of the id and ``pos``
+    is the row's 1-based position within its shard under a SECOND salted
+    hash order. Reading shards sequentially therefore yields a reproducible
+    pseudo-random permutation of the corpus — the "global shuffle" training
+    epochs need, without any RNG state or partition-placement dependence
+    (re-runs and the DuckDB oracle produce the identical layout).
+
+    Plan shape: the per-shard position comes from ONE range-partitioned
+    two-pass global rank over (shard, order_key, id) plus a broadcast of
+    per-shard min ranks — not a ``Window.partitionBy(shard)`` sort, which
+    would funnel each shard (corpus_size / n_shards rows, gigabytes at
+    100 TB) through a single task.
+    """
+    keyed = df.select(
+        F.col(id_col),
+        hash_bucket(F.col(id_col), salt=salt, modulus=n_shards)
+        .cast("int")
+        .alias("shard"),
+        hash_order_key(F.col(id_col), salt=order_salt).alias("_ok"),
+    )
+    ranked = global_rank_distributed(
+        keyed, [F.col("shard"), F.col("_ok"), F.col(id_col)], rank_col="_gr"
+    )
+    base = ranked.groupBy("shard").agg(F.min("_gr").alias("_base"))
+    return (
+        ranked.join(F.broadcast(base), "shard")
+        .select(
+            id_col,
+            "shard",
+            (F.col("_gr") - F.col("_base") + 1).alias("pos"),
+        )
+    )

@@ -87,6 +87,7 @@ _FORCE = {
     "bpe_merges": 3,
     "semantic_dedup_survivors": 3,
     "bpe_encoded_docs": 3,
+    "training_shard_assignments": 3,
 }
 
 _PRIORITY = [

@@ -232,3 +232,29 @@ def corpus_build_pipeline(spark, sf_dir):
         .select("doc_id", "lang", "quality", "mix_bucket")
         .orderBy("doc_id")
     )
+
+
+# Training-shard layout: deterministic global shuffle + shard assignment for
+# the final corpus write. Both hashes are md5-derived, so the oracle
+# reproduces the exact layout; pos is a per-shard dense 1..n sequence.
+
+
+@query(
+    "training_shard_assignments",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 8 AS INT) AS shard,
+             CAST('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS ok
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS pos
+    FROM h ORDER BY doc_id
+    """,
+)
+def training_shard_assignments(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return SM.shard_assignments(docs, n_shards=8).orderBy("doc_id")

@@ -173,3 +173,35 @@ def test_snapshot_diff_null_keys_use_presence_not_key_nullness(spark):
     }
     # the NULL-keyed old row is REMOVED (it exists only in old), never 'added'
     assert got == {(None, "removed"), (1, "added")}
+
+
+def test_shard_assignments_layout_invariants(spark):
+    """Shard layout is a valid reproducible global shuffle: every id appears
+    once, pos is a dense 1..n sequence per shard, shards are roughly
+    balanced, and the layout is identical across runs."""
+    from skiliopay_datapipeline_customer_spark.operators.sampling import (
+        shard_assignments,
+    )
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = shard_assignments(df, n_shards=4).collect()
+    assert len(out) == 1000
+    assert {r.doc_id for r in out} == set(range(1000))
+
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+        assert 150 < len(positions) < 350  # md5 balance, not skewed
+
+    # the within-shard order is a shuffle, not id order
+    id_by_pos = {
+        (r.shard, r.pos): r.doc_id for r in out
+    }
+    shard0 = [id_by_pos[(0, p)] for p in range(1, len(by_shard[0]) + 1)]
+    assert shard0 != sorted(shard0)
+
+    again = shard_assignments(df, n_shards=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
