@@ -88,6 +88,7 @@ _FORCE = {
     "semantic_dedup_survivors": 3,
     "bpe_encoded_docs": 3,
     "training_shard_assignments": 3,
+    "click_attribution_window": 3,
 }
 
 _PRIORITY = [

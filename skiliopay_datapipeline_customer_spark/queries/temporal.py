@@ -605,3 +605,40 @@ def latest_event_per_user(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# Batch twin of the watermarked stream-stream join: purchases joined to the
+# same user's clicks within the 30-minute attribution window. The streaming
+# path runs the IDENTICAL transform with watermarks on both sides
+# (streaming/transforms.py::click_purchase_attribution); this oracle-checked
+# form proves the join semantics.
+
+
+@query(
+    "click_attribution_window",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           round(p.value, 4) AS purchase_value,
+           c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ORDER BY purchase_id, click_id
+    """,
+)
+def click_attribution_window(spark, sf_dir):
+    from ..streaming.transforms import click_purchase_attribution
+
+    events = table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return (
+        click_purchase_attribution(clicks, purchases)
+        .withColumn("purchase_value", F.round("purchase_value", 4))
+        .orderBy("purchase_id", "click_id")
+    )

@@ -17,6 +17,7 @@ frames (the batch twins in queries/temporal.py are the correctness oracle).
 
 from .sources import EVENTS_SCHEMA, events_stream
 from .transforms import (
+    click_purchase_attribution,
     dedup_events,
     running_user_totals,
     session_stats,
@@ -33,6 +34,7 @@ __all__ = [
     "session_stats",
     "dedup_events",
     "running_user_totals",
+    "click_purchase_attribution",
     "run_available_now",
     "upsert_snapshot",
 ]

@@ -133,6 +133,49 @@ def running_user_totals(
     )
 
 
+def click_purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "30 minutes",
+    time_col: str = "ts",
+    watermark: str | None = "1 day",
+) -> DataFrame:
+    """Stream-stream INNER JOIN with event-time bounds: each purchase joins
+    the same user's clicks whose timestamp falls in
+    ``[purchase_ts - attribution_window, purchase_ts]`` — last-touch-style
+    attribution as a continuous join, not a batch backfill.
+
+    On streams BOTH sides carry watermarks and the BETWEEN condition bounds
+    event time in both directions, which is exactly what Spark needs to
+    expire join state: a buffered click is dropped once the purchase-side
+    watermark passes ``click_ts + attribution_window``. State is therefore
+    (click rate × window) per partition, independent of stream lifetime.
+    On batch frames the same code is a plain equi+range join, the
+    DuckDB-checked twin (``click_attribution_window``).
+    """
+    c = _maybe_watermark(clicks, time_col, watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col(time_col).alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = _maybe_watermark(purchases, time_col, watermark).select(
+        F.col("user_id").alias("user_id"),
+        F.col(time_col).alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    bound = F.expr(f"click_ts + INTERVAL {attribution_window}")
+    return p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= bound),
+        "inner",
+    ).select(
+        "user_id", "purchase_id", "purchase_ts", "purchase_value", "click_id", "click_ts"
+    )
+
+
 def dedup_events(
     df: DataFrame,
     keys: list[str] | None = None,

@@ -299,3 +299,36 @@ def test_apply_in_pandas_with_state_accumulates_across_batches(spark, sf_dir, tm
         .collect()
     }
     assert latest == expected
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, events_dir, tmp_path):
+    """Watermarked stream-stream inner join (click -> purchase attribution):
+    the streaming result over file-fed micro-batches equals the batch twin
+    on the same input — both sides buffered and joined across arrivals."""
+    from skiliopay_datapipeline_customer_spark.streaming import (
+        click_purchase_attribution,
+    )
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    s_clicks, s_purchases = split(events_stream(spark, events_dir))
+    out = str(tmp_path / "out")
+    run_available_now(
+        click_purchase_attribution(s_clicks, s_purchases),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+        out_dir=out,
+    )
+    got = _rows(spark.read.parquet(out), "purchase_id", "click_id")
+
+    b_clicks, b_purchases = split(spark.read.parquet(events_dir))
+    want = _rows(
+        click_purchase_attribution(b_clicks, b_purchases),
+        "purchase_id",
+        "click_id",
+    )
+    assert got == want and len(got) > 0
