@@ -94,3 +94,56 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, catalog_db):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("USE default")
+
+
+def test_zorder_layout_narrows_rowgroup_stats_on_both_columns(spark, tmp_path):
+    """Z-ordered files keep parquet min/max footprints narrow for BOTH curve
+    columns (skipping works for predicates on either), where a plain
+    single-column sort leaves the second column's per-file range at full
+    width (no skipping possible)."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    from skiliopay_datapipeline_customer_spark.sources.catalog import (
+        zorder_layout,
+    )
+
+    df = (
+        spark.range(0, 50_000)
+        .withColumn("x", (F.xxhash64("id", F.lit(1)) % 100_000).cast("double"))
+        .withColumn("y", (F.xxhash64("id", F.lit(2)) % 100_000).cast("double"))
+    )
+
+    def avg_coverage(path, col):
+        spans, lo, hi = [], None, None
+        for f in _glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col:
+                        st = c.statistics
+                        spans.append((st.min, st.max))
+        lo = min(s[0] for s in spans)
+        hi = max(s[1] for s in spans)
+        return sum(b - a for a, b in spans) / len(spans) / (hi - lo)
+
+    zpath = str(tmp_path / "zorder")
+    zorder_layout(df, ["x", "y"], zpath, max_records_per_file=2_000)
+    zx, zy = avg_coverage(zpath, "x"), avg_coverage(zpath, "y")
+
+    spath = str(tmp_path / "xsort")
+    (
+        df.repartitionByRange(8, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 2_000)
+        .parquet(spath)
+    )
+    sx, sy = avg_coverage(spath, "x"), avg_coverage(spath, "y")
+
+    # x-sort: perfect on x, useless on y
+    assert sx < 0.1 and sy > 0.8
+    # z-order: substantially narrow on BOTH dimensions
+    assert zx < 0.5 and zy < 0.5
+    assert zy < sy / 2
