@@ -131,29 +131,22 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_band_buckets(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
-    max_bucket_size: int = 1000,
 ) -> DataFrame:
-    """Candidate near-dup pairs via LSH banding. Returns (id_a, id_b, n_bands).
-
-    Shuffle profile: signature agg (k longs/doc) → explode into `bands` rows
-    keyed by (band_id, hash(band slice)) → self-join on bucket → pair counts.
-    At 100 TB: bucket sizes are the skew risk; AQE skew split plus the
-    bucket-size cap bound the pair blowup — one degenerate bucket (thousands
-    of identical or near-empty docs) would otherwise go quadratic. Buckets
-    over `max_bucket_size` are dropped before the self-join; their members
-    belong in the EXACT-dedup tier (identical content collides in every
-    band), which runs first in the ladder.
-    """
+    """(id, band, bucket) LSH banding rows — the joinable/persistable form of
+    a document's minhash signature. Feeds the full-corpus self-join
+    (:func:`minhash_lsh_candidates`) and, written to a parquet signature
+    store partitioned by band, the incremental ingestion tier
+    (:func:`incremental_lsh_candidates`)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -174,9 +167,33 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding. Returns (id_a, id_b, n_bands).
+
+    Shuffle profile: signature agg (k longs/doc) → explode into `bands` rows
+    keyed by (band_id, hash(band slice)) → self-join on bucket → pair counts.
+    At 100 TB: bucket sizes are the skew risk; AQE skew split plus the
+    bucket-size cap bound the pair blowup — one degenerate bucket (thousands
+    of identical or near-empty docs) would otherwise go quadratic. Buckets
+    over `max_bucket_size` are dropped before the self-join; their members
+    belong in the EXACT-dedup tier (identical content collides in every
+    band), which runs first in the ladder.
+    """
     # banded feeds the size agg AND both join sides — persist so the
     # signature pipeline (explode + k min-aggs) runs once, not three times
-    banded = banded.persist()
+    banded = minhash_band_buckets(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    ).persist()
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
     capped = banded.join(
         sizes.filter(F.col("_bsz") <= max_bucket_size), ["band", "bucket"]
@@ -196,6 +213,65 @@ def minhash_lsh_candidates(
         .agg(F.count("*").alias("n_bands"))
     )
     return materialize(pairs, banded)
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Ingestion-time dedup: candidate pairs for a NEW batch of documents
+    against a persistent signature ``store`` — (id, band, bucket) rows from
+    every prior batch (:func:`minhash_band_buckets`, written partitioned by
+    band) — plus within-batch pairs. Returns ``(pairs, store_additions)``:
+    append ``store_additions`` to the store after the batch commits.
+
+    Equivalence contract (tested): the pair set equals a FULL-corpus
+    :func:`minhash_lsh_candidates` run restricted to pairs touching a new
+    document — same bucket caps, same band counts — while touching only
+    O(batch) signature work and a bucket-keyed join against the store
+    (partition-pruned on band; historical text is never re-shingled,
+    re-hashed, or re-scanned).
+
+    This is the batch kernel of streaming dedup-at-ingestion: wrap it in
+    ``foreachBatch`` and the store becomes the cross-trigger state,
+    unbounded by watermark (unlike ``dropDuplicatesWithinWatermark``,
+    which forgets keys past the horizon).
+    """
+    nb = minhash_band_buckets(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_n
+    ).persist()
+    combined = nb.union(store.select(id_col, "band", "bucket"))
+    # bucket caps must count ALL members (store + batch) or the capped set
+    # would diverge from the full-corpus run's
+    sizes = combined.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
+    ok = sizes.filter(F.col("_bsz") <= max_bucket_size)
+    a = nb.join(ok, ["band", "bucket"]).drop("_bsz").alias("a")
+    b = combined.join(ok, ["band", "bucket"]).drop("_bsz").alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+            F.col("a.band").alias("band"),
+        )
+        .distinct()  # a within-batch pair collides from both sides
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+    return materialize(pairs, nb), minhash_band_buckets(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_n
+    )
 
 
 def ngram_jaccard_pairs(

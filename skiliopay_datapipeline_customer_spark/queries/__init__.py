@@ -89,6 +89,7 @@ _FORCE = {
     "bpe_encoded_docs": 3,
     "training_shard_assignments": 3,
     "click_attribution_window": 3,
+    "incremental_dedup_candidates": 3,
 }
 
 _PRIORITY = [

@@ -301,3 +301,21 @@ def dedup_clusters(spark, sf_dir):
         table(spark, sf_dir, "documents"), threshold=0.9, shingle_n=3
     )
     return D.connected_components(pairs).orderBy("node")
+
+
+# Ingestion-time dedup: the new half of the corpus deduped against a
+# signature store built from the historical half — no historical text is
+# re-shingled. xxhash64 band buckets are Spark-only -> rows-only; the
+# full-vs-incremental pair-set equivalence (same pairs, same n_bands as a
+# full-corpus run restricted to new docs) is asserted in
+# tests/test_corpus.py::test_incremental_lsh_matches_full_corpus_run.
+
+
+@query("incremental_dedup_candidates")
+def incremental_dedup_candidates(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    store = D.minhash_band_buckets(old)
+    pairs, _additions = D.incremental_lsh_candidates(new, store)
+    return pairs.orderBy("id_a", "id_b")

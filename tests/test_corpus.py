@@ -205,3 +205,44 @@ def test_shard_assignments_layout_invariants(spark):
 
     again = shard_assignments(df, n_shards=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_incremental_lsh_matches_full_corpus_run(spark, sf_dir, tmp_path):
+    """Dedup-at-ingestion equivalence: band buckets of the historical half
+    persisted as the signature store, then the new half deduped against it
+    must produce EXACTLY the full-corpus candidate pairs that touch a new
+    document — same pairs, same n_bands — without re-reading old text."""
+    from pyspark.sql import functions as F
+
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_buckets,
+        minhash_lsh_candidates,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    store_dir = str(tmp_path / "sig_store")
+    minhash_band_buckets(old).write.partitionBy("band").parquet(store_dir)
+    store = spark.read.parquet(store_dir)
+
+    pairs, additions = incremental_lsh_candidates(new, store)
+    got = {(r.id_a, r.id_b): r.n_bands for r in pairs.collect()}
+
+    full = minhash_lsh_candidates(docs)
+    want = {
+        (r.id_a, r.id_b): r.n_bands
+        for r in full.collect()
+        if r.id_a % 2 == 1 or r.id_b % 2 == 1
+    }
+    assert got == want and len(got) > 0
+
+    # appending the additions makes the store complete for the next batch
+    additions.write.mode("append").partitionBy("band").parquet(store_dir)
+    assert (
+        spark.read.parquet(store_dir).count()
+        == minhash_band_buckets(docs).count()
+    )
