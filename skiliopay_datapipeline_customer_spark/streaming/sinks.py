@@ -124,3 +124,70 @@ def upsert_snapshot(
         )
 
     return merge
+
+
+def dedup_ingest(
+    store_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+):
+    """Build a ``foreachBatch(batch_df, batch_id)`` that near-dedups each
+    micro-batch of documents AT INGESTION against the persistent signature
+    store (:func:`~..operators.dedup.incremental_lsh_candidates`), writes
+    the surviving documents, and appends the batch's band buckets so later
+    batches see it as history.
+
+    Survivor policy — first-seen wins, the streaming analogue of the batch
+    ladder's keep-min-id: a new document matching ANY historical document
+    drops; within a batch the smaller id survives. Matching is at the LSH
+    candidate level (band collision); insert an exact-verify tier between
+    candidates and the drop decision when false-positive drops matter.
+
+    Exactly-once without a transactional table: both outputs land in
+    ``batch=<batch_id>`` subdirectories written with overwrite, so a
+    replayed batch rewrites its own directory instead of double-appending —
+    idempotent, and the store stays partitioned by (batch, band) for
+    partition-pruned reads. Unlike ``dropDuplicatesWithinWatermark`` the
+    store never expires: dedup state is the full corpus history, bounded by
+    corpus size (k longs per doc), not by a watermark horizon.
+    """
+    from ..operators.dedup import incremental_lsh_candidates
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            store = spark.read.parquet(store_dir).select(
+                id_col, "band", "bucket"
+            )
+        except Exception:  # first batch: no store yet
+            store = spark.createDataFrame(
+                [], f"{id_col} long, band int, bucket long"
+            )
+        batch_df = batch_df.persist()
+        pairs, additions = incremental_lsh_candidates(
+            batch_df, store, id_col=id_col, **lsh_kwargs
+        )
+        # a new doc loses to ANY historical match, or to a smaller batch id
+        sides = pairs.select(
+            F.col("id_a").alias("x"), F.col("id_b").alias("o")
+        ).union(pairs.select(F.col("id_b"), F.col("id_a")))
+        new_tag = batch_df.select(F.col(id_col).alias("o")).withColumn(
+            "_o_new", F.lit(True)
+        )
+        losers = (
+            sides.join(new_tag, "o", "left")
+            .filter(F.col("_o_new").isNull() | (F.col("o") < F.col("x")))
+            .select(F.col("x").alias(id_col))
+            .distinct()
+        )
+        survivors = batch_df.join(losers, id_col, "left_anti")
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        additions.write.mode("overwrite").partitionBy("band").parquet(
+            os.path.join(store_dir, f"batch={batch_id}")
+        )
+        batch_df.unpersist()
+
+    return merge

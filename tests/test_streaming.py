@@ -332,3 +332,60 @@ def test_stream_stream_attribution_join_matches_batch(spark, events_dir, tmp_pat
         "click_id",
     )
     assert got == want and len(got) > 0
+
+
+def test_dedup_ingest_sink_across_streaming_runs(spark, sf_dir, tmp_path):
+    """Streaming dedup-at-ingestion: two availableNow runs over a growing
+    document directory. The signature store persists across runs, so the
+    second batch dedups against the first batch's history; survivors match
+    the batch-API reference applying the same first-seen-wins policy."""
+    from skiliopay_datapipeline_customer_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_buckets,
+    )
+    from skiliopay_datapipeline_customer_spark.streaming.sinks import dedup_ingest
+
+    docs = table(spark, sf_dir, "documents")
+    batch_a = docs.filter(F.col("doc_id") % 2 == 0)
+    batch_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sink = dedup_ingest(store, out)
+    schema = docs.schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_available_now(stream, checkpoint_dir=ckpt, foreach_batch=sink)
+
+    batch_a.coalesce(1).write.mode("append").parquet(src)
+    run()
+    batch_b.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(out + "/batch=*").collect()
+    )
+
+    # reference: same policy via the batch API
+    def losers(pairs, batch_ids):
+        ids = set(batch_ids)
+        out_ = set()
+        for r in pairs.collect():
+            for x, o in ((r.id_a, r.id_b), (r.id_b, r.id_a)):
+                if x in ids and (o not in ids or o < x):
+                    out_.add(x)
+        return out_
+
+    empty = spark.createDataFrame([], "doc_id long, band int, bucket long")
+    a_ids = [r.doc_id for r in batch_a.select("doc_id").collect()]
+    b_ids = [r.doc_id for r in batch_b.select("doc_id").collect()]
+    pa, _ = incremental_lsh_candidates(batch_a, empty)
+    keep_a = set(a_ids) - losers(pa, a_ids)
+    pb, _ = incremental_lsh_candidates(batch_b, minhash_band_buckets(batch_a))
+    keep_b = set(b_ids) - losers(pb, b_ids)
+    want = sorted(keep_a | keep_b)
+
+    assert got == want and 0 < len(got) < len(a_ids) + len(b_ids)
