@@ -90,6 +90,11 @@ _FORCE = {
     "training_shard_assignments": 3,
     "click_attribution_window": 3,
     "incremental_dedup_candidates": 3,
+    "shipping_priority": 3,
+    "forecast_revenue_change": 3,
+    "returned_item_losses": 3,
+    "promo_revenue_share": 3,
+    "discounted_brand_revenue": 3,
 }
 
 _PRIORITY = [
