@@ -87,3 +87,50 @@ def test_logistic_regression_alternate(spark, sf_dir):
     assert metrics["roc_auc"] > 0.9  # linearly separable on recency
     imps = feature_importances(model, FEATURE_COLS)
     assert len(imps) == len(FEATURE_COLS) and imps[0][1] >= imps[-1][1]
+
+
+def test_quality_classifier_separates_planted_garbage(spark):
+    """The trained quality tier must learn what the planted labels encode:
+    clean prose-like docs score high, garbage (symbol soup, single-char
+    spam, pathological word lengths) scores low — perfect ranking on a
+    held-out split, and the filter keeps exactly the clean docs."""
+    import random
+
+    from skiliopay_datapipeline_customer_spark.ml.quality_model import (
+        filter_by_quality,
+        train_quality_model,
+    )
+
+    rng = random.Random(13)
+    clean_words = (
+        "the data table joins a stream of rows and the engine sorts "
+        "them to build a clean daily report for the analyst team"
+    ).split()
+    rows = []
+    for i in range(60):  # clean: natural-ish word lengths, stopwords present
+        rows.append((i, " ".join(rng.choices(clean_words, k=40)), 1))
+    for i in range(60, 120):  # garbage: three planted failure modes
+        mode = i % 3
+        if mode == 0:
+            words = ["#$%&!*@" for _ in range(40)]
+        elif mode == 1:
+            words = [rng.choice("abcdefgh") for _ in range(40)]
+        else:
+            words = ["x" * 30 for _ in range(40)]
+        rows.append((i, " ".join(words), 0))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    train = df.filter(F.col("doc_id") % 2 == 0)
+    held = df.filter(F.col("doc_id") % 2 == 1)
+
+    score = train_quality_model(train)
+    scored = {r.doc_id: r.quality_prob for r in score(held).collect()}
+    labels = {r.doc_id: r.label for r in held.collect()}
+    worst_clean = min(p for d, p in scored.items() if labels[d] == 1)
+    best_garbage = max(p for d, p in scored.items() if labels[d] == 0)
+    assert worst_clean > best_garbage  # perfect separation on held-out docs
+
+    kept = {
+        r.doc_id for r in filter_by_quality(held, score, min_prob=0.5).collect()
+    }
+    assert kept == {d for d, lab in labels.items() if lab == 1}
