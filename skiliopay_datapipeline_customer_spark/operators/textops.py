@@ -589,3 +589,45 @@ def bpe_encode(
             )
 
     return df.select(id_col, text_col).mapInPandas(encode, schema=out_schema)
+
+
+def chunk_text_udtf():
+    """Python UDTF (the one-row→many-rows escape hatch, SURVEY §2.12):
+    emit each document's chunk TEXT — the materialized complement of
+    :func:`chunk_assignments`, which emits only offsets. Chunk boundaries
+    are the IDENTICAL pure function of the token count (stride
+    ``chunk_tokens - overlap``, final short remainder kept, no
+    fully-overlapped tail), asserted equal in tests and replicated by the
+    SQL oracle via list slicing.
+
+    Scale posture: a UDTF is row-local Python — map-only, no state, no
+    shuffle; rows stream through the worker one Arrow batch at a time.
+    Used via LATERAL join (``FROM documents d, LATERAL chunk_text(...)``),
+    which Spark plans as a Generate node, same shape as the native
+    posexplode. Native expressions remain the default tier; this surface
+    exists for logic a Column tree can't express (and as the registered
+    demonstration that the engine supports SQL-visible Python table
+    functions).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk_start int, chunk_text string, chunk_len int")
+    class ChunkText:
+        def eval(self, text: str, chunk_tokens: int, overlap: int):
+            import re
+
+            stride = chunk_tokens - overlap
+            if stride <= 0:
+                raise ValueError("overlap must be smaller than chunk_tokens")
+            # re.split, not str.split: Spark's split("") → [""] (one empty
+            # token), the established tokens()/oracle semantics this tier
+            # must reproduce — str.split("") would yield [] and diverge on
+            # empty documents
+            toks = re.split(r"\s+", (text or "").strip().lower())
+            n = len(toks)
+            last_start = max(n - 1 - overlap, 0)
+            for cid, s in enumerate(range(0, last_start + 1, stride)):
+                chunk = toks[s : s + chunk_tokens]
+                yield cid, s, " ".join(chunk), len(chunk)
+
+    return ChunkText

@@ -95,6 +95,7 @@ _FORCE = {
     "returned_item_losses": 3,
     "promo_revenue_share": 3,
     "discounted_brand_revenue": 3,
+    "doc_chunk_texts": 3,
 }
 
 _PRIORITY = [

@@ -588,3 +588,45 @@ def bpe_encoded_docs(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     merges = T.bpe_train(docs, n_merges=16)
     return T.bpe_encode(docs, merges).orderBy("doc_id")
+
+
+# UDTF surface: chunk TEXT via a SQL-visible Python table function in a
+# LATERAL join (Generate node — same plan shape as the native posexplode).
+# Boundaries are the same pure function as doc_chunk_assignments; the
+# oracle re-derives the text by list-slicing the token array.
+
+
+@query(
+    "doc_chunk_texts",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 1 - 4, 0), 12))
+               AS s
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+                AS INT) AS chunk_id,
+           CAST(s AS INT) AS chunk_start,
+           array_to_string(toks[s + 1 : least(s + 16, len(toks))], ' ')
+             AS chunk_text,
+           CAST(least(16, len(toks) - s) AS INT) AS chunk_len
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_chunk_texts(spark, sf_dir):
+    spark.udtf.register("chunk_text", T.chunk_text_udtf())
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_chunk_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk_start, c.chunk_text, c.chunk_len
+        FROM _chunk_docs d, LATERAL chunk_text(d.text, 16, 4) c
+        ORDER BY d.doc_id, c.chunk_id
+        """
+    )

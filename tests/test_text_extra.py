@@ -193,3 +193,41 @@ def test_bpe_encode_matches_reference_and_reconstructs(spark):
 
     # compression happened: at least one multi-char token appears
     assert any(len(t) > 1 for toks in got.values() for t in toks)
+
+
+def test_chunk_text_udtf_matches_native_boundaries(spark):
+    """The UDTF tier and the native offset tier must be the same pure
+    function of the token count: identical (doc, chunk_id, start, len)
+    sets, and each chunk_text reconstructs the token slice it claims —
+    including the empty-doc and shorter-than-overlap edge cases."""
+    from skiliopay_datapipeline_customer_spark.operators import textops as T
+
+    rows = [
+        (0, "one two three four five six seven eight nine ten"),
+        (1, "a b"),          # shorter than the overlap: one chunk
+        (2, ""),             # empty: one zero-length chunk row
+        (3, " ".join(f"w{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    spark.udtf.register("chunk_text_t", T.chunk_text_udtf())
+    df.createOrReplaceTempView("_udtf_docs")
+    got = spark.sql(
+        "SELECT d.doc_id, c.* FROM _udtf_docs d, "
+        "LATERAL chunk_text_t(d.text, 8, 3) c"
+    ).collect()
+
+    want = {
+        (r.doc_id, r.chunk_id, r.chunk_start, r.chunk_len)
+        for r in T.chunk_assignments(df, chunk_tokens=8, overlap=3).collect()
+    }
+    assert {
+        (r.doc_id, r.chunk_id, r.chunk_start, r.chunk_len) for r in got
+    } == want
+
+    import re
+
+    toks = {d: re.split(r"\s+", t.strip().lower()) for d, t in rows}
+    for r in got:
+        back = re.split(r"\s+", r.chunk_text.strip())
+        assert back == toks[r.doc_id][r.chunk_start : r.chunk_start + 8]
