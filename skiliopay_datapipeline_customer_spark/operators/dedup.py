@@ -269,9 +269,14 @@ def incremental_lsh_candidates(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_bands"))
     )
-    return materialize(pairs, nb), minhash_band_buckets(
-        new_docs, text_col, id_col, num_hashes, bands, shingle_n
-    )
+    pairs = materialize(pairs)
+    # store_additions reuses the PERSISTED bucket frame (pinned batch-sized
+    # via localCheckpoint so it survives the unpersist) — rebuilding the
+    # signature pipeline from new_docs would double the dominant per-batch
+    # cost and re-read the batch source
+    additions = nb.localCheckpoint(eager=True)
+    nb.unpersist()
+    return pairs, additions
 
 
 def ngram_jaccard_pairs(

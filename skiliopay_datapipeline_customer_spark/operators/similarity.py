@@ -432,6 +432,11 @@ def lsh_dup_pairs(
         .join(vb, "id_b")
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+        # re-assert one row per pair AFTER the vector re-join: a duplicated
+        # id in df would otherwise multiply each pair by its endpoint
+        # counts (the pre-rework code deduped post-join; this frame is
+        # pair-list-sized, so the extra exchange is noise)
+        .dropDuplicates(["id_a", "id_b"])
     )
     from .dedup import materialize
 

@@ -541,19 +541,24 @@ def bpe_encode(
 
     Scale posture: the merge table is model-sized (a few k rules) and ships
     to executors inside the closure — no join, no shuffle; encoding is
-    map-only over the corpus via Arrow-batched ``mapInPandas``. Within a
-    batch, word→tokens results are memoized: natural text repeats words
-    heavily (Zipf), so the per-row cost collapses to a dict lookup for all
-    but first occurrences. Python-side because rank-order merging is a
-    per-word loop with a data-dependent trip count — not expressible as a
-    bounded Column fold; the TRAINING kernel stays native (bpe_train)."""
+    map-only over the corpus via Arrow-batched ``mapInPandas``. Word→tokens
+    results are memoized across the TASK's batches (natural text repeats
+    words heavily — Zipf — so per-row cost collapses to a dict lookup),
+    with a size cap so a heavy-tailed partition vocabulary (URLs, numbers)
+    cannot grow executor memory unboundedly over a multi-GB task.
+    Python-side because rank-order merging is a per-word loop with a
+    data-dependent trip count — not expressible as a bounded Column fold;
+    the TRAINING kernel stays native (bpe_train)."""
     ranks = {(l, r): k for k, l, r in merges}
     out_schema = f"{id_col} long, tokens array<string>, n_tokens int"
+    memo_cap = 1_000_000
 
     def encode_word(word: str, memo: dict) -> list[str]:
         got = memo.get(word)
         if got is not None:
             return got
+        if len(memo) >= memo_cap:
+            memo.clear()
         syms = list(word)
         while len(syms) > 1:
             best_rank = None

@@ -164,7 +164,10 @@ def zorder_layout(
     ).first()
     work = df
     for i, c in enumerate(zorder_cols):
-        bounds = F.array(*[F.lit(float(b)) for b in stats[c]])
+        # approx_percentile over zero rows returns NULL: an empty frame
+        # still writes an (empty) layout instead of crashing
+        vals = stats[c] or []
+        bounds = F.array(*[F.lit(float(b)) for b in vals]).cast("array<double>")
         # level = #boundaries <= value: an aggregate over the literal
         # boundary array (255 comparisons/row at the default 8 bits)
         work = work.withColumn(

@@ -155,12 +155,25 @@ def dedup_ingest(
     from ..operators.dedup import incremental_lsh_candidates
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         try:
-            store = spark.read.parquet(store_dir).select(
-                id_col, "band", "bucket"
+            # exclude THIS batch's own directory: on a replay (crash after
+            # the store write, before the checkpoint commit) the store
+            # already holds batch=<batch_id>, and deduping the batch
+            # against its own signatures would double-count bucket sizes —
+            # a different capped set than the first attempt, breaking
+            # replay idempotence
+            store = (
+                spark.read.parquet(store_dir)
+                .filter(F.col("batch") != batch_id)
+                .select(id_col, "band", "bucket")
             )
-        except Exception:  # first batch: no store yet
+        except AnalysisException:  # first batch: no store yet. Any OTHER
+            # read failure (transient FS error, corruption) must raise —
+            # silently substituting an empty store would dedup the batch
+            # against nothing and pollute the survivor corpus
             store = spark.createDataFrame(
                 [], f"{id_col} long, band int, bucket long"
             )

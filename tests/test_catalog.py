@@ -147,3 +147,20 @@ def test_zorder_layout_narrows_rowgroup_stats_on_both_columns(spark, tmp_path):
     # z-order: substantially narrow on BOTH dimensions
     assert zx < 0.5 and zy < 0.5
     assert zy < sy / 2
+
+
+def test_zorder_layout_handles_empty_frame(spark, tmp_path):
+    """An empty input writes an empty (readable) layout instead of
+    crashing on the NULL percentile stats."""
+    from skiliopay_datapipeline_customer_spark.sources.catalog import (
+        zorder_layout,
+    )
+
+    df = (
+        spark.range(0)
+        .withColumn("x", F.col("id").cast("double"))
+        .withColumn("y", F.col("id").cast("double"))
+    )
+    path = str(tmp_path / "empty_z")
+    zorder_layout(df, ["x", "y"], path)
+    assert spark.read.parquet(path).count() == 0

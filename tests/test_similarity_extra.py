@@ -187,3 +187,20 @@ def test_semantic_dedup_survivors_on_planted_clusters(spark):
     # i.e. the pair list connects each of them to a smaller surviving id
     dropped = sorted(set(range(i)) - set(kept))
     assert dropped == [1, 2, 3, 4, 6, 7, 8, 9, 11, 12, 13, 14]
+
+
+def test_lsh_dup_pairs_one_row_per_pair_with_duplicate_ids(spark):
+    """A duplicated id in the input must not multiply output rows: the
+    pair set stays one row per (id_a, id_b)."""
+    import numpy as np
+
+    from skiliopay_datapipeline_customer_spark.operators import similarity as S
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    rows.append((0, [float(x) for x in base[0]]))  # duplicated id 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.lsh_dup_pairs(df, threshold=-1.0, max_bucket_size=100).collect()
+    pairs = [(r.id_a, r.id_b) for r in out]
+    assert len(pairs) == len(set(pairs)) > 0

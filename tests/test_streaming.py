@@ -389,3 +389,22 @@ def test_dedup_ingest_sink_across_streaming_runs(spark, sf_dir, tmp_path):
     want = sorted(keep_a | keep_b)
 
     assert got == want and 0 < len(got) < len(a_ids) + len(b_ids)
+
+
+def test_dedup_ingest_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """A replayed micro-batch (crash after the store write, before the
+    checkpoint commit) must rewrite identical outputs: the store read
+    excludes the batch's own directory, so the batch never dedups against
+    its own signatures."""
+    from skiliopay_datapipeline_customer_spark.streaming.sinks import dedup_ingest
+
+    docs = table(spark, sf_dir, "documents")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    sink = dedup_ingest(store, out)
+
+    sink(docs, 0)
+    first = sorted(r.doc_id for r in spark.read.parquet(out + "/batch=0").collect())
+    sink(docs, 0)  # replay: store already holds batch=0
+    second = sorted(r.doc_id for r in spark.read.parquet(out + "/batch=0").collect())
+    assert first == second and 0 < len(first) < docs.count()
