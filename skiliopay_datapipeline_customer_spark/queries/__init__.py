@@ -96,6 +96,8 @@ _FORCE = {
     "promo_revenue_share": 3,
     "discounted_brand_revenue": 3,
     "doc_chunk_texts": 3,
+    "local_supplier_volume": 3,
+    "nation_trade_volume": 3,
 }
 
 _PRIORITY = [

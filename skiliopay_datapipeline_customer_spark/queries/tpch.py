@@ -423,3 +423,108 @@ def discounted_brand_revenue(spark, sf_dir):
             ).alias("revenue")
         )
     )
+
+
+@query(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE s.s_nationkey = c.c_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def local_supplier_volume(spark, sf_dir):
+    """Q5 shape: the deepest join tree in the suite — two fact⋈fact joins
+    plus three dim lookups, with the local-supplier predicate
+    (s_nationkey = c_nationkey) spanning both fact branches so it can only
+    apply post-join. Only true dims (nation, region) broadcast."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+@query(
+    "nation_trade_volume",
+    oracle="""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+      AND nc.n_name IN ('NATION_1', 'NATION_2')
+      AND ns.n_name <> nc.n_name
+    GROUP BY supp_nation, cust_nation, ship_year
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+)
+def nation_trade_volume(spark, sf_dir):
+    """Q7 shape: cross-nation trade — the same dimension (nation) joins
+    TWICE under different roles (supplier side, customer side), each
+    broadcast independently; the inter-nation predicate prunes inside the
+    broadcasts."""
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    nations = ["NATION_1", "NATION_2"]
+    ns = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(nations))
+    nc = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(nations))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == ns.n_nationkey)
+        .join(
+            F.broadcast(nc.withColumnRenamed("n_name", "_nc_name")),
+            c.c_nationkey == nc.n_nationkey,
+        )
+        .filter(F.col("n_name") != F.col("_nc_name"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.col("_nc_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("volume")
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
