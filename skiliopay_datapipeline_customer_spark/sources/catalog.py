@@ -191,3 +191,63 @@ def zorder_layout(
         .parquet(path)
     )
     return path
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Lake maintenance: rewrite a parquet directory's many small files into
+    few near-target-size files (the OPTIMIZE/compaction half of VACUUM that
+    `analyze_table` doesn't cover). Streaming sinks and incremental appends
+    leave one file per micro-batch/task; at 100 TB that means millions of
+    tiny files whose open/footer costs dominate scans and whose row groups
+    are too small for effective stats pruning.
+
+    File count comes from the actual on-disk byte size (not a row guess);
+    an optional ``sort_cols`` re-sorts within partitions during the rewrite
+    so compaction also restores zone-map locality. The rewrite goes through
+    a temp directory then an atomic-enough rename swap — readers see the
+    old layout or the new one, never a partial mix.
+
+    Returns {files_before, files_after, bytes}.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, round(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    out = df.coalesce(n_out)
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    files_after = len(
+        [
+            f
+            for f in _glob.glob(
+                os.path.join(path, "**", "*.parquet"), recursive=True
+            )
+            if os.path.isfile(f)
+        ]
+    )
+    return {
+        "files_before": len(files),
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }

@@ -164,3 +164,28 @@ def test_zorder_layout_handles_empty_frame(spark, tmp_path):
     path = str(tmp_path / "empty_z")
     zorder_layout(df, ["x", "y"], path)
     assert spark.read.parquet(path).count() == 0
+
+
+def test_compact_small_files_preserves_content(spark, tmp_path):
+    """Compaction collapses a many-small-files directory to the byte-sized
+    target count with identical content; sort_cols restores zone-map
+    locality during the rewrite."""
+    from skiliopay_datapipeline_customer_spark.sources.catalog import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 20_000).withColumn("v", F.col("id") % 97)
+    df.repartition(40).write.parquet(path)  # 40 tiny files
+
+    before = spark.read.parquet(path)
+    checksum = before.agg(F.sum("id"), F.sum("v")).first()
+
+    stats = compact_small_files(
+        spark, path, target_file_bytes=10**12, sort_cols=["v", "id"]
+    )
+    assert stats["files_before"] == 40 and stats["files_after"] == 1
+
+    after = spark.read.parquet(path)
+    assert after.count() == 20_000
+    assert after.agg(F.sum("id"), F.sum("v")).first() == checksum
