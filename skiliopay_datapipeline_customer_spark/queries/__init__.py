@@ -98,6 +98,13 @@ _FORCE = {
     "doc_chunk_texts": 3,
     "local_supplier_volume": 3,
     "nation_trade_volume": 3,
+    "nation_market_share": 3,
+    "product_type_profit": 3,
+    "ship_delay_priority": 3,
+    "top_revenue_supplier": 3,
+    "part_supplier_counts": 3,
+    "volume_part_suppliers": 3,
+    "waiting_suppliers": 3,
 }
 
 _PRIORITY = [

@@ -528,3 +528,396 @@ def nation_trade_volume(spark, sf_dir):
         )
         .orderBy("supp_nation", "cust_nation", "ship_year")
     )
+
+
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "nation_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN region r ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      WHERE r.r_name = 'EUROPE'
+        AND p.p_type = 'STANDARD'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def nation_market_share(spark, sf_dir):
+    """Q8 shape: a nation's share of a region's revenue per year — the
+    conditional-fraction aggregate over the deepest dim fan (nation joined
+    twice, region gate on the customer side only).
+
+    Scale posture: facts join on their keys (two shuffles AQE may re-plan);
+    part/supplier/nation/region are true dims — part and supplier broadcast
+    under the default threshold at any SF where they stay dim-sized, and the
+    region predicate prunes the customer-side nation broadcast before the
+    fact scan. Reference anchor: the revenue rollups in
+    /root/reference/src/storage/data_warehouse.py:486-527.
+    """
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    nc = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ns = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = _revenue()
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == nc.n_nationkey)
+        .join(F.broadcast(r), nc.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("_ns_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(volume),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * l.l_quantity), 4) AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def product_type_profit(spark, sf_dir):
+    """Q9 shape: profit by supplier nation and year over a name-matched part
+    family. The testdata has no partsupp, so supply cost is proxied by
+    p_retailprice (the same substitution min_cost_supplier documents) —
+    profit = revenue − retailprice × quantity.
+
+    Scale posture: the part name filter broadcasts a pruned part dim into
+    the lineitem scan BEFORE the orders join, so the expensive fact⋈fact
+    shuffle only carries matching part families.
+    """
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    profit = _revenue() - F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "ship_delay_priority",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                THEN 'LATE' ELSE 'ONTIME' END AS delay_bucket,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY delay_bucket
+    ORDER BY delay_bucket
+    """,
+)
+def ship_delay_priority(spark, sf_dir):
+    """Q12 shape: per-class conditional line counts. The testdata has no
+    l_shipmode/l_receiptdate, so the class is the ship-delay bucket
+    (shipdate − orderdate > 90 days = LATE) — the same
+    count-by-priority-within-class aggregate.
+
+    Scale posture: one fact⋈fact equi-join shuffle, then a 2-group
+    aggregate with map-side partials; everything stays in codegen.
+    """
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "delay_bucket",
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, "LATE"
+            ).otherwise("ONTIME"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(r.total_revenue, 4) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_revenue_supplier(spark, sf_dir):
+    """Q15 shape: the revenue view + scalar-max selection (suppliers whose
+    quarterly revenue equals the global maximum; equality on an exact
+    integer-weighted double sum is deterministic).
+
+    Scale posture: the quarter filter pushes to the scan; one groupBy
+    shuffle builds the view, the max is a 1-row broadcast back onto it —
+    no global sort, no window over all suppliers.
+    """
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    s = table(spark, sf_dir, "supplier")
+    revenue = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_revenue()).alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        s.join(
+            F.broadcast(revenue.join(F.broadcast(top)).filter(
+                F.col("total_revenue") == F.col("_max_rev")
+            )),
+            F.col("s_suppkey") == F.col("supplier_no"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "part_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT s_suppkey) AS supplier_cnt
+    FROM part
+    JOIN supplier ON p_partkey % 100 = s_suppkey % 100
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 11, 15, 21, 25, 35, 41, 45, 49)
+      AND s_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def part_supplier_counts(spark, sf_dir):
+    """Q16 shape: distinct-supplier counts per part attribute triple,
+    excluding a supplier denylist (negative account balance proxies the
+    complaints subquery) over the synthesized key-residue partsupp.
+
+    Scale posture: the denylist NOT IN compiles to a broadcast anti-join
+    (s_suppkey is non-null, so anti == NOT IN); the residue join broadcasts
+    the pruned supplier dim; count(DISTINCT) is a two-phase hash aggregate.
+    """
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 11, 15, 21, 25, 35, 41, 45, 49)
+    )
+    s = table(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    good = s.join(F.broadcast(bad), "s_suppkey", "left_anti")
+    return (
+        p.join(F.broadcast(good), p.p_partkey % 100 == good.s_suppkey % 100)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("s_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "volume_part_suppliers",
+    oracle="""
+    WITH promo_qty AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY l_partkey, l_suppkey
+    ), part_total AS (
+      SELECT l_partkey, sum(supp_qty) AS total_qty
+      FROM promo_qty GROUP BY l_partkey
+    )
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT q.l_suppkey
+      FROM promo_qty q JOIN part_total t ON q.l_partkey = t.l_partkey
+      WHERE q.supp_qty * 10 > t.total_qty * 3
+    )
+    ORDER BY s.s_name
+    """,
+)
+def volume_part_suppliers(spark, sf_dir):
+    """Q20 shape: suppliers who moved a dominant share (>30%) of some promo
+    part's volume — the nested-IN + correlated-threshold selection. The
+    availqty correlation is re-expressed over shipped quantities (integral
+    doubles, so the ×10 vs ×3 comparison is exact).
+
+    Scale posture: both aggregates reuse the SAME (l_partkey, l_suppkey)
+    shuffle (the part total re-aggregates the smaller per-pair frame, not
+    the fact); the qualifying-supplier set is id-only and broadcasts into
+    a left-semi join against the supplier dim.
+    """
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    promo_qty = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    part_total = promo_qty.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("total_qty")
+    )
+    dominant = (
+        promo_qty.join(part_total, "l_partkey")
+        .filter(F.col("supp_qty") * 10 > F.col("total_qty") * 3)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(dominant), s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "waiting_suppliers",
+    oracle="""
+    WITH ord AS (
+      SELECT l_orderkey, max(l_shipdate) AS mx,
+             count(DISTINCT l_suppkey) AS nsupp
+      FROM lineitem GROUP BY l_orderkey
+    ), at_max AS (
+      SELECT l.l_orderkey,
+             count(DISTINCT l.l_suppkey) AS cmax,
+             min(l.l_suppkey) AS blamed_supp
+      FROM lineitem l JOIN ord o
+        ON l.l_orderkey = o.l_orderkey AND l.l_shipdate = o.mx
+      GROUP BY l.l_orderkey
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM at_max a
+    JOIN ord o ON a.l_orderkey = o.l_orderkey
+    JOIN supplier s ON s.s_suppkey = a.blamed_supp
+    WHERE a.cmax = 1 AND o.nsupp > 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def waiting_suppliers(spark, sf_dir):
+    """Q21 shape: the supplier who kept a multi-supplier order waiting —
+    sole owner of the order's latest ship date while other suppliers had
+    already shipped (EXISTS earlier-shipper / NOT EXISTS co-latest-shipper,
+    re-expressed as per-order aggregates: no commit/receipt dates in the
+    testdata, so lateness = owning max(l_shipdate)).
+
+    Scale posture: the correlated double-EXISTS becomes TWO aggregates over
+    the SAME l_orderkey shuffle partitioning plus a same-key join — Spark
+    reuses the exchange instead of probing the fact twice per row; the
+    blamed-supplier frame is order-count-sized before the supplier dim
+    broadcast-joins in.
+    """
+    l = table(spark, sf_dir, "lineitem")  # noqa: E741
+    s = table(spark, sf_dir, "supplier")
+    ord_stats = l.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("mx"),
+        F.countDistinct("l_suppkey").alias("nsupp"),
+    )
+    at_max = (
+        l.join(
+            ord_stats.select("l_orderkey", "mx"),
+            ["l_orderkey"],
+        )
+        .filter(F.col("l_shipdate") == F.col("mx"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("cmax"),
+            F.min("l_suppkey").alias("blamed_supp"),
+        )
+    )
+    return (
+        at_max.join(ord_stats.select("l_orderkey", "nsupp"), ["l_orderkey"])
+        .filter((F.col("cmax") == 1) & (F.col("nsupp") > 1))
+        .join(F.broadcast(s), F.col("blamed_supp") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
