@@ -161,3 +161,34 @@ def shard_assignments(
             (F.col("_gr") - F.col("_base") + 1).alias("pos"),
         )
     )
+
+
+def group_capped_sample(
+    df: DataFrame,
+    part_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Cap each ``part_col`` group at ``cap`` rows, chosen by a salted md5
+    hash order of ``id_col`` — the domain-balancing pass of a training-data
+    pipeline (downsample overrepresented sources without favoring any
+    contiguous id range). Deterministic: re-runs and the SQL oracle select
+    the identical rows.
+
+    Plan shape: one range-partitioned two-pass global rank over
+    ``(group, hash_key, id)`` (:func:`~.ranks.global_rank_distributed`)
+    plus a metadata-sized per-group min-rank broadcast; a giant source
+    spreads across many range partitions instead of funneling through one
+    ``Window.partitionBy(source)`` task.
+    """
+    keyed = df.withColumn("_ok", hash_order_key(F.col(id_col), salt=salt))
+    ranked = global_rank_distributed(
+        keyed, [F.col(part_col), F.col("_ok"), F.col(id_col)], rank_col="_gr"
+    )
+    base = ranked.groupBy(part_col).agg(F.min("_gr").alias("_base"))
+    return (
+        ranked.join(F.broadcast(base), part_col)
+        .filter(F.col("_gr") - F.col("_base") < F.lit(int(cap)))
+        .drop("_ok", "_gr", "_base")
+    )

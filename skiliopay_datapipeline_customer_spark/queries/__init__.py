@@ -105,6 +105,10 @@ _FORCE = {
     "part_supplier_counts": 3,
     "volume_part_suppliers": 3,
     "waiting_suppliers": 3,
+    "domain_capped_sample": 3,
+    "embedding_dim_stats": 3,
+    "pca_projected_embeddings": 3,
+    "kmeans_cluster_profile": 3,
 }
 
 _PRIORITY = [

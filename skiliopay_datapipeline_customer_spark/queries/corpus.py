@@ -258,3 +258,34 @@ def corpus_build_pipeline(spark, sf_dir):
 def training_shard_assignments(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return SM.shard_assignments(docs, n_shards=8).orderBy("doc_id")
+
+
+# Domain balancing: cap every source at 10 docs, selected by salted-hash
+# order — the downsample-overrepresented-domains pass. The oracle replays
+# the same 60-bit md5 sort key in a per-source row_number window.
+
+
+@query(
+    "domain_capped_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS ok
+      FROM documents
+    )
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY ok, doc_id) AS rn
+      FROM keyed
+    ) WHERE rn <= 10
+    ORDER BY doc_id
+    """,
+)
+def domain_capped_sample(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        SM.group_capped_sample(docs, "source", "doc_id", cap=10)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

@@ -69,3 +69,28 @@ def churn_predictions(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+# Embedding-space reduction/clustering (LLM-pipeline family). Both fits are
+# data-derived iterative estimators (eigendecomposition / Lloyd) -> genuinely
+# non-SQL, registered rows-only; tests/test_ml_extra.py carries the variance-
+# ordering, orthogonality, determinism, and label-recovery assertions.
+
+
+@query("pca_projected_embeddings")
+def pca_projected_embeddings(spark, sf_dir):
+    from ..io import table
+    from ..ml.embeddings import pca_project
+
+    emb = table(spark, sf_dir, "embeddings")
+    projected, _ = pca_project(emb, k=8)
+    return projected.orderBy("vec_id")
+
+
+@query("kmeans_cluster_profile")
+def kmeans_cluster_profile(spark, sf_dir):
+    from ..io import table
+    from ..ml.embeddings import kmeans_cluster_profile as profile
+
+    emb = table(spark, sf_dir, "embeddings")
+    return profile(emb, k=10)

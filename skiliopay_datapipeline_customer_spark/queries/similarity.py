@@ -355,3 +355,41 @@ def ivf_pq_ann_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0)
     return S.pq_adc_topk(emb, qvec, k=10)
+
+
+# Per-dimension distribution stats over the embedding column — the
+# sanity/monitoring pass before any ANN or quantization tier (a collapsed
+# or drifted dimension shows up here first). posexplode multiplies rows by
+# dim (64×) but each exploded row is 12 bytes and the map-side partial
+# aggregate folds them to `dim` groups before the (tiny, 64-row) shuffle.
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    SELECT i - 1 AS dim,
+           round(avg(CAST(v AS DOUBLE)), 6) AS mean_v,
+           round(stddev_samp(CAST(v AS DOUBLE)), 6) AS std_v,
+           round(min(CAST(v AS DOUBLE)), 6) AS min_v,
+           round(max(CAST(v AS DOUBLE)), 6) AS max_v
+    FROM (SELECT unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    GROUP BY dim
+    ORDER BY dim
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.col("v").cast("double")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg(v), 6).alias("mean_v"),
+            F.round(F.stddev_samp(v), 6).alias("std_v"),
+            F.round(F.min(v), 6).alias("min_v"),
+            F.round(F.max(v), 6).alias("max_v"),
+        )
+        .orderBy("dim")
+    )

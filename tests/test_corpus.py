@@ -246,3 +246,21 @@ def test_incremental_lsh_matches_full_corpus_run(spark, sf_dir, tmp_path):
         spark.read.parquet(store_dir).count()
         == minhash_band_buckets(docs).count()
     )
+
+
+def test_group_capped_sample_caps_and_keeps_small_groups(spark):
+    from skiliopay_datapipeline_customer_spark.operators.sampling import (
+        group_capped_sample,
+    )
+
+    rows = [(i, "big" if i < 50 else "small") for i in range(56)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    capped = group_capped_sample(df, "source", "doc_id", cap=10)
+    counts = {r["source"]: r["n"] for r in
+              capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 10, "small": 6}  # small group survives whole
+    # deterministic: same rows on re-run
+    again = group_capped_sample(df, "source", "doc_id", cap=10)
+    assert sorted(r["doc_id"] for r in capped.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )

@@ -134,3 +134,64 @@ def test_quality_classifier_separates_planted_garbage(spark):
         r.doc_id for r in filter_by_quality(held, score, min_prob=0.5).collect()
     }
     assert kept == {d for d, lab in labels.items() if lab == 1}
+
+
+# ---- Embedding reduction / clustering (ml/embeddings.py) ----
+
+
+def _planted_vectors(spark, n_per=30, dim=8):
+    """Three well-separated blobs on coordinate axes, plus a tiny
+    deterministic jitter so no two vectors are identical."""
+    rows = []
+    vid = 0
+    for blob, axis in enumerate([0, 3, 6]):
+        for i in range(n_per):
+            v = [0.0] * dim
+            v[axis] = 10.0
+            v[(axis + 1) % dim] = (i % 7) * 0.01
+            rows.append((vid, v, blob))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_pca_planted_line_captures_variance(spark):
+    from skiliopay_datapipeline_customer_spark.ml.embeddings import pca_project
+
+    # vectors on a 1-D line through dim 0 with tiny dim-1 noise
+    rows = [(i, [float(i), (i % 3) * 1e-3, 0.0, 0.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    projected, var = pca_project(df, k=2)
+    assert var[0] > 0.99          # the line IS the first component
+    assert var == sorted(var, reverse=True)
+    first = projected.orderBy("vec_id").collect()
+    assert all(len(r["pca"]) == 2 for r in first)
+
+
+def test_pca_projection_deterministic(spark, sf_dir):
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.ml.embeddings import pca_project
+
+    emb = table(spark, sf_dir, "embeddings").limit(100)
+    a, var_a = pca_project(emb, k=4)
+    b, var_b = pca_project(emb, k=4)
+    assert var_a == var_b
+    assert a.orderBy("vec_id").collect() == b.orderBy("vec_id").collect()
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    from skiliopay_datapipeline_customer_spark.ml.embeddings import (
+        kmeans_assign,
+        kmeans_cluster_profile,
+    )
+
+    df = _planted_vectors(spark)
+    assigned = kmeans_assign(df, k=3)
+    # every blob maps to exactly one cluster and vice versa
+    joined = assigned.join(df.select("vec_id", "label"), "vec_id")
+    combos = joined.select("label", "cluster").distinct().collect()
+    assert len(combos) == 3
+    assert len({c["cluster"] for c in combos}) == 3
+
+    profile = kmeans_cluster_profile(df, k=3).collect()
+    assert [r["n_vecs"] for r in profile] == [30, 30, 30]
+    assert all(r["purity"] == 1.0 for r in profile)
