@@ -842,11 +842,16 @@ def volume_part_suppliers(spark, sf_dir):
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("supp_qty"))
     )
-    part_total = promo_qty.groupBy("l_partkey").agg(
-        F.sum("supp_qty").alias("total_qty")
-    )
+    # part totals via an unordered window over the per-pair frame: one extra
+    # shuffle of the SMALL frame instead of a second aggregate lineage that
+    # would re-scan the fact (explain showed no ReusedExchange for the
+    # re-aggregate form — AQE specializes the two branches apart). Partition
+    # fan-in is bounded by suppliers-per-part, so no single-task funnel.
+    from pyspark.sql import Window
+
+    per_part = Window.partitionBy("l_partkey")
     dominant = (
-        promo_qty.join(part_total, "l_partkey")
+        promo_qty.withColumn("total_qty", F.sum("supp_qty").over(per_part))
         .filter(F.col("supp_qty") * 10 > F.col("total_qty") * 3)
         .select("l_suppkey")
     )
@@ -889,34 +894,36 @@ def waiting_suppliers(spark, sf_dir):
     re-expressed as per-order aggregates: no commit/receipt dates in the
     testdata, so lateness = owning max(l_shipdate)).
 
-    Scale posture: the correlated double-EXISTS becomes TWO aggregates over
-    the SAME l_orderkey shuffle partitioning plus a same-key join — Spark
-    reuses the exchange instead of probing the fact twice per row; the
-    blamed-supplier frame is order-count-sized before the supplier dim
-    broadcast-joins in.
+    Scale posture: ONE pass over the fact — pre-aggregate per
+    (order, supplier) with map-side partials, then fold each order's
+    per-supplier ship dates as an array (fan-in bounded by
+    suppliers-per-order, single digits) with native array expressions.
+    No join back to the fact, no broadcast of an order-count-sized frame
+    (the naive two-aggregate form scanned lineitem twice and AQE
+    broadcast ord_stats — wrong at 100 TB).
     """
     l = table(spark, sf_dir, "lineitem")  # noqa: E741
     s = table(spark, sf_dir, "supplier")
-    ord_stats = l.groupBy("l_orderkey").agg(
-        F.max("l_shipdate").alias("mx"),
-        F.countDistinct("l_suppkey").alias("nsupp"),
+    per_os = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smx")
     )
-    at_max = (
-        l.join(
-            ord_stats.select("l_orderkey", "mx"),
-            ["l_orderkey"],
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("smx", "l_suppkey")).alias("sl")
+    )
+    mx = F.array_max(F.transform("sl", lambda x: x["smx"]))
+    at_max = F.filter("sl", lambda x: x["smx"] == mx)
+    blamed = (
+        per_order.select(
+            F.size("sl").alias("nsupp"),
+            F.size(at_max).alias("cmax"),
+            F.array_min(F.transform(at_max, lambda x: x["l_suppkey"])).alias(
+                "blamed_supp"
+            ),
         )
-        .filter(F.col("l_shipdate") == F.col("mx"))
-        .groupBy("l_orderkey")
-        .agg(
-            F.countDistinct("l_suppkey").alias("cmax"),
-            F.min("l_suppkey").alias("blamed_supp"),
-        )
+        .filter((F.col("cmax") == 1) & (F.col("nsupp") > 1))
     )
     return (
-        at_max.join(ord_stats.select("l_orderkey", "nsupp"), ["l_orderkey"])
-        .filter((F.col("cmax") == 1) & (F.col("nsupp") > 1))
-        .join(F.broadcast(s), F.col("blamed_supp") == s.s_suppkey)
+        blamed.join(F.broadcast(s), F.col("blamed_supp") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
