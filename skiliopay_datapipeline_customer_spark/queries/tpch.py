@@ -726,10 +726,16 @@ def top_revenue_supplier(spark, sf_dir):
     quarterly revenue equals the global maximum; equality on an exact
     integer-weighted double sum is deterministic).
 
-    Scale posture: the quarter filter pushes to the scan; one groupBy
-    shuffle builds the view, the max is a 1-row broadcast back onto it —
-    no global sort, no window over all suppliers.
+    Scale posture: the quarter filter pushes to the scan; ONE groupBy
+    shuffle builds the view, and the scalar max comes from an
+    unpartitioned window over that view — the window input is the
+    supplier-count-sized aggregate (dim-sized), not the fact, so the
+    single-task frame is metadata-weight. The scalar-subquery form would
+    re-run the fact aggregate in a second lineage (explain showed two
+    lineitem scans, no ReusedExchange).
     """
+    from pyspark.sql import Window
+
     l = table(spark, sf_dir, "lineitem")  # noqa: E741
     s = table(spark, sf_dir, "supplier")
     revenue = (
@@ -740,14 +746,11 @@ def top_revenue_supplier(spark, sf_dir):
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_revenue()).alias("total_revenue"))
     )
-    top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    top = revenue.withColumn(
+        "_max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("_max_rev"))
     return (
-        s.join(
-            F.broadcast(revenue.join(F.broadcast(top)).filter(
-                F.col("total_revenue") == F.col("_max_rev")
-            )),
-            F.col("s_suppkey") == F.col("supplier_no"),
-        )
+        s.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey",
             "s_name",
