@@ -109,6 +109,7 @@ _FORCE = {
     "embedding_dim_stats": 3,
     "pca_projected_embeddings": 3,
     "kmeans_cluster_profile": 3,
+    "event_props_variant_rollup": 3,
 }
 
 _PRIORITY = [

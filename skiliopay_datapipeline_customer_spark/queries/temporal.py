@@ -642,3 +642,42 @@ def click_attribution_window(spark, sf_dir):
         .withColumn("purchase_value", F.round("purchase_value", 4))
         .orderBy("purchase_id", "click_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# The same semi-structured rollup through Spark 4's VARIANT type:
+# parse_json once into the binary variant encoding, variant_get the typed
+# path. Unlike from_json there is NO declared schema — the shredding is
+# late-bound per access, which is the right tier when event payloads are
+# heterogeneous (the declared-schema from_json twin above stays the fast
+# path when the shape IS known). DuckDB's JSON operators are the oracle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_props_variant_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS k_sum,
+           round(avg(CAST(props->>'$.k' AS INTEGER)), 4) AS k_avg
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def event_props_variant_rollup(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.round(F.avg("k"), 4).alias("k_avg"),
+        )
+        .orderBy("event_type")
+    )

@@ -20,6 +20,7 @@ from .transforms import (
     click_purchase_attribution,
     dedup_events,
     running_user_totals,
+    running_user_totals_tws,
     session_stats,
     sliding_counts,
     tumbling_counts,
@@ -34,6 +35,7 @@ __all__ = [
     "session_stats",
     "dedup_events",
     "running_user_totals",
+    "running_user_totals_tws",
     "click_purchase_attribution",
     "run_available_now",
     "upsert_snapshot",

@@ -189,3 +189,62 @@ def dedup_events(
     if df.isStreaming and within is not None:
         return df.withWatermark(time_col, within).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
+
+
+def running_user_totals_tws(
+    df: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """The :func:`running_user_totals` contract on Spark 4's
+    ``transformWithStateInPandas`` — the successor stateful API
+    (StatefulProcessor + named state variables) that adds composite state,
+    timers, and state-schema evolution over ``applyInPandasWithState``'s
+    single implicit tuple. Same semantics: per-user lifetime (count, total)
+    carried across micro-batches in the checkpointed state store, one
+    update-mode row per touched user per batch.
+
+    The processor class is defined inside the closure so executors never
+    need this module importable.
+
+    Environment gate: the TWS state-server wire protocol requires
+    ``protobuf`` at runtime (ships with ``pyspark[connect]``); in
+    containers without it the stream fails at initialization — the
+    behavioral test skips there rather than faking the path.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([key[0]], dtype="int64"),
+                    "n_events": pd.Series([n], dtype="int64"),
+                    "total_value": pd.Series([round(total, 4)], dtype="float64"),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        df.withColumnRenamed(value_col, "value")
+        .withColumnRenamed(user_col, "user_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Totals(),
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -408,3 +408,57 @@ def test_dedup_ingest_replay_is_idempotent(spark, sf_dir, tmp_path):
     sink(docs, 0)  # replay: store already holds batch=0
     second = sorted(r.doc_id for r in spark.read.parquet(out + "/batch=0").collect())
     assert first == second and 0 < len(first) < docs.count()
+
+
+def test_transform_with_state_matches_batch_totals(spark, sf_dir, tmp_path):
+    """Spark 4 transformWithStateInPandas tier: same lifetime-totals
+    contract as the applyInPandasWithState operator — state carries across
+    separate stream runs and ends equal to the batch groupBy.
+
+    The TWS state-server protocol needs protobuf, which this container
+    lacks — skip (not fail) there; the operator itself is plain Spark 4
+    API usage and runs wherever pyspark's [connect] extras are present."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    import os
+    import shutil
+
+    from skiliopay_datapipeline_customer_spark.streaming import (
+        events_stream,
+        running_user_totals_tws,
+    )
+
+    events = table(spark, sf_dir, "events").limit(2000).cache()
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    latest: dict[int, tuple] = {}
+
+    def capture(batch_df, batch_id):
+        for r in batch_df.collect():
+            latest[r["user_id"]] = (r["n_events"], r["total_value"])
+
+    for part in (half_a, half_b):
+        staged = str(tmp_path / "stage")
+        part.write.mode("overwrite").parquet(staged)
+        os.makedirs(landing, exist_ok=True)
+        for f in os.listdir(staged):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(staged, f), os.path.join(landing, f))
+        run_available_now(
+            running_user_totals_tws(events_stream(spark, landing)),
+            checkpoint_dir=ckpt,
+            output_mode="update",
+            foreach_batch=capture,
+        )
+
+    expected = {
+        r["user_id"]: (r["n"], round(r["t"], 4))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert latest == expected
