@@ -110,6 +110,7 @@ _FORCE = {
     "pca_projected_embeddings": 3,
     "kmeans_cluster_profile": 3,
     "event_props_variant_rollup": 3,
+    "corpus_composition_report": 3,
 }
 
 _PRIORITY = [

@@ -289,3 +289,64 @@ def domain_capped_sample(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+# Corpus composition report: the per-(lang, source) doc/token/char totals
+# and shares a training-data curator reads before setting mixture weights.
+# One groupBy over per-row native expressions; the share denominators ride
+# the same frame via an unordered global window (input is the group frame,
+# lang×source-sized — metadata weight, not the corpus).
+
+
+@query(
+    "corpus_composition_report",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang, source,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+             length(text) AS n_chars
+      FROM documents
+    ), grouped AS (
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM per_doc GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, total_tokens, total_chars,
+           round(CAST(total_tokens AS DOUBLE)
+                 / sum(total_tokens) OVER (), 6) AS token_share
+    FROM grouped
+    ORDER BY lang, source
+    """,
+)
+def corpus_composition_report(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    grouped = (
+        docs.select(
+            "lang",
+            "source",
+            T.whitespace_token_count(F.col("text")).alias("n_tokens"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    return grouped.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        F.round(
+            F.col("total_tokens").cast("double")
+            / F.sum("total_tokens").over(Window.partitionBy()),
+            6,
+        ).alias("token_share"),
+    ).orderBy("lang", "source")

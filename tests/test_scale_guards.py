@@ -376,3 +376,18 @@ def test_stratified_sample_plan_is_shuffle_free(spark, sf_dir):
     )
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_single_fact_scan_tpch_rewrites(spark, sf_dir):
+    """Q15/Q20/Q21 were restructured so the lineitem fact is scanned once
+    (the naive scalar-subquery / re-aggregate forms scanned it twice with
+    no ReusedExchange). Guard the single-scan property."""
+    from skiliopay_datapipeline_customer_spark.queries.tpch import (
+        top_revenue_supplier,
+        volume_part_suppliers,
+        waiting_suppliers,
+    )
+
+    for fn in (top_revenue_supplier, volume_part_suppliers, waiting_suppliers):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("lineitem.parquet") == 1, fn.__name__
