@@ -111,6 +111,7 @@ _FORCE = {
     "kmeans_cluster_profile": 3,
     "event_props_variant_rollup": 3,
     "corpus_composition_report": 3,
+    "dup_cluster_size_histogram": 3,
 }
 
 _PRIORITY = [

@@ -319,3 +319,78 @@ def incremental_dedup_candidates(spark, sf_dir):
     store = D.minhash_band_buckets(old)
     pairs, _additions = D.incremental_lsh_candidates(new, store)
     return pairs.orderBy("id_a", "id_b")
+
+
+# Cluster-size histogram — the dedup evaluation view (how much mass sits in
+# dup clusters of each size; singletons = unique docs). Reuses the bounded
+# connected-components labels; the oracle extends the recursive-CTE closure
+# with docs that never enter an edge (cluster of one).
+
+
+@query(
+    "dup_cluster_size_histogram",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, len(t) - 2),
+               i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
+      FROM (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+      )
+    ),
+    e0 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM e0
+      UNION SELECT id_b, id_a FROM e0
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    labels AS (
+      SELECT node, min(r) AS cluster FROM reach GROUP BY node
+      UNION ALL
+      SELECT doc_id, doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM reach)
+    ),
+    sizes AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM labels GROUP BY cluster
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def dup_cluster_size_histogram(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.9, shingle_n=3)
+    labels = D.connected_components(pairs)
+    # docs with no near-dup edge are their own singleton cluster
+    all_labels = labels.unionByName(
+        docs.join(labels, docs.doc_id == labels.node, "left_anti").select(
+            F.col("doc_id").alias("node"), F.col("doc_id").alias("cluster")
+        )
+    )
+    sizes = all_labels.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
