@@ -243,3 +243,38 @@ def test_rest_stream_to_silver_to_gold_composes(spark, tmp_path):
     # latest state: 0,10,99,77,40,50,60,70 (uids 0-7) + 80,90 (8-9)
     assert gold["n_users"] == 10
     assert abs(gold["total"] - (0 + 10 + 99 + 77 + 40 + 50 + 60 + 70 + 80 + 90)) < 1e-9
+
+
+def test_write_audit_publish_gates_and_promotes(spark, sf_dir, tmp_path):
+    """WAP: a passing audit publishes atomically; a failing audit leaves
+    the version staged and readers keep seeing the last good table."""
+    from skiliopay_datapipeline_customer_spark.pipelines.wap import (
+        read_published,
+        write_audit_publish,
+    )
+
+    target = str(tmp_path / "dim_customer")
+    cust = table(spark, sf_dir, "customer")
+
+    def no_null_keys(df):
+        bad = df.filter(F.col("c_custkey").isNull()).count()
+        return bad == 0, {"null_keys": bad}
+
+    r1 = write_audit_publish(spark, cust, target, audit=no_null_keys)
+    assert r1.published and r1.version == 1
+    assert read_published(spark, target).count() == cust.count()
+
+    # corrupt candidate: audit must block it, readers stay on v1
+    broken = cust.withColumn(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, None).otherwise(F.col("c_custkey")),
+    )
+    r2 = write_audit_publish(spark, broken, target, audit=no_null_keys)
+    assert not r2.published and r2.version == 2
+    assert "_staging" in r2.path and r2.audit_detail["null_keys"] > 0
+    assert read_published(spark, target).count() == cust.count()
+
+    # fixed retry claims a FRESH version (staged failure is never reused)
+    r3 = write_audit_publish(spark, cust.limit(100), target, audit=no_null_keys)
+    assert r3.published and r3.version == 3
+    assert read_published(spark, target).count() == 100
