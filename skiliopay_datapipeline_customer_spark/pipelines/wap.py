@@ -90,3 +90,39 @@ def read_published(spark: SparkSession, target_dir: str) -> DataFrame | None:
     """Latest audited version (None before the first publish) — the same
     committed-only discovery the streaming snapshot sink uses."""
     return latest_snapshot(spark, target_dir)
+
+
+def vacuum_versions(
+    target_dir: str,
+    keep_last: int = 2,
+    drop_staging: bool = True,
+) -> dict:
+    """The VACUUM half of table maintenance for the versioned snapshot
+    layout (keep the last ``keep_last`` published versions, delete older
+    ones and — optionally — failed/abandoned staged writes). Completes the
+    maintenance set next to ``compact_small_files`` (OPTIMIZE),
+    ``analyze_table`` (ANALYZE) and ``zorder_layout`` (CLUSTER BY).
+
+    Never touches the newest ``keep_last`` committed versions, so
+    concurrent readers of :func:`read_published` are safe: they can only
+    hold versions this call retains, or versions that were already
+    superseded ``keep_last`` publishes ago (time-travel horizon — the same
+    contract as Delta's ``VACUUM ... RETAIN``).
+
+    Returns {"removed_versions": [...], "removed_staging": [...]}.
+    """
+    import shutil
+
+    removed_v: list[int] = []
+    removed_s: list[int] = []
+    committed = _versions(target_dir)
+    for v in committed[:-keep_last] if keep_last > 0 else committed:
+        shutil.rmtree(os.path.join(target_dir, f"v={v}"))
+        removed_v.append(v)
+    staging = os.path.join(target_dir, STAGING)
+    if drop_staging and os.path.isdir(staging):
+        for d in os.listdir(staging):
+            if m := re.fullmatch(r"v=(\d+)", d):
+                shutil.rmtree(os.path.join(staging, d))
+                removed_s.append(int(m.group(1)))
+    return {"removed_versions": removed_v, "removed_staging": removed_s}

@@ -278,3 +278,27 @@ def test_write_audit_publish_gates_and_promotes(spark, sf_dir, tmp_path):
     r3 = write_audit_publish(spark, cust.limit(100), target, audit=no_null_keys)
     assert r3.published and r3.version == 3
     assert read_published(spark, target).count() == 100
+
+
+def test_vacuum_versions_retains_reader_horizon(spark, sf_dir, tmp_path):
+    from skiliopay_datapipeline_customer_spark.pipelines.wap import (
+        read_published,
+        vacuum_versions,
+        write_audit_publish,
+    )
+
+    target = str(tmp_path / "t")
+    cust = table(spark, sf_dir, "customer")
+    always = lambda df: (True, None)  # noqa: E731
+    never = lambda df: (False, "blocked")  # noqa: E731
+    for n in (100, 200, 300):
+        write_audit_publish(spark, cust.limit(n), target, audit=always)
+    write_audit_publish(spark, cust, target, audit=never)  # stays staged
+
+    out = vacuum_versions(target, keep_last=2)
+    assert out == {"removed_versions": [1], "removed_staging": [4]}
+    # latest survives and still reads; v2 (inside horizon) survives too
+    assert read_published(spark, target).count() == cust.limit(300).count()
+    import os
+    kept = {d for d in os.listdir(target) if d.startswith("v=")}
+    assert kept == {"v=2", "v=3"}
