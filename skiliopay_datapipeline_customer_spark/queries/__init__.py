@@ -112,6 +112,7 @@ _FORCE = {
     "event_props_variant_rollup": 3,
     "corpus_composition_report": 3,
     "dup_cluster_size_histogram": 3,
+    "ks_drift_report": 3,
 }
 
 _PRIORITY = [

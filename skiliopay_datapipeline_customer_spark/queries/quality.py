@@ -472,3 +472,87 @@ def fk_integrity_report(spark, sf_dir):
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).agg(F.count(F.lit(1)).alias("customers_without_orders"))
     return li.crossJoin(od).crossJoin(cu).crossJoin(no_orders)
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov drift over a CONTINUOUS column — the numeric complement
+# of the chi-square event-mix report above. The statistic stays exact across
+# engines: both ecdfs are integer cumulative counts, the sup-distance is
+# maximized on the INTEGER cross-multiplied numerator |cb*tc - cc*tb|
+# (no float division until the final report row), and cumulative counts
+# come from the range-partitioned two-pass cumsum — no single-task global
+# window over the distinct-value frame.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ks_drift_report",
+    oracle="""
+    WITH c AS (
+      SELECT value,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_base,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_curr
+      FROM events WHERE value IS NOT NULL
+      GROUP BY value
+    ),
+    t AS (SELECT sum(n_base) AS tb, sum(n_curr) AS tc FROM c),
+    e AS (
+      SELECT value,
+             sum(n_base) OVER (ORDER BY value) AS cb,
+             sum(n_curr) OVER (ORDER BY value) AS cc
+      FROM c
+    ),
+    d AS (SELECT e.value, abs(cb * t.tc - cc * t.tb) AS num FROM e, t),
+    m AS (SELECT max(num) AS mx FROM d)
+    SELECT round(CAST(m.mx AS DOUBLE) / (t.tb * t.tc), 6) AS ks_stat,
+           min(d.value) AS at_value
+    FROM d, m, t
+    WHERE d.num = m.mx
+    GROUP BY m.mx, t.tb, t.tc
+    """,
+)
+def ks_drift_report(spark, sf_dir):
+    from ..io import table as _table
+    from ..operators.ranks import global_cumsum_distributed
+
+    split = F.lit("2024-01-16").cast("timestamp")
+    counts = (
+        _table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("ts") < split, 1).otherwise(0))
+            .cast("long")
+            .alias("n_base"),
+            F.sum(F.when(F.col("ts") >= split, 1).otherwise(0))
+            .cast("long")
+            .alias("n_curr"),
+        )
+    )
+    order = [F.col("value")]
+    ecdf = global_cumsum_distributed(
+        global_cumsum_distributed(counts, order, "n_base", out="cb"),
+        order,
+        "n_curr",
+        out="cc",
+    )
+    totals = counts.agg(F.sum("n_base").alias("tb"), F.sum("n_curr").alias("tc"))
+    d = ecdf.crossJoin(F.broadcast(totals)).select(
+        "value",
+        "tb",
+        "tc",
+        F.abs(F.col("cb") * F.col("tc") - F.col("cc") * F.col("tb")).alias("num"),
+    )
+    mx = d.agg(F.max("num").alias("mx"))
+    return (
+        d.join(F.broadcast(mx), d.num == mx.mx)
+        .groupBy("mx", "tb", "tc")
+        .agg(F.min("value").alias("at_value"))
+        .select(
+            F.round(F.col("mx").cast("double") / (F.col("tb") * F.col("tc")), 6)
+            .alias("ks_stat"),
+            "at_value",
+        )
+    )
