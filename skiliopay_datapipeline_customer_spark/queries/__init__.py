@@ -34,6 +34,7 @@ def load_all() -> None:
     """Import every query module so registration side effects run."""
     from . import (  # noqa: F401
         aggregates,
+        analytics,
         corpus,
         dedup,
         features,
@@ -113,6 +114,14 @@ _FORCE = {
     "corpus_composition_report": 3,
     "dup_cluster_size_histogram": 3,
     "ks_drift_report": 3,
+    "segment_balance_deciles": 3,
+    "daily_purchases_gapfilled": 3,
+    "mad_outlier_report": 3,
+    "burst_first_events": 3,
+    "signup_to_purchase_latency": 3,
+    "user_journey_frequencies": 3,
+    "source_entropy": 3,
+    "value_histogram": 3,
 }
 
 _PRIORITY = [

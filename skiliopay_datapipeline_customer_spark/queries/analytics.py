@@ -1,0 +1,438 @@
+"""Event-analytics suite: the time-series / distribution shapes a pandas
+analyst leans on (resample, qcut deciles, robust outliers, journeys) that the
+reference's churn pipeline implies but never names (pandas resample/ewm/qcut
+habits in ``src/processing/feature_engineering.py``), re-expressed as
+shuffle-once Spark plans with DuckDB oracles.
+
+Scale posture (every query):
+- one shuffle on its natural key (user_id / event_type / lang) — partial
+  aggregation map-side; no global single-task window anywhere (the only
+  global scalars are 1-row aggregates broadcast back).
+- date spines are ``sequence()``-exploded map-side, never driver loops.
+- float thresholds are written with IDENTICAL expression shape on both
+  engines so IEEE doubles agree bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from . import query
+
+# ---------------------------------------------------------------------------
+# ntile + cume_dist deciles per segment (the W-family gap: rfm_quintiles
+# covers GLOBAL qcut; this is the grouped decile rank). Window partitioned by
+# c_mktsegment — shuffles once on the segment key; within-partition sort is
+# the per-group cost, the documented funnel-shape when one group dominates
+# (the range-partitioned rank in operators/ranks.py is the escape hatch,
+# proven by quality_top_quartile).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "segment_balance_deciles",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           ntile(10) OVER w AS bal_decile,
+           round(cume_dist() OVER w, 6) AS bal_cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def segment_balance_deciles(spark, sf_dir):
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.ntile(10).over(w).alias("bal_decile"),
+            F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled daily resample — pandas ``resample('D').count()`` with explicit
+# zeros, distributed: the (user × day) spine is a map-side sequence-explode
+# over the distinct-user set (no driver loop), counts join onto it with
+# zero-coalesce. The spine bounds are the global min/max event DAYS (two
+# 1-row scalars — broadcast-sized by construction).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "daily_purchases_gapfilled",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT u.user_id, CAST(g.d AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN bounds
+      CROSS JOIN unnest(generate_series(bounds.d0, bounds.d1,
+                                        INTERVAL 1 DAY)) AS g(d)
+    ),
+    counts AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_purchases
+    FROM spine s LEFT JOIN counts c USING (user_id, day)
+    ORDER BY s.user_id, s.day
+    """,
+)
+def daily_purchases_gapfilled(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    d0, d1 = ev.agg(
+        F.min(F.col("ts").cast("date")), F.max(F.col("ts").cast("date"))
+    ).first()
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(d0), F.lit(d1), F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    counts = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(counts, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            # ISO string on both sides: date vs datetime64 round-trips
+            # diverge in the compare layer, the calendar day does not
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_purchases"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier report — median/MAD fences (the A15 z-score report's
+# robust twin; 1.4826·MAD ≈ σ under normality, so 3σ ≡ 4.4478·MAD — the
+# literal is pre-multiplied so both engines evaluate the SAME product shape).
+# Two exact-median passes per group (percentile shuffles the group's values;
+# at 100 TB swap approx_percentile like plans/quality.py documents), then one
+# counting pass against the broadcast fences.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mad_outlier_report",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, m.med, median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type,
+           round(m.med, 4) AS med,
+           round(m.mad, 4) AS mad,
+           CAST(sum(CASE WHEN abs(e.value - m.med) > 4.4478 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           count(*) AS n
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type, m.med, m.mad
+    ORDER BY e.event_type
+    """,
+)
+def mad_outlier_report(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(med, "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
+    )
+    return (
+        ev.join(mad, "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(4.4478) * F.col("mad")
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burst coalescing (first-of-burst dedup): within (user, event_type), events
+# closer than 60 s to their predecessor belong to the same burst; keep each
+# burst's FIRST event. Gaps-and-islands — lag + cumulative flag, the same
+# shape as sessionization, so it shuffles once on the (user, type) key.
+# (This is islands-semantics: a burst extends while consecutive gaps stay
+# under the threshold — distinct from recursive debounce-vs-last-kept.)
+# ---------------------------------------------------------------------------
+
+_BURST_GAP_US = 60 * 1_000_000
+
+
+@query(
+    "burst_first_events",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_BURST_GAP_US}
+                  THEN 1 ELSE 0 END AS new_burst
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT event_id, user_id, event_type, ts_us
+    FROM flagged WHERE new_burst = 1
+    ORDER BY event_id
+    """,
+)
+def burst_first_events(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    return (
+        ev.withColumn(
+            "_new",
+            (prev.isNull() | ((F.col("ts_us") - prev) > _BURST_GAP_US)).cast(
+                "int"
+            ),
+        )
+        .filter(F.col("_new") == 1)
+        .select("event_id", "user_id", "event_type", "ts_us")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-event: days from first signup to first subsequent purchase, rolled
+# into a day-bucket histogram (the activation-latency curve). Integer
+# epoch-micros arithmetic end-to-end — `div` on both engines, no float day
+# fractions. One conditional-min aggregate per user, one global rollup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "signup_to_purchase_latency",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST((p_us - s_us) // 86400000000 AS BIGINT) AS latency_days,
+           count(*) AS n_users
+    FROM stages
+    WHERE s_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= s_us
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def signup_to_purchase_latency(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.unix_micros("ts"))
+    )
+    stages = ev.groupBy("user_id").agg(
+        first_of("signup").alias("s_us"), first_of("purchase").alias("p_us")
+    )
+    return (
+        stages.filter(
+            F.col("s_us").isNotNull()
+            & F.col("p_us").isNotNull()
+            & (F.col("p_us") >= F.col("s_us"))
+        )
+        .groupBy(
+            F.expr("(p_us - s_us) div 86400000000")
+            .cast("long")
+            .alias("latency_days")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("latency_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# User-journey frequencies: each user's first five events as an ordered
+# `a>b>c` path, counted across users (the funnel's free-form twin). The
+# per-user top-5 is a partitioned row_number filter (one shuffle); the path
+# assembles via sort_array(collect_list(struct(...))) — deterministic under
+# the (ts, event_id) total order, never an unordered collect.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_journey_frequencies",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    journeys AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS journey
+      FROM numbered WHERE rn <= 5
+      GROUP BY user_id
+    )
+    SELECT journey, count(*) AS n_users
+    FROM journeys GROUP BY journey
+    ORDER BY n_users DESC, journey
+    """,
+)
+def user_journey_frequencies(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts").asc(), F.col("event_id").asc()
+    )
+    first5 = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "rn", "event_type")
+    )
+    journeys = first5.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("journey")
+    )
+    return (
+        journeys.groupBy("journey")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "journey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mix entropy per language — the corpus-diversity metric curators read
+# next to corpus_composition_report: Shannon entropy (nats) of the source
+# distribution, plus the effective number of sources exp(H). Counts are
+# exact integers; the float expression `(n/total)*ln(n/total)` has identical
+# shape on both engines, summed over ≤ |sources| terms, rounded to 6.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, source, count(*) AS n
+      FROM documents GROUP BY lang, source
+    ),
+    totals AS (
+      SELECT lang, sum(n) AS total, count(*) AS n_sources
+      FROM counts GROUP BY lang
+    )
+    SELECT c.lang,
+           CAST(t.n_sources AS BIGINT) AS n_sources,
+           round(-sum((c.n / t.total) * ln(c.n / t.total)), 6) AS entropy_nats
+    FROM counts c JOIN totals t USING (lang)
+    GROUP BY c.lang, t.n_sources
+    ORDER BY c.lang
+    """,
+)
+def source_entropy(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("lang").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    p = F.col("n") / F.col("total")
+    return (
+        counts.join(totals, "lang")
+        .groupBy("lang", "n_sources")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"))
+        .select(
+            "lang", F.col("n_sources").cast("long").alias("n_sources"),
+            "entropy_nats",
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equal-width histogram of the value column (the distribution_report's
+# numeric companion): 20 bins over the global [min, max], last bin
+# right-closed via least(). Bin index arithmetic `(value - mn) / w` keeps the
+# same expression shape on both engines; min/max are one 1-row scalar scan
+# broadcast into the binning pass.
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 20
+
+
+@query(
+    "value_histogram",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(value) AS mn,
+             (max(value) - min(value)) / {_HIST_BINS} AS w
+      FROM events
+    )
+    SELECT CAST(least(floor((e.value - b.mn) / b.w),
+                      {_HIST_BINS - 1}) AS BIGINT) AS bin,
+           count(*) AS n
+    FROM events e CROSS JOIN bounds b
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def value_histogram(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    mn, mx = ev.agg(F.min("value"), F.max("value")).first()
+    w = (mx - mn) / _HIST_BINS
+    return (
+        ev.groupBy(
+            F.least(
+                F.floor((F.col("value") - F.lit(mn)) / F.lit(w)),
+                F.lit(_HIST_BINS - 1),
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
