@@ -122,6 +122,7 @@ _FORCE = {
     "user_journey_frequencies": 3,
     "source_entropy": 3,
     "value_histogram": 3,
+    "ewm_user_value": 3,
 }
 
 _PRIORITY = [

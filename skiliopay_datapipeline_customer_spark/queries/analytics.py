@@ -436,3 +436,67 @@ def value_histogram(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average — pandas ``ewm(alpha=.5).mean()``
+# (adjust=True), distributed. The recursion is re-expressed as two prefix
+# sums under the per-user (day, row) order:
+#     ema_t = (1-a)^t · Σ_{i≤t} x_i·(1-a)^{-i}  /  (1-a)^t · Σ_{i≤t} (1-a)^{-i}
+# so it's one partitioned window (single shuffle on user_id), no recursion,
+# no UDF. alpha = 0.5 makes every decay weight an exact power of two, so the
+# only float freedom is prefix-sum order — identical (sequential per
+# partition) on both engines; output rounded to 4 regardless.
+# Series per user span ≤ a few hundred steps; 2^±t stays in double range.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ewm_user_value",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS x
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT user_id, day, x,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS t
+      FROM daily
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           round(
+             (power(0.5, t) * sum(x * power(0.5, -t)) OVER w)
+             / (power(0.5, t) * sum(power(0.5, -t)) OVER w), 4) AS ewm_value
+    FROM idx
+    WINDOW w AS (PARTITION BY user_id ORDER BY t
+                 ROWS UNBOUNDED PRECEDING)
+    ORDER BY user_id, day
+    """,
+)
+def ewm_user_value(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("x"))
+    )
+    order_w = Window.partitionBy("user_id").orderBy("day")
+    idx = daily.withColumn("t", F.row_number().over(order_w) - 1)
+    cum_w = order_w.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    decay = F.pow(F.lit(0.5), F.col("t"))
+    inv = F.pow(F.lit(0.5), -F.col("t"))
+    return (
+        idx.select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(
+                (decay * F.sum(F.col("x") * inv).over(cum_w))
+                / (decay * F.sum(inv).over(cum_w)),
+                4,
+            ).alias("ewm_value"),
+        )
+        .orderBy("user_id", "day")
+    )

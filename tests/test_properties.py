@@ -304,3 +304,41 @@ def test_snapshot_diff_matches_reference(spark, old, new):
         elif om[k] != nm[k]:
             want[k] = "changed"
     assert got == want
+
+
+# --- distributed EWM vs pandas ewm(adjust=True) ----------------------------
+
+EWM_SERIES = st.lists(
+    st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(xs=EWM_SERIES)
+@SETTINGS
+def test_ewm_prefix_sum_form_matches_pandas(spark, xs):
+    """The two-prefix-sum EWM re-expression (queries/analytics.py) is exactly
+    pandas ewm(alpha=.5, adjust=True).mean() — alpha=.5 keeps every decay
+    weight an exact power of two, so equality holds to float tolerance."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "t long, x double"
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    decay = F.pow(F.lit(0.5), F.col("t"))
+    inv = F.pow(F.lit(0.5), -F.col("t"))
+    got = [
+        r.e
+        for r in df.select(
+            "t",
+            ((decay * F.sum(F.col("x") * inv).over(w))
+             / (decay * F.sum(inv).over(w))).alias("e"),
+        )
+        .orderBy("t")
+        .collect()
+    ]
+    want = pd.Series(xs, dtype="float64").ewm(alpha=0.5, adjust=True).mean()
+    for g, wv in zip(got, want):
+        assert math.isclose(g, wv, rel_tol=1e-9, abs_tol=1e-9)
