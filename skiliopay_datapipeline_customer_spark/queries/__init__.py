@@ -231,8 +231,14 @@ def _rotated(names: list[str]) -> list[str]:
 
     def sort_last(q: str) -> int:
         lv = last.get(q, -1)
-        if q in _FORCE and lv <= _FORCE[q]:
-            return -2  # semantics changed since last green row: re-verify
+        if lv < 0 or (q in _FORCE and lv <= _FORCE[q]):
+            # one pool for "needs a driver row": never-verified queries and
+            # semantics-changed ones (stale green row). Within the pool
+            # _PRIORITY decides who gets this round's 50-slot window — the
+            # window is smaller than the pool, so the ORDER is the policy:
+            # changed queries first, then the longest-waiting suites
+            # (flagship/joins/windows/quality/text), then declaration order.
+            return -2
         return lv
 
     return sorted(
