@@ -192,3 +192,30 @@ def group_capped_sample(
         .filter(F.col("_gr") - F.col("_base") < F.lit(int(cap)))
         .drop("_ok", "_gr", "_base")
     )
+
+
+def weighted_sample_keys(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    salt: str = "es",
+    key_out: str = "_wkey",
+) -> DataFrame:
+    """Efraimidis–Spirakis A-Res keys for weighted sampling WITHOUT
+    replacement: key = u^(1/w) with u a deterministic md5-derived uniform in
+    (0, 1); the k rows with the LARGEST keys are a weighted-without-
+    replacement sample of size k. No RNG state — re-runs and the SQL oracle
+    compute identical keys, so the selected set is reproducible across
+    engines and cluster sizes.
+
+    Scale posture: the key is one map-side expression; the top-k then comes
+    from a sort-limit (per-partition top-k + merge — TakeOrderedAndProject,
+    no global shuffle of the full corpus, no window).
+    """
+    # (md5 60-bit int + 1) / (2^60 + 1) ∈ (0, 1) exclusive on both ends
+    u = (hash_order_key(F.col(id_col), salt=salt) + 1) / F.lit(
+        float(2**60 + 1)
+    )
+    return df.withColumn(
+        key_out, F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    )

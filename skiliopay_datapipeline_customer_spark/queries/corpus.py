@@ -350,3 +350,43 @@ def corpus_composition_report(spark, sf_dir):
             6,
         ).alias("token_share"),
     ).orderBy("lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-Res): the
+# size-biased corpus draw — longer documents proportionally likelier, no RNG
+# state, the identical set on every re-run/engine. Selection is a sort-limit
+# (TakeOrderedAndProject: per-partition top-k + merge), never a global
+# window. The float key is md5-uniform^(1/w) with the SAME expression shape
+# on both engines; the top-100 boundary gap is astronomically wider than a
+# pow() ulp, and the emitted key is rounded to 6.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weighted_doc_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           round(pow(
+             (CAST('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) + 1) / 1152921504606846977.0,
+             1.0 / CAST(n_chars AS DOUBLE)), 6) AS sample_key
+    FROM documents
+    ORDER BY pow(
+             (CAST('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) + 1) / 1152921504606846977.0,
+             1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id
+    LIMIT 100
+    """,
+)
+def weighted_doc_sample(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    keyed = SM.weighted_sample_keys(docs, "doc_id", "n_chars", salt="es")
+    return (
+        keyed.orderBy(F.col("_wkey").desc(), "doc_id")
+        .limit(100)
+        .select(
+            "doc_id", "lang", "n_chars",
+            F.round("_wkey", 6).alias("sample_key"),
+        )
+    )

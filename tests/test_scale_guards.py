@@ -391,3 +391,51 @@ def test_single_fact_scan_tpch_rewrites(spark, sf_dir):
     for fn in (top_revenue_supplier, volume_part_suppliers, waiting_suppliers):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("lineitem.parquet") == 1, fn.__name__
+
+
+def test_weighted_sample_plan_is_sort_limit_not_window(spark, sf_dir):
+    """Efraimidis–Spirakis selection must be TakeOrderedAndProject
+    (per-partition top-k + merge), never a global window/sort."""
+    from skiliopay_datapipeline_customer_spark.queries.corpus import (
+        weighted_doc_sample,
+    )
+
+    df = weighted_doc_sample(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """100 TB posture: a selective dim-side filter should inject a runtime
+    bloom filter on the fact side of a shuffle join (Spark's runtime row
+    filtering), so fact rows that cannot join die at the scan. Local data is
+    far below the production thresholds, so the test lowers them; production
+    keeps the defaults and gets this automatically on TB-scale joins."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, sf_dir, "lineitem")
+        orders = table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 500_000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy()
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in opt.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
