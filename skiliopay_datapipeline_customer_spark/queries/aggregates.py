@@ -237,6 +237,56 @@ def correlation(spark, sf_dir):
     )
 
 
+# Full correlation MATRIX — the dashboard's engagement heatmap computes
+# df[cols].corr() over k columns at once (src/dashboard/views/pages.py:
+# 132-137). Distributed form: ALL k·(k-1)/2 pairwise corr() aggregates fused
+# into ONE scan/shuffle (tidy long-format output, one row per pair) — never
+# k² passes over the fact table.
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "correlation_matrix",
+    oracle="""
+    SELECT col_x, col_y, corr_val FROM (
+      SELECT 'l_discount' AS col_x, 'l_extendedprice' AS col_y,
+             round(corr(l_discount, l_extendedprice), 6) AS corr_val FROM lineitem
+      UNION ALL SELECT 'l_discount', 'l_quantity',
+             round(corr(l_discount, l_quantity), 6) FROM lineitem
+      UNION ALL SELECT 'l_discount', 'l_tax',
+             round(corr(l_discount, l_tax), 6) FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', 'l_quantity',
+             round(corr(l_extendedprice, l_quantity), 6) FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', 'l_tax',
+             round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+      UNION ALL SELECT 'l_quantity', 'l_tax',
+             round(corr(l_quantity, l_tax), 6) FROM lineitem
+    ) ORDER BY col_x, col_y
+    """,
+)
+def correlation_matrix(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(sorted(_CORR_COLS))
+        for b in sorted(_CORR_COLS)[i + 1 :]
+    ]
+    wide = li.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"{a}|{b}")
+            for a, b in pairs
+        ]
+    )
+    # one row per pair via stack — the UNION in the oracle is k scans only
+    # because SQL lacks a tidy pivot; the ENGINE pass is single-scan
+    stack_args = ", ".join(f"'{a}', '{b}', `{a}|{b}`" for a, b in pairs)
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, corr_val)"
+    ).orderBy("col_x", "col_y")
+
+
 # A13 min/max/avg/stddev probe (docs/ReadData.md:119-125).
 
 
