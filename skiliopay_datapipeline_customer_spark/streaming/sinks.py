@@ -204,3 +204,74 @@ def dedup_ingest(
         batch_df.unpersist()
 
     return merge
+
+
+def jdbc_exactly_once_sink(
+    url: str,
+    table: str,
+    batch_col: str = "batch_id",
+    properties: dict | None = None,
+):
+    """Build a ``foreachBatch(batch_df, batch_id)`` that loads each
+    micro-batch into a JDBC table with replay-idempotent semantics — the
+    streaming tier of the S7 warehouse load (the reference's DAG loads its
+    processed frame into Postgres per run, src/storage/data_warehouse.py:
+    64-99; a streaming source makes that a per-epoch load).
+
+    Exactly-once recipe for a non-transactional writer: every row carries
+    its epoch id in ``batch_col``, and each delivery DELETEs its own epoch's
+    rows before appending them. A batch replayed after a crash (foreachBatch
+    gives at-least-once delivery; the checkpoint commits AFTER this function
+    returns) rewrites exactly its own slice instead of double-appending —
+    the table converges to one copy of every epoch. The DELETE is a
+    driver-side metadata statement (bounded by one epoch's rows); the
+    APPEND is the executor-parallel batched JDBC write.
+
+    Scale posture: per-epoch parallel INSERT with ``batchsize`` batching is
+    the same write path as the batch tier; the delete touches only the
+    replayed epoch (indexed on ``batch_col`` in production DDL).
+    """
+    from ..sources.jdbc import write_jdbc
+
+    def load(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm  # driver-side control statement, not a data path
+        drv = (properties or {}).get("driver")
+        if drv:
+            jvm.java.lang.Class.forName(drv)
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            # Spark's JDBC writer CREATEs the table name UNQUOTED (the
+            # database case-folds it) but quotes COLUMN names (stored
+            # case-preserved) — the delete mirrors that exactly. Existence
+            # is checked via DatabaseMetaData under both the given and the
+            # case-folded spelling; only a genuinely-absent table skips the
+            # delete (first delivery; the append creates it). Any other
+            # failure raises: silently skipping the delete would turn a
+            # replay into a double-append.
+            meta = conn.getMetaData()
+            exists = False
+            for pattern in {table, table.upper(), table.lower()}:
+                rs = meta.getTables(None, None, pattern, None)
+                exists = rs.next()
+                rs.close()
+                if exists:
+                    break
+            if exists:
+                stmt = conn.createStatement()
+                stmt.executeUpdate(
+                    f'DELETE FROM {table} WHERE "{batch_col}"'
+                    f" = {int(batch_id)}"
+                )
+                stmt.close()
+        finally:
+            conn.close()
+        write_jdbc(
+            batch_df.withColumn(batch_col, F.lit(int(batch_id))),
+            url,
+            table,
+            mode="append",
+            properties=properties,
+        )
+
+    return load

@@ -462,3 +462,41 @@ def test_transform_with_state_matches_batch_totals(spark, sf_dir, tmp_path):
         .collect()
     }
     assert latest == expected
+
+
+def test_jdbc_exactly_once_sink_replay_idempotent(spark, events_dir, tmp_path):
+    """Each epoch DELETEs its own slice before appending: a replayed batch
+    (at-least-once foreachBatch delivery) converges to one copy per epoch."""
+    from skiliopay_datapipeline_customer_spark.streaming.sinks import (
+        jdbc_exactly_once_sink,
+    )
+    from skiliopay_datapipeline_customer_spark.sources.jdbc import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/wh;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    sink = jdbc_exactly_once_sink(url, "events_load", properties=props)
+
+    stream = events_stream(spark, events_dir, max_files_per_trigger=1)
+    run_available_now(
+        stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+        foreach_batch=sink,
+    )
+    batch = spark.read.parquet(events_dir)
+    loaded = read_jdbc(spark, url, table="events_load", properties=props)
+    assert loaded.count() == batch.count()
+    n_epochs = loaded.select("batch_id").distinct().count()
+    assert n_epochs >= 2  # max_files_per_trigger=1 → several epochs
+
+    # crash-replay: re-deliver epoch 0's slice (same batch_id, same rows).
+    # Materialize FIRST — a lazy JDBC read of the same table would be
+    # re-evaluated after the sink's own delete and deliver zero rows.
+    lazy0 = loaded.filter(F.col("batch_id") == 0).drop("batch_id")
+    epoch0 = spark.createDataFrame(lazy0.collect(), lazy0.schema)
+    sink(epoch0, 0)
+    again = read_jdbc(spark, url, table="events_load", properties=props)
+    assert again.count() == batch.count()  # no double-append
+    assert (
+        again.filter(F.col("batch_id") == 0).count() == epoch0.count()
+    )
