@@ -294,6 +294,90 @@ try:  # Spark 4 Python DataSource API
                     )
                 return iter(rows)
 
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class _RestCommit(WriterCommitMessage):
+        def __init__(self, tokens: list[str], rows: int):
+            self.tokens = tokens
+            self.rows = rows
+
+    class RestDataSourceWriter(DataSourceWriter):
+        """Partition-parallel REST EXPORT with a two-phase commit — the
+        reverse of the paginated reader (the reference only ingests;
+        publishing scored rows back to a service is the natural sink twin).
+
+        Exactly-once over a non-transactional API: each partition POSTs its
+        row batches STAGED under fresh tokens and returns them in its commit
+        message; the driver's ``commit()`` publishes exactly the winning
+        task attempts' tokens in one request (Spark hands commit() one
+        message per task — a retried/speculative loser's staged tokens are
+        never published, and ``abort()`` voids everything staged). The
+        server flips staged → visible atomically on the commit POST.
+
+        Scale posture: executors write in parallel with per-partition rate
+        budgets (global quota / partitions, like the reader); batches of
+        ``batch_size`` rows bound request payloads; the driver-side commit
+        carries tokens only (metadata-sized).
+        """
+
+        def __init__(self, schema, options):
+            self.fields = [f.name for f in schema.fields]
+            self.base_url = options["base_url"]
+            self.batch_size = int(options.get("batch_size", "100"))
+            self.req_per_min = int(options.get("requests_per_minute", "100"))
+            self.n_partitions = int(options.get("n_partitions", "4"))
+
+        def _post(self, payload: dict) -> None:
+            import json
+            import urllib.request
+
+            req = urllib.request.Request(
+                self.base_url,
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=10.0) as resp:
+                resp.read()
+
+        def write(self, iterator):
+            import uuid
+
+            limiter = RateLimiter(
+                max_requests=max(1, self.req_per_min // self.n_partitions)
+            )
+            tokens: list[str] = []
+            total = 0
+            batch: list[dict] = []
+
+            def flush():
+                nonlocal batch, total
+                if not batch:
+                    return
+                token = uuid.uuid4().hex
+                limiter.wait()
+                self._post({"stage": token, "rows": batch})
+                tokens.append(token)
+                total += len(batch)
+                batch = []
+
+            for row in iterator:
+                batch.append({n: row[n] for n in self.fields})
+                if len(batch) >= self.batch_size:
+                    flush()
+            flush()
+            return _RestCommit(tokens, total)
+
+        def commit(self, messages):
+            self._post(
+                {"commit": [t for m in messages if m for t in m.tokens]}
+            )
+
+        def abort(self, messages):
+            self._post(
+                {"abort": [t for m in messages if m for t in m.tokens]}
+            )
+
     class RestDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -311,6 +395,9 @@ try:  # Spark 4 Python DataSource API
             if SimpleDataSourceStreamReader is None:  # pragma: no cover
                 raise NotImplementedError("streaming needs pyspark >= 4")
             return RestStreamReader(schema, self.options)
+
+        def writer(self, schema, overwrite):
+            return RestDataSourceWriter(schema, self.options)
 
 except ImportError:  # pragma: no cover - older pyspark
     RestDataSource = None  # type: ignore[assignment]

@@ -442,3 +442,75 @@ def test_rest_datasource_over_http(spark, http_pages_server):
         .collect()
     )
     assert sorted(r["uid"] for r in rows) == list(range(23))
+
+
+def test_rest_datasource_writer_two_phase_commit(spark, tmp_path):
+    """df.write.format('paged_rest') POSTs staged batches from executors;
+    the driver commit publishes exactly the winning tasks' tokens — staged
+    rows from an uncommitted (simulated loser) token never become visible."""
+    import http.server
+    import json
+    import threading
+    import urllib.request
+
+    staged: dict[str, list] = {}
+    visible: list = []
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", "0"))
+            payload = json.loads(self.rfile.read(n))
+            with lock:
+                if "stage" in payload:
+                    staged[payload["stage"]] = payload["rows"]
+                elif "commit" in payload:
+                    for t in payload["commit"]:
+                        visible.extend(staged.pop(t, []))
+                elif "abort" in payload:
+                    for t in payload["abort"]:
+                        staged.pop(t, None)
+            self.send_response(200)
+            self.send_header("Content-Length", "2")
+            self.end_headers()
+            self.wfile.write(b"{}")
+
+        def log_message(self, *args):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{server.server_address[1]}/ingest"
+    try:
+        from skiliopay_datapipeline_customer_spark.sources.rest import (
+            RestDataSource,
+        )
+
+        spark.dataSource.register(RestDataSource)
+        # a rogue staged batch nobody commits (a lost task attempt)
+        urllib.request.urlopen(
+            urllib.request.Request(
+                url,
+                data=json.dumps(
+                    {"stage": "loser", "rows": [{"uid": 999}]}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            ),
+            timeout=5,
+        ).read()
+
+        df = spark.range(57).selectExpr("CAST(id AS INT) AS uid").repartition(3)
+        (
+            df.write.format("paged_rest")
+            .option("base_url", url)
+            .option("batch_size", "10")
+            .option("n_partitions", "3")
+            .mode("append")
+            .save()
+        )
+        with lock:
+            assert sorted(r["uid"] for r in visible) == list(range(57))
+            assert staged == {"loser": [{"uid": 999}]}  # never published
+    finally:
+        server.shutdown()
