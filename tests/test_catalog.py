@@ -189,3 +189,30 @@ def test_compact_small_files_preserves_content(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == 20_000
     assert after.agg(F.sum("id"), F.sum("v")).first() == checksum
+
+
+def test_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path):
+    """100 TB posture: a date-partitioned layout + a literal day predicate
+    must prune at PLANNING time — the scan's PartitionFilters carry the
+    predicate and only the matching day directories are read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from skiliopay_datapipeline_customer_spark.io import table
+
+    path = str(tmp_path / "events_by_day")
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.partitionBy("day").mode("overwrite").parquet(path)
+    n_days = len([d for d in os.listdir(path) if d.startswith("day=")])
+    assert n_days > 1
+
+    scan = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the day predicate is a PARTITION filter (planning-time pruning),
+    # not a post-scan row filter
+    assert "PartitionFilters" in plan and "2024-01-05" in plan
+    want = ev.filter(F.col("day") == "2024-01-05").count()
+    assert want > 0 and scan.count() == want
