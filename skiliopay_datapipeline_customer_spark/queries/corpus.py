@@ -390,3 +390,124 @@ def weighted_doc_sample(spark, sf_dir):
             F.round("_wkey", 6).alias("sample_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling — the multilingual-LM mixing rule
+# (p_s ∝ n_s^α, here α = 0.5 so the power is IEEE-exact sqrt): per-source
+# keep rates T·p_s/n_s turn a target budget of T documents into a
+# deterministic md5-Bernoulli filter. Up-weights tail sources relative to
+# proportional sampling; rates cap at 1 (a tiny source can't be
+# over-sampled without replacement). Plan: one tiny source-count aggregate
+# broadcast back, then a map-only filter — the corpus never shuffles.
+# ---------------------------------------------------------------------------
+
+_TEMP_TARGET = 1000
+
+
+@query(
+    "temperature_mixture_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(sqrt(n)) AS z FROM counts),
+    rates AS (
+      SELECT source, least(1.0, {_TEMP_TARGET} * sqrt(n) / (z * n)) AS rate
+      FROM counts CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE (CAST('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 1000000) / 1000000.0 < r.rate
+    ORDER BY d.doc_id
+    """,
+)
+def temperature_mixture_sample(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    z = counts.agg(F.sum(F.sqrt("n")).alias("z"))
+    rates = counts.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(_TEMP_TARGET)) * F.sqrt("n") / (F.col("z") * F.col("n")),
+        ).alias("rate"),
+    )
+    u = (
+        SM.hash_bucket(F.col("doc_id"), salt="temp", modulus=1_000_000)
+        / F.lit(1_000_000.0)
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed training batches: sort the corpus by token count (doc_id
+# tiebreak — a total order), cut into fixed-size batches, report each
+# batch's padding waste (batch_size·max_len − Σ len: what a padded
+# collate pays). Sorting by length is THE padding minimizer; the rank comes
+# from the range-partitioned two-pass global rank — no single-task window
+# over the corpus. Integer arithmetic end-to-end.
+# ---------------------------------------------------------------------------
+
+_BATCH_SIZE = 32
+
+
+@query(
+    "length_bucketed_batches",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS r
+      FROM t
+    )
+    SELECT CAST(r // {_BATCH_SIZE} AS BIGINT) AS batch_id,
+           count(*) AS n_docs,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+             AS padding_waste
+    FROM ranked
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def length_bucketed_batches(spark, sf_dir):
+    from ..operators.ranks import global_rank_distributed
+
+    docs = table(spark, sf_dir, "documents")
+    withn = docs.select(
+        "doc_id", T.whitespace_token_count(F.col("text")).alias("n_tokens")
+    )
+    ranked = global_rank_distributed(
+        withn,
+        [F.col("n_tokens").asc(), F.col("doc_id").asc()],
+        rank_col="_r",
+    )
+    return (
+        ranked.groupBy(
+            # integer div, not float /: exact past 2^53 ranks
+            F.expr(f"(_r - 1) div {_BATCH_SIZE}")
+            .cast("long")
+            .alias("batch_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            (
+                F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
+            ).cast("long").alias("padding_waste"),
+        )
+        .orderBy("batch_id")
+    )
