@@ -439,6 +439,86 @@ def value_histogram(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Collation-aware matching (Spark 4 collations): the predicate compares
+# under UTF8_LCASE — collation-aware equality pushed through the plan as a
+# first-class string property, not an ad-hoc lower() rewrite at every call
+# site (the engine tier for locale/case rules; the oracle dialect spells
+# the same semantics with lower()). Mixed-case literal on purpose.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "collated_source_counts",
+    oracle="""
+    SELECT lang, count(*) AS n
+    FROM documents
+    WHERE lower(source) = lower('SRC1')
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def collated_source_counts(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            F.collate(F.col("source"), "UTF8_LCASE") == F.lit("SRC1")
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward fill — pandas ``ffill()`` per user over event time: carry the last
+# non-null observation forward. The fixture nullifies 'error' readings
+# (deterministically, both engines) so the fill path is non-vacuous. One
+# partitioned window (single shuffle on user_id); ``last(ignorenulls=True)``
+# over ROWS UNBOUNDED PRECEDING is the exact distributed transcription.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "forward_fill_values",
+    oracle="""
+    WITH masked AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT user_id, event_id,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS UNBOUNDED PRECEDING), 4) AS v_filled
+    FROM masked
+    ORDER BY event_id
+    """,
+)
+def forward_fill_values(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    masked = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        masked.select(
+            "user_id",
+            "event_id",
+            F.round(F.last("v", ignorenulls=True).over(w), 4).alias("v_filled"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exponentially-weighted moving average — pandas ``ewm(alpha=.5).mean()``
 # (adjust=True), distributed. The recursion is re-expressed as two prefix
 # sums under the per-user (day, row) order:
