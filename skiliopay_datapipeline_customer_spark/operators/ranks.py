@@ -97,29 +97,88 @@ def global_cumsum_distributed(
     same two-pass shape as :func:`global_rank_distributed`, with per-
     partition VALUE sums as the broadcast prefix offsets instead of counts.
     """
+    return global_cumsums_distributed(
+        df, order_exprs, {value_col: out}, num_partitions=num_partitions
+    )
+
+
+def global_cumsums_distributed(
+    df: DataFrame,
+    order_exprs: list,
+    cols: dict[str, str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact inclusive running sums of SEVERAL value columns under one TOTAL
+    order, in ONE range pass — ``cols`` maps value column → output column.
+
+    One pass for k cumsums is not just cheaper, it is a CORRECTNESS
+    requirement when the cumsums feed each other's frame: `_pid` is only
+    consistent between the offsets frame and the main pass while both hang
+    off the SAME repartitionByRange exchange (reused in-plan). NESTING two
+    single-column calls re-shuffles the first call's output — and under a
+    foreign session's planner the nested exchanges stopped being reused, so
+    the second call's offsets keyed `_pid` against DIFFERENT range
+    boundaries than its main pass (measured: the KS ecdf query returned a
+    different, wrong sup-distance per session). A single multi-column pass
+    has exactly one exchange, so the failure mode cannot exist.
+    """
     from pyspark.sql import Window
 
     nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parts = df.repartitionByRange(nparts, *order_exprs).withColumn(
         "_pid", F.spark_partition_id()
     )
-    # per-partition value sums, prefix-accumulated on the driver in partition
-    # order — the same left-to-right add order the windowed form used, so the
-    # IEEE result is identical, without the single-partition window
-    offsets = _prefix_offsets(parts, F.sum(value_col))
+    # per-partition value sums, prefix-accumulated in partition order — the
+    # same left-to-right add order the windowed form uses, so the IEEE
+    # result is identical, without the single-partition window
+    sizes_schema = parts.groupBy("_pid").agg(
+        *[F.sum(vc).alias(f"_s_{o}") for vc, o in cols.items()]
+    ).schema
+    offsets = _prefix_offsets_multi(
+        parts, {o: F.sum(vc) for vc, o in cols.items()}
+    )
     local_w = (
         Window.partitionBy("_pid")
         .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    zero = F.lit(0).cast(
-        parts.groupBy("_pid").agg(F.sum(value_col).alias("_s")).schema["_s"].dataType
+    result = parts
+    for vc, o in cols.items():
+        result = result.withColumn(f"_local_{o}", F.sum(vc).over(local_w))
+    result = result.join(F.broadcast(offsets), "_pid")
+    drop = ["_pid"]
+    for vc, o in cols.items():
+        zero = F.lit(0).cast(sizes_schema[f"_s_{o}"].dataType)
+        result = result.withColumn(
+            o,
+            F.coalesce(F.col(f"_offset_{o}"), zero) + F.col(f"_local_{o}"),
+        )
+        drop += [f"_local_{o}", f"_offset_{o}"]
+    return result.drop(*drop)
+
+
+def _prefix_offsets_multi(
+    parts: DataFrame, agg_exprs: dict, pid_col: str = "_pid"
+) -> DataFrame:
+    """:func:`_prefix_offsets` for several aggregates at once — one
+    triangular self-join over the metadata-sized per-partition frame yields
+    ``_offset_<name>`` per entry (same in-plan requirement)."""
+    sizes = parts.groupBy(pid_col).agg(
+        *[e.alias(f"_pagg_{n}") for n, e in agg_exprs.items()]
+    )
+    prior = sizes.select(
+        F.col(pid_col).alias("_prior_pid"),
+        *[F.col(f"_pagg_{n}").alias(f"_prior_{n}") for n in agg_exprs],
     )
     return (
-        parts.withColumn("_local", F.sum(value_col).over(local_w))
-        .join(F.broadcast(offsets), "_pid")
-        .withColumn(out, F.coalesce(F.col("_offset"), zero) + F.col("_local"))
-        .drop("_pid", "_local", "_offset")
+        sizes.join(prior, F.col("_prior_pid") < F.col(pid_col), "left")
+        .groupBy(pid_col)
+        .agg(
+            *[
+                F.sum(f"_prior_{n}").alias(f"_offset_{n}")
+                for n in agg_exprs
+            ]
+        )
     )
 
 

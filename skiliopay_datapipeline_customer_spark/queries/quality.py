@@ -515,7 +515,7 @@ def fk_integrity_report(spark, sf_dir):
 )
 def ks_drift_report(spark, sf_dir):
     from ..io import table as _table
-    from ..operators.ranks import global_cumsum_distributed
+    from ..operators.ranks import global_cumsums_distributed
 
     split = F.lit("2024-01-16").cast("timestamp")
     counts = (
@@ -532,11 +532,13 @@ def ks_drift_report(spark, sf_dir):
         )
     )
     order = [F.col("value")]
-    ecdf = global_cumsum_distributed(
-        global_cumsum_distributed(counts, order, "n_base", out="cb"),
-        order,
-        "n_curr",
-        out="cc",
+    # BOTH ecdfs in ONE range pass — nesting two single-column cumsums put
+    # two repartitionByRange exchanges in the plan, and when a session's
+    # planner declined to reuse the inner one, its offsets joined against
+    # different range boundaries than its local sums (wrong, session-
+    # dependent sup-distance). One exchange → the inconsistency can't exist.
+    ecdf = global_cumsums_distributed(
+        counts, order, {"n_base": "cb", "n_curr": "cc"}
     )
     totals = counts.agg(F.sum("n_base").alias("tb"), F.sum("n_curr").alias("tc"))
     d = ecdf.crossJoin(F.broadcast(totals)).select(
