@@ -463,3 +463,32 @@ def test_no_declared_query_plans_a_cartesian_product(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct"))
     assert not offenders, offenders
+
+
+def test_multi_column_cumsum_matches_single_window(spark):
+    """global_cumsums_distributed: k running sums in ONE range pass equal
+    the single-window transcription for every column."""
+    from pyspark.sql import Window
+
+    from skiliopay_datapipeline_customer_spark.operators.ranks import (
+        global_cumsums_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13, float((i * 3) % 5)) for i in range(500)],
+        "k long, a long, b double",
+    )
+    got = {
+        r.k: (r.ca, r.cb)
+        for r in global_cumsums_distributed(
+            df, [F.col("k")], {"a": "ca", "b": "cb"}, num_partitions=8
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r.k: (r.ca, r.cb)
+        for r in df.select(
+            "k", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+        ).collect()
+    }
+    assert got == want
