@@ -580,3 +580,148 @@ def ewm_user_value(spark, sf_dir):
         )
         .orderBy("user_id", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over event types — the journey
+# model behind the funnel: P(next = b | current = a) per user-adjacent event
+# pairs. lag per (user) stream (one shuffle), then a tiny (k×k) rollup;
+# probabilities are exact-count ratios rounded identically on both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH pairs AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+               AS from_type,
+             event_type AS to_type
+      FROM events
+    ),
+    counts AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM pairs WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+             AS p
+    FROM counts
+    ORDER BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_w = Window.partitionBy("from_type")
+    return (
+        counts.select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(
+                F.col("n") / F.sum("n").over(row_w).cast("double"), 6
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average value per user (TWAP): each reading holds until the
+# next one, so its weight is that interval in micros (the last reading gets
+# no forward interval and drops out — standard left-Riemann TWAP). Integer
+# interval weights; one lead window per user stream, one aggregate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "time_weighted_average",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS ts_us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+               AS next_us
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(value * (next_us - ts_us)) / CAST(sum(next_us - ts_us)
+                 AS DOUBLE), 4) AS twap
+    FROM seq WHERE next_us IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def time_weighted_average(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dt = F.col("next_us") - F.col("ts_us")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * dt) / F.sum(dt).cast("double"), 4
+            ).alias("twap")
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH each other —
+# the semantics a plain equi-join silently drops. The fixture nullifies one
+# segment so the null-key path is non-vacuous; the join stays a hash join
+# (null-safe equality is still an equi-key for the planner).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "null_safe_segment_join",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+      FROM customer
+    ),
+    s AS (
+      SELECT nullif(seg, 'x') AS seg, count(*) AS seg_total
+      FROM c GROUP BY 1
+    )
+    SELECT c.c_custkey, c.seg, s.seg_total
+    FROM c JOIN s ON c.seg IS NOT DISTINCT FROM s.seg
+    ORDER BY c.c_custkey
+    """,
+)
+def null_safe_segment_join(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+    )
+    totals = cust.groupBy("seg").agg(F.count(F.lit(1)).alias("seg_total"))
+    return (
+        cust.alias("c")
+        .join(
+            totals.alias("s"),
+            F.col("c.seg").eqNullSafe(F.col("s.seg")),
+        )
+        .select("c.c_custkey", "c.seg", "s.seg_total")
+        .orderBy("c_custkey")
+    )
