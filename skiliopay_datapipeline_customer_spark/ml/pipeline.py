@@ -26,6 +26,7 @@ from pyspark.ml.evaluation import (
 )
 from pyspark.ml.feature import VectorAssembler
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .split import stratified_folds
 
@@ -208,3 +209,42 @@ def cross_validate(
     mean = sum(aucs) / len(aucs)
     std = (sum((a - mean) ** 2 for a in aucs) / len(aucs)) ** 0.5
     return {"cv_roc_auc_mean": mean, "cv_roc_auc_std": std, "folds": aucs}
+
+
+def tune_threshold(
+    predictions: DataFrame,
+    label_col: str,
+    grid: list[float] | None = None,
+) -> dict:
+    """Decision-threshold tuning — the deployment step between scoring and
+    the gate the reference leaves at the 0.5 default (its serving layer
+    thresholds P(churn) implicitly, src/serving/api.py): pick the
+    probability cutoff maximizing F1 on a validation frame.
+
+    Scale shape: ONE aggregate pass computes the confusion counts for the
+    WHOLE grid — 3 conditional sums per candidate threshold fused into a
+    single scan/shuffle (never one job per threshold); the grid-sized
+    result reduces on the driver. F1 = 2TP / (2TP + FP + FN).
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    grid = grid or [round(0.05 * k, 2) for k in range(1, 20)]
+    p1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    pos = F.col(label_col) == 1
+    scored = predictions.select(p1.alias("_p"), pos.alias("_y"))
+    aggs = []
+    for i, t in enumerate(grid):
+        hit = F.col("_p") >= F.lit(float(t))
+        aggs += [
+            F.sum((hit & F.col("_y")).cast("long")).alias(f"tp_{i}"),
+            F.sum((hit & ~F.col("_y")).cast("long")).alias(f"fp_{i}"),
+            F.sum(((~hit) & F.col("_y")).cast("long")).alias(f"fn_{i}"),
+        ]
+    row = scored.agg(*aggs).first()
+    table = []
+    for i, t in enumerate(grid):
+        tp, fp, fn = row[f"tp_{i}"], row[f"fp_{i}"], row[f"fn_{i}"]
+        f1 = (2 * tp / (2 * tp + fp + fn)) if (2 * tp + fp + fn) else 0.0
+        table.append({"threshold": t, "tp": tp, "fp": fp, "fn": fn, "f1": f1})
+    best = max(table, key=lambda r: (r["f1"], -r["threshold"]))
+    return {"best_threshold": best["threshold"], "best_f1": best["f1"], "grid": table}

@@ -150,3 +150,34 @@ def test_score_external_model_predict_batch_udf(spark, sf_dir):
     for r in rows[:50]:
         expect = 1.0 / (1.0 + math.exp(-(0.01 * r["recency_days"] - 0.0001 * r["monetary"])))
         assert abs(r["score"] - expect) < 1e-9
+
+
+def test_tune_threshold_single_pass_beats_or_matches_default(spark, sf_dir):
+    """Threshold tuning sweeps the grid in ONE aggregate. On a score
+    distribution where half the positives sit below 0.5, the F1-optimal
+    cutoff is below the default and strictly better (exact hand-computable
+    confusion counts); on the separable churn frame it matches the default."""
+    from pyspark.ml.linalg import Vectors
+
+    from skiliopay_datapipeline_customer_spark.ml.pipeline import tune_threshold
+
+    rows = (
+        [(Vectors.dense([0.65, 0.35]), 1)] * 10   # positives under 0.5
+        + [(Vectors.dense([0.2, 0.8]), 1)] * 10   # confident positives
+        + [(Vectors.dense([0.9, 0.1]), 0)] * 80   # easy negatives
+        + [(Vectors.dense([0.6, 0.4]), 0)] * 5    # hard negatives
+    )
+    preds = spark.createDataFrame(rows, ["probability", "label"])
+    out = tune_threshold(preds, "label")
+    assert len(out["grid"]) == 19
+    default = next(r for r in out["grid"] if abs(r["threshold"] - 0.5) < 1e-9)
+    # t=0.5: TP=10 FN=10 FP=0 -> F1=2/3; t<=0.35: TP=20 FP=5 -> F1=8/9
+    assert abs(default["f1"] - 2 / 3) < 1e-9
+    assert out["best_threshold"] < 0.5 and abs(out["best_f1"] - 8 / 9) < 1e-9
+
+    # separable churn frame: tuned cutoff can't do worse than the default
+    ds = churn_dataset(spark, sf_dir)
+    _, transform = train_classifier(ds, FEATURE_COLS, LABEL_COL, model_type="lr")
+    out2 = tune_threshold(transform(ds), LABEL_COL)
+    d2 = next(r for r in out2["grid"] if abs(r["threshold"] - 0.5) < 1e-9)
+    assert out2["best_f1"] >= d2["f1"] > 0
