@@ -111,3 +111,21 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_outliers_approx_tier_tracks_exact_fences(spark, sf_dir):
+    """The 100 TB profiler path (approx_percentile, accuracy 10k) must land
+    within a tight band of the exact-percentile outlier rates — the sketch's
+    rank error is 1/accuracy, so per-column rates may differ only by a few
+    boundary rows."""
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.plans.quality import outliers
+
+    df = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    exact = outliers(df, cols)
+    approx = outliers(df, cols, approx=True)
+    assert exact["n_rows"] == approx["n_rows"]
+    for c in cols:
+        assert abs(exact["outlier_rates"][c] - approx["outlier_rates"][c]) < 0.002, c
+    assert exact["flagged"] == approx["flagged"]
