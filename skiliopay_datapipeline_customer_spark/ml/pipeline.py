@@ -248,3 +248,39 @@ def tune_threshold(
         table.append({"threshold": t, "tp": tp, "fp": fp, "fn": fn, "f1": f1})
     best = max(table, key=lambda r: (r["f1"], -r["threshold"]))
     return {"best_threshold": best["threshold"], "best_f1": best["f1"], "grid": table}
+
+
+def confusion_matrix(
+    predictions: DataFrame, label_col: str, prediction_col: str = "prediction"
+) -> dict:
+    """Confusion counts for the dashboard's model-performance page
+    (src/dashboard/data_loader.py:160-237 computes the same cells with
+    sklearn on the collected frame) — here ONE distributed groupBy over
+    (label, prediction); only the 4 cells reach the driver. Derived
+    precision/recall/F1 for the positive class come from the cells, so they
+    agree exactly with the cell counts shown next to them."""
+    cells = {
+        (int(r["l"]), int(r["p"])): r["n"]
+        for r in predictions.groupBy(
+            F.col(label_col).cast("int").alias("l"),
+            F.col(prediction_col).cast("int").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    tp = cells.get((1, 1), 0)
+    fp = cells.get((0, 1), 0)
+    fn = cells.get((1, 0), 0)
+    tn = cells.get((0, 0), 0)
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    return {
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+        "tn": tn,
+        "precision": prec,
+        "recall": rec,
+        "f1": (2 * prec * rec / (prec + rec)) if prec + rec else 0.0,
+        "n": tp + fp + fn + tn,
+    }

@@ -181,3 +181,19 @@ def test_tune_threshold_single_pass_beats_or_matches_default(spark, sf_dir):
     out2 = tune_threshold(transform(ds), LABEL_COL)
     d2 = next(r for r in out2["grid"] if abs(r["threshold"] - 0.5) < 1e-9)
     assert out2["best_f1"] >= d2["f1"] > 0
+
+
+def test_confusion_matrix_cells_agree_with_metrics(spark, sf_dir):
+    """One groupBy produces the 4 cells; derived precision/recall/F1 agree
+    with hand-crafted predictions whose cells are known exactly."""
+    from skiliopay_datapipeline_customer_spark.ml.pipeline import confusion_matrix
+
+    rows = (
+        [(1, 1.0)] * 30 + [(1, 0.0)] * 10 + [(0, 1.0)] * 5 + [(0, 0.0)] * 55
+    )
+    preds = spark.createDataFrame(rows, "label int, prediction double")
+    cm = confusion_matrix(preds, "label")
+    assert (cm["tp"], cm["fp"], cm["fn"], cm["tn"]) == (30, 5, 10, 55)
+    assert abs(cm["precision"] - 30 / 35) < 1e-12
+    assert abs(cm["recall"] - 30 / 40) < 1e-12
+    assert cm["n"] == 100
