@@ -630,3 +630,58 @@ def doc_chunk_texts(spark, sf_dir):
         ORDER BY d.doc_id, c.chunk_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical LM quality score — the CCNet-style perplexity proxy: train a
+# unigram model on the corpus itself (one token-count shuffle; the vocab
+# frame is tiny next to the corpus), then score each document by its mean
+# token log-probability. Low scores = improbable token mixes (the gibberish
+# tail a perplexity filter drops). Plan: explode → count (shuffle 1) →
+# broadcast vocab back → per-doc aggregate (shuffle 2). At 100 TB the vocab
+# broadcast becomes a hash join and rare tokens get a smoothing floor; the
+# in-corpus vocab here has no OOV by construction.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unigram_doc_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM vocab)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(ln(CAST(v.n AS DOUBLE) / tt.total)) / count(*), 4)
+             AS mean_logprob
+    FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot tt
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def unigram_doc_logprob(spark, sf_dir):
+    from ..operators.dedup import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = vocab.agg(F.sum("n").cast("double").alias("total"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("n").cast("double") / F.col("total")))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )

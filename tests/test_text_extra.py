@@ -231,3 +231,27 @@ def test_chunk_text_udtf_matches_native_boundaries(spark):
     for r in got:
         back = re.split(r"\s+", r.chunk_text.strip())
         assert back == toks[r.doc_id][r.chunk_start : r.chunk_start + 8]
+
+
+def test_unigram_logprob_ranks_gibberish_below_common_text(spark, tmp_path):
+    """The perplexity-proxy contract: a document made of corpus-rare tokens
+    must score a lower mean log-probability than one of corpus-common
+    tokens (trained on the same corpus)."""
+    import os
+
+    from skiliopay_datapipeline_customer_spark.queries.text import (
+        unigram_doc_logprob,
+    )
+
+    docs = [(i, "the cat sat on the mat", "en", "s", 22) for i in range(20)]
+    docs.append((100, "zxqv wxyq qqzz zxqv", "en", "s", 19))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    scores = {
+        r.doc_id: r.mean_logprob
+        for r in unigram_doc_logprob(spark, sf).collect()
+    }
+    common = max(v for k, v in scores.items() if k != 100)
+    assert scores[100] < common < 0
