@@ -184,6 +184,28 @@ _PRIORITY = [
     # marquee custom operators
     "cosine_topk",
     "asof_purchase_click",
+    # --- r05 window starts here (the 50 slots above go to r04) ---
+    # round-4 late additions: analytics suite
+    "segment_balance_deciles",
+    "daily_purchases_gapfilled",
+    "mad_outlier_report",
+    "burst_first_events",
+    "signup_to_purchase_latency",
+    "user_journey_frequencies",
+    "source_entropy",
+    "value_histogram",
+    "ewm_user_value",
+    "forward_fill_values",
+    "collated_source_counts",
+    "event_transition_matrix",
+    "time_weighted_average",
+    "null_safe_segment_join",
+    "correlation_matrix",
+    # round-4 late additions: corpus / text
+    "weighted_doc_sample",
+    "temperature_mixture_sample",
+    "length_bucketed_batches",
+    "unigram_doc_logprob",
 ]
 
 
