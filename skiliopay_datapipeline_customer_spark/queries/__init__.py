@@ -206,6 +206,7 @@ _PRIORITY = [
     "temperature_mixture_sample",
     "length_bucketed_batches",
     "unigram_doc_logprob",
+    "join_key_skew_report",
 ]
 
 

@@ -558,3 +558,55 @@ def ks_drift_report(spark, sf_dir):
             "at_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report — the ops tooling BEHIND the salting decision
+# (operators/joins.py::salted_join treats keys KNOWN to be degenerate; this
+# measures which ones are): per-key row counts → heaviest keys + the
+# max/mean skew ratio. One partial-aggregating shuffle on the key; the
+# report is top-k sized. Ratio arithmetic uses exact integer counts cast
+# identically on both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_key_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey AS key, count(*) AS n
+      FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+      SELECT CAST(max(n) AS DOUBLE) AS mx,
+             CAST(sum(n) AS DOUBLE) / count(*) AS mean
+      FROM counts
+    )
+    SELECT c.key, c.n,
+           round(CAST(c.n AS DOUBLE) / s.mean, 4) AS skew_ratio
+    FROM counts c CROSS JOIN stats s
+    ORDER BY c.n DESC, c.key
+    LIMIT 10
+    """,
+)
+def join_key_skew_report(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = counts.agg(
+        F.max("n").cast("double").alias("mx"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("mean"), 4).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.col("n").desc(), "key")
+        .limit(10)
+    )
