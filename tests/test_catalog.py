@@ -216,3 +216,31 @@ def test_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "2024-01-05" in plan
     want = ev.filter(F.col("day") == "2024-01-05").count()
     assert want > 0 and scan.count() == want
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Landing zones evolve: a later day adds a column. mergeSchema reads
+    the union schema, nulls where the old files lack the column — and the
+    declared-schema read path stays pruned to the requested columns."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(5).selectExpr("id", "id * 2 AS a").write.parquet(
+        os.path.join(p, "day=2024-01-01")
+    )
+    spark.range(5, 10).selectExpr(
+        "id", "id * 2 AS a", "id * 3 AS b"
+    ).write.parquet(os.path.join(p, "day=2024-01-02"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "a", "b", "day"}
+    rows = {r.id: (r.a, r.b) for r in merged.collect()}
+    assert rows[0] == (0, None) and rows[7] == (14, 21)
+
+    # declared-schema read prunes to the requested data columns on BOTH
+    # vintages (partition discovery still appends the directory column)
+    narrow = spark.read.schema("id long, a long").parquet(p)
+    assert narrow.count() == 10
+    assert set(narrow.columns) == {"id", "a", "day"}
