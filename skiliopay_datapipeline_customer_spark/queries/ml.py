@@ -94,3 +94,27 @@ def kmeans_cluster_profile(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     return profile(emb, k=10)
+
+
+# The dashboard's risk tiering of the predicted probability (pages.py:
+# 253-256: <0.3 low / <0.7 medium / else high) rolled up over the scored
+# test split — model-derived, so rows-only like its parent.
+
+
+@query("risk_tier_counts")
+def risk_tier_counts(spark, sf_dir):
+    scored = churn_predictions(spark, sf_dir)
+    tier = (
+        F.when(F.col("churn_prob") < 0.3, "low")
+        .when(F.col("churn_prob") < 0.7, "medium")
+        .otherwise("high")
+    )
+    return (
+        scored.groupBy(tier.alias("risk_tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("churn_prob"), 4).alias("avg_prob"),
+            F.sum(F.col("churn_label").cast("long")).alias("n_actual_churned"),
+        )
+        .orderBy("risk_tier")
+    )
