@@ -207,6 +207,8 @@ _PRIORITY = [
     "length_bucketed_batches",
     "unigram_doc_logprob",
     "join_key_skew_report",
+    "purchase_streaks",
+    "rolling_7d_active_users",
 ]
 
 

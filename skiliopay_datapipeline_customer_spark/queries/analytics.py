@@ -725,3 +725,105 @@ def null_safe_segment_join(spark, sf_dir):
         .select("c.c_custkey", "c.seg", "s.seg_total")
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-day purchase streak per user — gaps-and-islands at DAY
+# granularity (distinct from the micro-gap burst/session ops): day_index −
+# row_number is constant within a run of consecutive days. One shuffle on
+# user_id; integer day indexes (epoch days) on both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "purchase_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+      FROM events WHERE event_type = 'purchase'
+    ),
+    runs AS (
+      SELECT user_id, d,
+             d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, count(*) AS len FROM runs GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak_days,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+)
+def purchase_streaks(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    days = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").cast("long").alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    streaks = runs.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").cast("long").alias("longest_streak_days"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users — the distinct-count-over-sliding-window
+# problem. A windowed count(DISTINCT) cannot merge from daily distincts, so
+# the scale shape is: dedup to (user, day) pairs, then explode each pair to
+# the ≤7 window-end days it contributes to (a BOUNDED ×7 map-side fan-out),
+# then one count-distinct shuffle per target day. No day×user cross join,
+# no re-scan per window position. (The sketch alternative — sliding HLL —
+# trades exactness for a ×1 fan-out; this is the exact tier.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+      FROM events
+    ),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM pairs),
+    contrib AS (
+      SELECT p.user_id, p.d + g.k AS target_d
+      FROM pairs p
+      CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k) g
+      CROSS JOIN bounds b
+      WHERE p.d + g.k <= b.d1
+    )
+    SELECT target_d AS d,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+    FROM contrib GROUP BY target_d ORDER BY target_d
+    """,
+)
+def rolling_7d_active_users(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("d"),
+    ).distinct()
+    d1 = pairs.agg(F.max("d")).first()[0]
+    contrib = pairs.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("target_d"),
+    ).filter(F.col("target_d") <= F.lit(d1))
+    return (
+        contrib.groupBy(F.col("target_d").alias("d"))
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .orderBy("d")
+    )
