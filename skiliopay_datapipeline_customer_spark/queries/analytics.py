@@ -827,3 +827,50 @@ def rolling_7d_active_users(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("active_7d"))
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue change — the KPI-trend frame: monthly purchase
+# revenue, previous month via lag over the month-index order, percent change
+# guarded against a zero base. The windowed frame is months-sized
+# (metadata), so the global order is harmless — the heavy lifting is the
+# one partial-aggregating shuffle from events to months.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "monthly_revenue_mom",
+    oracle="""
+    WITH monthly AS (
+      SELECT (year(ts) * 12 + month(ts)) AS m_idx,
+             round(sum(value), 4) AS revenue
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT m_idx, revenue,
+           round(CASE WHEN lag(revenue) OVER (ORDER BY m_idx) = 0 THEN NULL
+                 ELSE (revenue - lag(revenue) OVER (ORDER BY m_idx))
+                      / lag(revenue) OVER (ORDER BY m_idx) END, 6)
+             AS mom_change
+    FROM monthly ORDER BY m_idx
+    """,
+)
+def monthly_revenue_mom(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    monthly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy((F.year("ts") * 12 + F.month("ts")).alias("m_idx"))
+        .agg(F.round(F.sum("value"), 4).alias("revenue"))
+    )
+    w = Window.orderBy("m_idx")  # months-sized frame: global order is cheap
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "m_idx",
+        "revenue",
+        F.round(
+            F.when(prev == 0, F.lit(None)).otherwise(
+                (F.col("revenue") - prev) / prev
+            ),
+            6,
+        ).alias("mom_change"),
+    ).orderBy("m_idx")

@@ -492,3 +492,33 @@ def test_multi_column_cumsum_matches_single_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_rolling_dau_sketch_tier_tracks_exact(spark, sf_dir):
+    """The documented sketch tier for sliding-window distinct counts:
+    approx_count_distinct per target day stays within HLL's error band
+    (rsd 0.05 → a few %) of the exact rolling count."""
+    from skiliopay_datapipeline_customer_spark.queries.analytics import (
+        rolling_7d_active_users,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("d"),
+    ).distinct()
+    d1 = pairs.agg(F.max("d")).first()[0]
+    contrib = pairs.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("target_d"),
+    ).filter(F.col("target_d") <= d1)
+    approx = {
+        r.target_d: r.a
+        for r in contrib.groupBy("target_d")
+        .agg(F.approx_count_distinct("user_id", rsd=0.05).alias("a"))
+        .collect()
+    }
+    exact = {r.d: r.active_7d for r in rolling_7d_active_users(spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    for d, n in exact.items():
+        assert abs(approx[d] - n) <= max(3, 0.15 * n), (d, approx[d], n)
