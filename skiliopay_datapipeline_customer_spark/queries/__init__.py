@@ -209,6 +209,7 @@ _PRIORITY = [
     "join_key_skew_report",
     "purchase_streaks",
     "rolling_7d_active_users",
+    "monthly_revenue_mom",
 ]
 
 
