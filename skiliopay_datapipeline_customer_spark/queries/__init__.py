@@ -53,16 +53,14 @@ def load_all() -> None:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries each
-# round. With 114 declared queries a static order leaves the back half
-# permanently unverified, so the registry self-rotates: queries the driver has
-# never green-checked come first (ordered by _PRIORITY, then declaration
-# order), then previously-green queries ordered by the round they were last
-# verified in (oldest first). Each round's CORRECTNESS_r{N}.json feeds the
-# next round's order, so every query cycles through the window.
-# Queries whose SEMANTICS changed after the stamped round: treated as
-# never-verified (sorted to the very front) until a LATER round's
-# CORRECTNESS file shows a green row — a prior green row verified the old
-# behavior, not the current code.
+# round. With ~186 declared queries a static order leaves the back half
+# permanently unverified, so the registry self-rotates: the needs-a-row pool
+# (never-verified queries plus _FORCE-stamped semantics-changed ones) comes
+# first in _PRIORITY order (unlisted members by declaration order), then
+# previously-green queries rotate back oldest-green-first. Each round's
+# CORRECTNESS_r{N}.json feeds the next round's order, so every query cycles
+# through the window. _FORCE maps query -> round stamp: a green row at or
+# before that round verified OLD semantics and doesn't count.
 _FORCE = {
     "lag_time_delta": 3,
     "rfm_quintiles": 3,
