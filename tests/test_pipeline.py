@@ -302,3 +302,47 @@ def test_vacuum_versions_retains_reader_horizon(spark, sf_dir, tmp_path):
     import os
     kept = {d for d in os.listdir(target) if d.startswith("v=")}
     assert kept == {"v=2", "v=3"}
+
+
+def test_maintenance_quartet_end_to_end(spark, sf_dir, tmp_path):
+    """The four maintenance ops composed over one versioned table: publish
+    (WAP) several versions → VACUUM old ones → OPTIMIZE (compact) the live
+    version in place → ANALYZE it for CBO stats — readers see identical
+    content at every step."""
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.pipelines.wap import (
+        read_published,
+        vacuum_versions,
+        write_audit_publish,
+    )
+    from skiliopay_datapipeline_customer_spark.sources.catalog import (
+        compact_small_files,
+    )
+
+    target = str(tmp_path / "orders_table")
+    orders = table(spark, sf_dir, "orders")
+    audit = lambda df: (df.count() > 0, None)  # noqa: E731
+    for cut in (100, 200, None):
+        version_df = orders.limit(cut) if cut else orders
+        # fragment the write so compaction has work to do
+        r = write_audit_publish(spark, version_df.repartition(16), target, audit)
+        assert r.published
+    want = orders.count()
+    assert read_published(spark, target).count() == want
+
+    removed = vacuum_versions(target, keep_last=1)
+    assert len(removed["removed_versions"]) == 2  # two superseded versions
+    assert read_published(spark, target).count() == want
+
+    import glob as _glob
+
+    live = _glob.glob(target + "/v=*")[0]
+    stats = compact_small_files(spark, live, target_file_bytes=10**12)
+    assert stats["files_before"] == 16 and stats["files_after"] == 1
+    after = read_published(spark, target)
+    assert after.count() == want
+    # integer checksum: double sums reorder under the rewrite (ulp noise)
+    assert (
+        after.agg(F.sum("o_orderkey")).first()[0]
+        == orders.agg(F.sum("o_orderkey")).first()[0]
+    )
