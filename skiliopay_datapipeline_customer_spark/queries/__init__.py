@@ -208,6 +208,7 @@ _PRIORITY = [
     "purchase_streaks",
     "rolling_7d_active_users",
     "monthly_revenue_mom",
+    "first_second_purchase",
 ]
 
 

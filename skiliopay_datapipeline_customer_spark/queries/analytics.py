@@ -874,3 +874,50 @@ def monthly_revenue_mom(spark, sf_dir):
             6,
         ).alias("mom_change"),
     ).orderBy("m_idx")
+
+
+# ---------------------------------------------------------------------------
+# First vs second purchase per user — first_value / nth_value over the full
+# per-user frame (the remaining frame-function family): the repeat-purchase
+# comparison behind activation analyses. One shuffle on user_id; DISTINCT
+# collapses the per-row window output to one row per user.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "first_second_purchase",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, value, epoch_us(ts) AS ts_us, event_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT DISTINCT user_id,
+           round(first_value(value) OVER w, 4) AS first_value_amt,
+           round(nth_value(value, 2) OVER w, 4) AS second_value_amt
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id
+    """,
+)
+def first_second_purchase(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "value", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        p.select(
+            "user_id",
+            F.round(F.first("value").over(w), 4).alias("first_value_amt"),
+            F.round(F.nth_value("value", 2).over(w), 4).alias(
+                "second_value_amt"
+            ),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )
