@@ -23,18 +23,30 @@ def read_csv(
     encoding: str = "utf-8",
     header: bool = True,
     mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Declared-schema CSV scan. ``schema`` may be a StructType or a JSON
     schema dict (compiled via schema.to_struct_type). PERMISSIVE keeps bad
     rows as nulls for the validation operators to report (V1), matching the
     reference's validate-then-decide flow; use FAILFAST for the strict gate.
+
+    ``corrupt_col``: capture each unparseable line VERBATIM in this extra
+    string column (Spark's columnNameOfCorruptRecord) — the quarantine
+    path then reports WHAT failed, not just that something did; parseable
+    rows carry NULL there. Map-only either way.
     """
     if isinstance(schema, dict):
         from ..schema import to_struct_type
 
         schema = to_struct_type(schema)
+    reader = spark.read
+    if corrupt_col:
+        schema = T.StructType(
+            [*schema.fields, T.StructField(corrupt_col, T.StringType())]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     return (
-        spark.read.schema(schema)
+        reader.schema(schema)
         .option("header", str(header).lower())
         .option("sep", sep)
         .option("encoding", encoding)

@@ -514,3 +514,37 @@ def test_rest_datasource_writer_two_phase_commit(spark, tmp_path):
             assert staged == {"loser": [{"uid": 999}]}  # never published
     finally:
         server.shutdown()
+
+
+def test_read_csv_corrupt_record_capture_and_failfast(spark, tmp_path):
+    """PERMISSIVE + corrupt_col quarantines unparseable lines VERBATIM
+    (typed columns null, raw line captured); FAILFAST raises on the same
+    file — the strict-gate alternative."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from skiliopay_datapipeline_customer_spark.sources.csv import read_csv
+
+    p = os.path.join(tmp_path, "dirty.csv")
+    with open(p, "w") as f:
+        f.write("id,amount\n1,10.5\nnot_an_int,oops\n3,7.25\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    df = read_csv(spark, p, schema, corrupt_col="_raw")
+    rows = df.collect()
+    good = [r for r in rows if r["_raw"] is None]
+    bad = [r for r in rows if r["_raw"] is not None]
+    assert {r["id"] for r in good} == {1, 3}
+    assert len(bad) == 1 and bad[0]["_raw"] == "not_an_int,oops"
+    assert bad[0]["id"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="Malformed|FAILFAST"):
+        read_csv(spark, p, schema, mode="FAILFAST").collect()
