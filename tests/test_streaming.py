@@ -500,3 +500,61 @@ def test_jdbc_exactly_once_sink_replay_idempotent(spark, events_dir, tmp_path):
     assert (
         again.filter(F.col("batch_id") == 0).count() == epoch0.count()
     )
+
+
+def test_streaming_wap_quarantines_failing_microbatch(spark, events_dir, tmp_path):
+    """foreachBatch composed with write-audit-publish: each micro-batch
+    stages as the next table version and publishes only if the audit
+    passes. A batch that fails the audit stays under _staging/ — readers
+    never see it — while later passing batches still publish."""
+    from skiliopay_datapipeline_customer_spark.pipelines.wap import (
+        read_published,
+        write_audit_publish,
+    )
+    from skiliopay_datapipeline_customer_spark.streaming.sources import (
+        events_stream,
+    )
+
+    target = str(tmp_path / "wap_table")
+    outcomes = []
+
+    def audit(staged):
+        # reject any batch containing 'error' events (the quality gate)
+        bad = staged.filter(F.col("event_type") == "error").count()
+        return bad == 0, {"bad": bad}
+
+    def sink(batch_df, batch_id):
+        r = write_audit_publish(spark, batch_df, target, audit)
+        outcomes.append((batch_id, r.published))
+
+    stream = events_stream(spark, events_dir, max_files_per_trigger=1)
+    run_available_now(
+        stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+        foreach_batch=sink,
+    )
+    assert len(outcomes) >= 2
+    # the fixture has error events in every slice → nothing published...
+    published = [b for b, ok in outcomes if ok]
+    if not published:
+        assert read_published(spark, target) is None
+    # ...so re-run with clean batches only: every batch publishes
+    clean_dir = str(tmp_path / "clean_in")
+    base = spark.read.parquet(events_dir).filter(F.col("event_type") != "error")
+    base.write.parquet(clean_dir)
+    outcomes.clear()
+    run_available_now(
+        events_stream(spark, clean_dir, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        output_mode="append",
+        foreach_batch=sink,
+    )
+    assert outcomes and all(ok for _, ok in outcomes)
+    snap = read_published(spark, target)
+    assert snap is not None and snap.filter(F.col("event_type") == "error").count() == 0
+    # the rejected batches are still quarantined on disk for review
+    import os
+
+    staging = os.path.join(target, "_staging")
+    assert os.path.isdir(staging) and len(os.listdir(staging)) >= 1
