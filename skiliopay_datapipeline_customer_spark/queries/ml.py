@@ -118,3 +118,27 @@ def risk_tier_counts(spark, sf_dir):
         )
         .orderBy("risk_tier")
     )
+
+
+# Calibration bins (reliability diagram): predicted-probability deciles vs
+# observed churn rate — the diagnostic BEHIND the dashboard's probability
+# display (a model can rank well yet be miscalibrated; threshold tuning
+# assumes the probabilities mean something). One pass over the scored
+# split; model-derived → rows-only.
+
+
+@query("calibration_bins")
+def calibration_bins(spark, sf_dir):
+    scored = churn_predictions(spark, sf_dir)
+    bin_col = F.least(F.floor(F.col("churn_prob") * 10), F.lit(9)).cast("int")
+    return (
+        scored.groupBy(bin_col.alias("prob_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("churn_prob"), 4).alias("mean_predicted"),
+            F.round(F.avg(F.col("churn_label").cast("double")), 4).alias(
+                "observed_rate"
+            ),
+        )
+        .orderBy("prob_bin")
+    )
