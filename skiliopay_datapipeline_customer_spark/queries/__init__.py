@@ -209,6 +209,8 @@ _PRIORITY = [
     "rolling_7d_active_users",
     "monthly_revenue_mom",
     "first_second_purchase",
+    "decontaminated_corpus",
+    "token_zipf_curve",
 ]
 
 

@@ -685,3 +685,113 @@ def unigram_doc_logprob(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontaminated corpus — the REMOVAL composite over the contamination
+# report: docs sharing any benchmark 4-gram drop (Lee et al.-style strict
+# gate), the rest survive. Same gram-join plan as benchmark_contamination
+# feeding a keep-filter; only surviving ids + metadata emit.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "decontaminated_corpus",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(0, len(t) - 3),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])))
+               AS gram
+      FROM t
+    ),
+    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10),
+    dirty AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram)
+      WHERE g.doc_id >= 10
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id >= 10 AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+    ORDER BY d.doc_id
+    """,
+)
+def decontaminated_corpus(spark, sf_dir):
+    from ..operators.textops import contamination_report
+
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") >= 10)
+    report = contamination_report(
+        train, docs.filter(F.col("doc_id") < 10), n=4
+    )
+    dirty = report.filter(F.col("contaminated")).select("doc_id")
+    return (
+        train.join(dirty, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token Zipf curve — the corpus-statistics sanity check curators plot before
+# training: top-50 token frequencies with their rank, plus the fitted
+# log-log slope (regr over ln rank / ln freq; Zipfian text ≈ −1). The rank
+# is over the vocab-sized count frame (one token-count shuffle from the
+# corpus); the slope is a 1-row aggregate of that frame.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_zipf_curve",
+    oracle="""
+    WITH counts AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, n,
+             row_number() OVER (ORDER BY n DESC, tok) AS rank
+      FROM counts
+    ),
+    slope AS (
+      SELECT round(covar_pop(ln(CAST(rank AS DOUBLE)), ln(CAST(n AS DOUBLE)))
+                   / var_pop(ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope
+      FROM ranked
+    )
+    SELECT r.rank, r.tok, r.n, s.zipf_slope
+    FROM ranked r CROSS JOIN slope s
+    WHERE r.rank <= 50
+    ORDER BY r.rank
+    """,
+)
+def token_zipf_curve(spark, sf_dir):
+    from ..operators.dedup import tokens as _tokens
+
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    # vocab-sized frame: the global window is metadata-cheap here
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    lr = F.log(F.col("rank").cast("double"))
+    ln = F.log(F.col("n").cast("double"))
+    slope = ranked.agg(
+        F.round(F.covar_pop(lr, ln) / F.var_pop(lr), 4).alias("zipf_slope")
+    )
+    return (
+        ranked.filter(F.col("rank") <= 50)
+        .crossJoin(F.broadcast(slope))
+        .select("rank", "tok", "n", "zipf_slope")
+        .orderBy("rank")
+    )
