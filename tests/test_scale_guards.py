@@ -522,3 +522,22 @@ def test_rolling_dau_sketch_tier_tracks_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for d, n in exact.items():
         assert abs(approx[d] - n) <= max(3, 0.15 * n), (d, approx[d], n)
+
+
+def test_registry_rotation_invariants():
+    """The rotation policy only works if its inputs stay coherent: every
+    _PRIORITY/_FORCE name must be a registered query (a stale name would
+    silently misorder the driver's verification window), _PRIORITY must be
+    duplicate-free (a later duplicate overwrites the intended slot), and
+    the needs-a-row pool must still fill the 50-slot window."""
+    from skiliopay_datapipeline_customer_spark import queries as q
+
+    q.load_all()
+    assert len(q._PRIORITY) == len(set(q._PRIORITY)), "duplicate in _PRIORITY"
+    unknown_p = [n for n in q._PRIORITY if n not in q.QUERIES]
+    unknown_f = [n for n in q._FORCE if n not in q.QUERIES]
+    assert not unknown_p, f"stale _PRIORITY names: {unknown_p}"
+    assert not unknown_f, f"stale _FORCE names: {unknown_f}"
+    order = q._rotated(list(q.QUERIES))
+    assert len(order) == len(q.QUERIES)
+    assert len(set(order)) == len(order)
