@@ -243,7 +243,10 @@ def tune_threshold(
     row = scored.agg(*aggs).first()
     table = []
     for i, t in enumerate(grid):
-        tp, fp, fn = row[f"tp_{i}"], row[f"fp_{i}"], row[f"fn_{i}"]
+        # conditional sums are NULL over an empty frame → count as zero
+        tp = row[f"tp_{i}"] or 0
+        fp = row[f"fp_{i}"] or 0
+        fn = row[f"fn_{i}"] or 0
         f1 = (2 * tp / (2 * tp + fp + fn)) if (2 * tp + fp + fn) else 0.0
         table.append({"threshold": t, "tp": tp, "fp": fp, "fn": fn, "f1": f1})
     best = max(table, key=lambda r: (r["f1"], -r["threshold"]))
@@ -261,7 +264,12 @@ def confusion_matrix(
     agree exactly with the cell counts shown next to them."""
     cells = {
         (int(r["l"]), int(r["p"])): r["n"]
-        for r in predictions.groupBy(
+        for r in predictions
+        # unlabeled / unscored rows can't land in a cell — drop, don't crash
+        .filter(
+            F.col(label_col).isNotNull() & F.col(prediction_col).isNotNull()
+        )
+        .groupBy(
             F.col(label_col).cast("int").alias("l"),
             F.col(prediction_col).cast("int").alias("p"),
         )

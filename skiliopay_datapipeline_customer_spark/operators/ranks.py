@@ -38,14 +38,8 @@ def _prefix_offsets(parts: DataFrame, agg_expr, pid_col: str = "_pid") -> DataFr
     for Window' WARN (which we grep bench logs for to catch REAL single-task
     windows; a constant partitionBy would be stripped by Spark 4's
     EliminateWindowPartitions rule and still warn) never fires."""
-    sizes = parts.groupBy(pid_col).agg(agg_expr.alias("_pagg"))
-    prior = sizes.select(
-        F.col(pid_col).alias("_prior_pid"), F.col("_pagg").alias("_prior_agg")
-    )
-    return (
-        sizes.join(prior, F.col("_prior_pid") < F.col(pid_col), "left")
-        .groupBy(pid_col)
-        .agg(F.sum("_prior_agg").alias("_offset"))
+    return _prefix_offsets_multi(parts, {"": agg_expr}, pid_col).withColumnRenamed(
+        "_offset_", "_offset"
     )
 
 
@@ -131,9 +125,6 @@ def global_cumsums_distributed(
     # per-partition value sums, prefix-accumulated in partition order — the
     # same left-to-right add order the windowed form uses, so the IEEE
     # result is identical, without the single-partition window
-    sizes_schema = parts.groupBy("_pid").agg(
-        *[F.sum(vc).alias(f"_s_{o}") for vc, o in cols.items()]
-    ).schema
     offsets = _prefix_offsets_multi(
         parts, {o: F.sum(vc) for vc, o in cols.items()}
     )
@@ -148,7 +139,8 @@ def global_cumsums_distributed(
     result = result.join(F.broadcast(offsets), "_pid")
     drop = ["_pid"]
     for vc, o in cols.items():
-        zero = F.lit(0).cast(sizes_schema[f"_s_{o}"].dataType)
+        # sum-of-sums has the same dtype as the per-partition sum
+        zero = F.lit(0).cast(offsets.schema[f"_offset_{o}"].dataType)
         result = result.withColumn(
             o,
             F.coalesce(F.col(f"_offset_{o}"), zero) + F.col(f"_local_{o}"),

@@ -527,7 +527,11 @@ def forward_fill_values(spark, sf_dir):
 # no UDF. alpha = 0.5 makes every decay weight an exact power of two, so the
 # only float freedom is prefix-sum order — identical (sequential per
 # partition) on both engines; output rounded to 4 regardless.
-# Series per user span ≤ a few hundred steps; 2^±t stays in double range.
+# Numerical domain: (1-a)^(-t) overflows double at t ≥ 1024 steps per key
+# (≈3 years of daily points) — beyond that this closed form goes inf/inf
+# on BOTH engines (parity holds, values don't). The production form for
+# unbounded series renormalizes per fixed-size chunk: carry the chunk's
+# trailing EMA as the next chunk's seed, so exponents reset every chunk.
 # ---------------------------------------------------------------------------
 
 

@@ -315,9 +315,16 @@ try:  # Spark 4 Python DataSource API
         server flips staged → visible atomically on the commit POST.
 
         Scale posture: executors write in parallel with per-partition rate
-        budgets (global quota / partitions, like the reader); batches of
-        ``batch_size`` rows bound request payloads; the driver-side commit
-        carries tokens only (metadata-sized).
+        budgets (global quota / ``n_partitions``, like the reader); batches
+        of ``batch_size`` rows bound request payloads; the driver-side
+        commit carries tokens only (metadata-sized).
+
+        Rate-budget contract: unlike the reader (which creates exactly
+        ``n_partitions`` splits itself), the writer runs one task per
+        DataFrame partition — set ``n_partitions`` to match (e.g.
+        ``df.repartition(n)`` + ``option('n_partitions', n)``) or the
+        aggregate request rate exceeds ``requests_per_minute`` by the
+        mismatch factor.
         """
 
         def __init__(self, schema, options):
@@ -397,6 +404,14 @@ try:  # Spark 4 Python DataSource API
             return RestStreamReader(schema, self.options)
 
         def writer(self, schema, overwrite):
+            if overwrite:
+                # append-only sink: the staging/commit protocol publishes
+                # NEW tokens; it carries no truncate signal, so honoring
+                # mode('overwrite') silently as append would duplicate the
+                # dataset server-side. Refuse loudly instead.
+                raise NotImplementedError(
+                    "paged_rest writer is append-only; use mode('append')"
+                )
             return RestDataSourceWriter(schema, self.options)
 
 except ImportError:  # pragma: no cover - older pyspark

@@ -236,22 +236,36 @@ def jdbc_exactly_once_sink(
     def load(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         jvm = spark._jvm  # driver-side control statement, not a data path
-        drv = (properties or {}).get("driver")
-        if drv:
-            jvm.java.lang.Class.forName(drv)
-        conn = jvm.java.sql.DriverManager.getConnection(url)
+        props = properties or {}
+        if props.get("driver"):
+            jvm.java.lang.Class.forName(props["driver"])
+        # the control connection authenticates like the writer does: any
+        # user/password in `properties` travel as connection Properties
+        # (Derby ignores them; Postgres & friends require them)
+        jprops = jvm.java.util.Properties()
+        for k in ("user", "password"):
+            if k in props:
+                jprops.setProperty(k, props[k])
+        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
         try:
             # Spark's JDBC writer CREATEs the table name UNQUOTED (the
             # database case-folds it) but quotes COLUMN names (stored
             # case-preserved) — the delete mirrors that exactly. Existence
             # is checked via DatabaseMetaData under both the given and the
-            # case-folded spelling; only a genuinely-absent table skips the
-            # delete (first delivery; the append creates it). Any other
+            # case-folded spelling, with '_'/'%' escaped (they are SQL
+            # pattern wildcards in getTables — unescaped, 'events_load'
+            # would match an unrelated 'eventsXload' and trigger a DELETE
+            # against a missing table). Only a genuinely-absent table skips
+            # the delete (first delivery; the append creates it). Any other
             # failure raises: silently skipping the delete would turn a
             # replay into a double-append.
             meta = conn.getMetaData()
+            esc = meta.getSearchStringEscape()
             exists = False
-            for pattern in {table, table.upper(), table.lower()}:
+            for spelling in {table, table.upper(), table.lower()}:
+                pattern = spelling.replace("_", esc + "_").replace(
+                    "%", esc + "%"
+                )
                 rs = meta.getTables(None, None, pattern, None)
                 exists = rs.next()
                 rs.close()
