@@ -211,6 +211,7 @@ _PRIORITY = [
     "first_second_purchase",
     "decontaminated_corpus",
     "token_zipf_curve",
+    "interpolated_values",
 ]
 
 

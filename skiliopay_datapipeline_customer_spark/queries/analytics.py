@@ -925,3 +925,96 @@ def first_second_purchase(spark, sf_dir):
         .distinct()
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation of missing readings — pandas
+# ``interpolate(method='time' / 'index')`` per user: each null blends its
+# nearest non-null neighbors, weighted by event-time distance; leading
+# nulls backfill from the next anchor, trailing nulls carry the previous
+# one (ffill/bfill at the edges, like pandas limit_direction='both').
+# Distributed form: prev anchor = last(ignorenulls) over the backward
+# frame, next anchor = first(ignorenulls) over the forward frame — one
+# shuffle on user_id, two frames, no recursion. The blend expression has
+# identical shape on both engines; output rounded to 4.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "interpolated_values",
+    oracle="""
+    WITH masked AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    anchored AS (
+      SELECT user_id, event_id, ts_us, v,
+             last_value(v IGNORE NULLS) OVER w_back AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS)
+               OVER w_back AS pt,
+             first_value(v IGNORE NULLS) OVER w_fwd AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS)
+               OVER w_fwd AS nt
+      FROM masked
+      WINDOW
+        w_back AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_fwd AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * ((ts_us - pt) / CAST(nt - pt AS DOUBLE))
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv END, 4) AS v_interp
+    FROM anchored
+    ORDER BY event_id
+    """,
+)
+def interpolated_values(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    masked = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    base = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    vt = F.when(F.col("v").isNotNull(), F.col("ts_us"))
+    anchored = masked.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(vt, ignorenulls=True).over(w_back).alias("pt"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(vt, ignorenulls=True).over(w_fwd).alias("nt"),
+    )
+    blend = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("ts_us") - F.col("pt"))
+        / (F.col("nt") - F.col("pt")).cast("double")
+    )
+    return (
+        anchored.select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.when(F.col("v").isNotNull(), F.col("v"))
+                .when(
+                    F.col("pv").isNotNull() & F.col("nv").isNotNull(), blend
+                )
+                .when(F.col("pv").isNotNull(), F.col("pv"))
+                .otherwise(F.col("nv")),
+                4,
+            ).alias("v_interp"),
+        )
+        .orderBy("event_id")
+    )
