@@ -212,6 +212,7 @@ _PRIORITY = [
     "decontaminated_corpus",
     "token_zipf_curve",
     "interpolated_values",
+    "weighted_median_price",
 ]
 
 

@@ -341,3 +341,56 @@ def high_value_flag(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median — the A7 exact-median family extended with weights
+# (quantity-weighted price: "the price at which half the VOLUME trades").
+# No built-in computes this; the distributed form is the range-partitioned
+# cumulative-weight pass (operators/ranks.py): order by (price, key), running
+# sum of weights, first row where 2·cumweight ≥ total — integer-free
+# comparison via the doubled cross-form so no division enters the predicate.
+# One range pass + a 1-row total broadcast; never a single-task window.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+    WITH w AS (
+      SELECT l_extendedprice AS p, l_quantity AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT p, wt,
+             sum(wt) OVER (ORDER BY p, l_orderkey, l_linenumber
+                           ROWS UNBOUNDED PRECEDING) AS cw
+      FROM w
+    ),
+    t AS (SELECT sum(wt) AS total FROM w)
+    SELECT round(min(c.p), 4) AS weighted_median_price
+    FROM c CROSS JOIN t
+    WHERE 2 * c.cw >= t.total
+    """,
+)
+def weighted_median_price(spark, sf_dir):
+    from ..operators.ranks import global_cumsums_distributed
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_quantity").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = global_cumsums_distributed(
+        li,
+        [F.col("p"), F.col("l_orderkey"), F.col("l_linenumber")],
+        {"wt": "cw"},
+    )
+    total = li.agg(F.sum("wt").alias("total"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .filter(2 * F.col("cw") >= F.col("total"))
+        .agg(F.round(F.min("p"), 4).alias("weighted_median_price"))
+    )
