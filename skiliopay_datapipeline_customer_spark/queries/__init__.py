@@ -213,6 +213,7 @@ _PRIORITY = [
     "token_zipf_curve",
     "interpolated_values",
     "weighted_median_price",
+    "rfm_scores",
 ]
 
 

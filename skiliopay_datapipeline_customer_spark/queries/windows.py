@@ -226,3 +226,95 @@ def trailing_week_user_value(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full RFM score — the composite behind the dashboard's rfm_recency /
+# rfm_frequency / rfm_monetary columns (pages.py:63-84): per customer,
+# quintile scores for recency (lower = better → 5), frequency and monetary
+# (higher = better → 5), concatenated "RFM" string. Each score is its own
+# range-partitioned quantile bucket over the per-customer aggregate
+# (rank+qcut edges, identical IEEE edge formula in the oracle), computed on
+# SEPARATE lineages from the base frame and equi-joined by key — chaining
+# the bucket passes would nest range exchanges, the hazard the KS fix
+# documents in operators/ranks.py.
+# ---------------------------------------------------------------------------
+
+_RFM_EDGE = """1 + (CASE WHEN {r} > 1 + (n - 1) * 0.2 THEN 1 ELSE 0 END)
+             + (CASE WHEN {r} > 1 + (n - 1) * 0.4 THEN 1 ELSE 0 END)
+             + (CASE WHEN {r} > 1 + (n - 1) * 0.6 THEN 1 ELSE 0 END)
+             + (CASE WHEN {r} > 1 + (n - 1) * 0.8 THEN 1 ELSE 0 END)"""
+
+
+@query(
+    "rfm_scores",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey,
+             datediff('day', max(o_orderdate), DATE '2001-08-02') AS recency,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ),
+    n AS (SELECT count(*) AS n FROM base),
+    ranked AS (
+      SELECT c_custkey,
+             row_number() OVER (ORDER BY recency, c_custkey) AS rr,
+             row_number() OVER (ORDER BY frequency, c_custkey) AS rf,
+             row_number() OVER (ORDER BY monetary, c_custkey) AS rm
+      FROM base
+    ),
+    scores AS (
+      SELECT c_custkey,
+             6 - ({_RFM_EDGE.format(r='rr')}) AS r_score,
+             {_RFM_EDGE.format(r='rf')} AS f_score,
+             {_RFM_EDGE.format(r='rm')} AS m_score
+      FROM ranked, n
+    )
+    SELECT c_custkey, r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS rfm
+    FROM scores ORDER BY c_custkey
+    """,
+)
+def rfm_scores(spark, sf_dir):
+    from ..operators.ranks import quantile_bucket_distributed
+
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    base = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.datediff(
+                F.lit("2001-08-02").cast("date"), F.max("o_orderdate")
+            ).alias("recency"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+
+    def score(col, labels, out):
+        return quantile_bucket_distributed(
+            base, col, labels, ascending=True, q=5,
+            tiebreak="c_custkey", out=out,
+        ).select("c_custkey", out)
+
+    r = score("recency", [5, 4, 3, 2, 1], "r_score")
+    f = score("frequency", [1, 2, 3, 4, 5], "f_score")
+    m = score("monetary", [1, 2, 3, 4, 5], "m_score")
+    return (
+        r.join(f, "c_custkey")
+        .join(m, "c_custkey")
+        .select(
+            "c_custkey",
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat_ws(
+                "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ).alias("rfm"),
+        )
+        .orderBy("c_custkey")
+    )
