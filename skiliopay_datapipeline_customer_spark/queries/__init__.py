@@ -214,6 +214,7 @@ _PRIORITY = [
     "interpolated_values",
     "weighted_median_price",
     "rfm_scores",
+    "weighted_median_by_flag",
 ]
 
 

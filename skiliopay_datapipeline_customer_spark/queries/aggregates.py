@@ -394,3 +394,79 @@ def weighted_median_price(spark, sf_dir):
         .filter(2 * F.col("cw") >= F.col("total"))
         .agg(F.round(F.min("p"), 4).alias("weighted_median_price"))
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPED weighted median — the per-group extension: quantity-weighted
+# median price per return flag, all groups in ONE range pass. Order the
+# range partitioning by (group, value, key); the global cumulative weight
+# minus the group's base offset (sum of prior groups' weights — a
+# metadata-sized frame) is the within-group running weight; the answer per
+# group is the first value where 2·cw ≥ group total. Never a per-group
+# window over a dominant group's full weight stream.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weighted_median_by_flag",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS p, l_quantity AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, p, wt,
+             sum(wt) OVER (PARTITION BY flag
+                           ORDER BY p, l_orderkey, l_linenumber
+                           ROWS UNBOUNDED PRECEDING) AS cw
+      FROM w
+    ),
+    t AS (SELECT flag, sum(wt) AS total FROM w GROUP BY flag)
+    SELECT c.flag, round(min(c.p), 4) AS weighted_median_price
+    FROM c JOIN t USING (flag)
+    WHERE 2 * c.cw >= t.total
+    GROUP BY c.flag ORDER BY c.flag
+    """,
+)
+def weighted_median_by_flag(spark, sf_dir):
+    from ..operators.ranks import global_cumsums_distributed
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_quantity").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    # one range pass over (group, value, key): global running weight...
+    cum = global_cumsums_distributed(
+        li,
+        [F.col("flag"), F.col("p"), F.col("l_orderkey"), F.col("l_linenumber")],
+        {"wt": "gcw"},
+    )
+    # ...minus each group's base offset = within-group running weight.
+    # Group totals/bases are a #groups-sized frame (broadcast). The
+    # subtraction is EXACT here because quantities are integer-valued
+    # doubles (< 2^53); fractional weights would make gcw - base differ
+    # from a direct per-group cumsum by ulps — use integer-scaled weights
+    # when the boundary matters.
+    totals = li.groupBy("flag").agg(F.sum("wt").alias("total"))
+    from pyspark.sql import Window
+
+    base_w = (
+        Window.orderBy("flag")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = totals.select(
+        "flag",
+        "total",
+        F.coalesce(F.sum("total").over(base_w), F.lit(0.0)).alias("base"),
+    )
+    return (
+        cum.join(F.broadcast(bases), "flag")
+        .filter(2 * (F.col("gcw") - F.col("base")) >= F.col("total"))
+        .groupBy("flag")
+        .agg(F.round(F.min("p"), 4).alias("weighted_median_price"))
+        .orderBy("flag")
+    )
