@@ -215,6 +215,8 @@ _PRIORITY = [
     "weighted_median_price",
     "rfm_scores",
     "weighted_median_by_flag",
+    "weekday_seasonality",
+    "purchase_cadence",
 ]
 
 

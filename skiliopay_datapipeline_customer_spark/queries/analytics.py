@@ -1018,3 +1018,104 @@ def interpolated_values(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality profile — event volume and purchase revenue by day of
+# week. Day-of-week numbering differs across engines (Spark dayofweek:
+# 1=Sunday; the oracle dialect's dayofweek: 0=Sunday), so BOTH sides emit
+# ISO day names and sort by an explicit Monday-first index — the semantic,
+# not the engine encoding, is the contract.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weekday_seasonality",
+    oracle="""
+    SELECT strftime(ts, '%A') AS weekday,
+           CAST(isodow(ts) AS BIGINT) AS iso_dow,
+           count(*) AS n_events,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END),
+                 4) AS purchase_revenue
+    FROM events
+    GROUP BY 1, 2 ORDER BY iso_dow
+    """,
+)
+def weekday_seasonality(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "EEEE").alias("weekday"),
+            # ISO day-of-week, Monday=1: Spark's dayofweek is Sunday=1
+            F.expr("(dayofweek(ts) + 5) % 7 + 1").cast("long").alias("iso_dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(0.0)
+                ),
+                4,
+            ).alias("purchase_revenue"),
+        )
+        .orderBy("iso_dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Purchase inter-arrival regularity — the churn-salient cadence feature:
+# per user, the mean/std/max of gaps between consecutive purchases (hours).
+# Irregular cadence (high std relative to mean) is a disengagement signal
+# the RFM recency number alone misses. One lag window per user stream, one
+# aggregate; integer micros → float hours only at the output.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "purchase_cadence",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT user_id,
+             (ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id))
+               / 3600000000.0 AS gap_h
+      FROM p
+    )
+    SELECT user_id,
+           CAST(count(gap_h) AS BIGINT) AS n_gaps,
+           round(avg(gap_h), 4) AS mean_gap_h,
+           round(stddev_samp(gap_h), 4) AS std_gap_h,
+           round(max(gap_h), 4) AS max_gap_h
+    FROM gaps
+    WHERE gap_h IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def purchase_cadence(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = p.select(
+        "user_id",
+        (
+            (F.col("ts_us") - F.lag("ts_us").over(w)) / F.lit(3600000000.0)
+        ).alias("gap_h"),
+    ).filter(F.col("gap_h").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_h").alias("n_gaps"),
+            F.round(F.avg("gap_h"), 4).alias("mean_gap_h"),
+            F.round(F.stddev_samp("gap_h"), 4).alias("std_gap_h"),
+            F.round(F.max("gap_h"), 4).alias("max_gap_h"),
+        )
+        .orderBy("user_id")
+    )
