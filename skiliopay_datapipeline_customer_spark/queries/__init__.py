@@ -217,6 +217,7 @@ _PRIORITY = [
     "weighted_median_by_flag",
     "weekday_seasonality",
     "purchase_cadence",
+    "basket_part_pairs",
 ]
 
 

@@ -564,3 +564,44 @@ def salted_skew_join_counts(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair co-occurrence — which parts ship together: lineitem
+# self-joined within the order key (a < b dedups the unordered pair), pair
+# counts, top-50. The self-join is equi on l_orderkey, so candidate pairs
+# are bounded by items-per-order² (single digits squared — never a corpus
+# cross product); the top-k is a sort-limit over the pair-count frame.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "basket_part_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def basket_part_pairs(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(50)
+    )
