@@ -1,4 +1,13 @@
 from .medallion import MedallionPipeline, clean_frame, ingest_metadata
 from .cache import CheckpointCache
+from .dag import Dag, DagRun, Task
 
-__all__ = ["MedallionPipeline", "clean_frame", "ingest_metadata", "CheckpointCache"]
+__all__ = [
+    "MedallionPipeline",
+    "clean_frame",
+    "ingest_metadata",
+    "CheckpointCache",
+    "Dag",
+    "DagRun",
+    "Task",
+]
