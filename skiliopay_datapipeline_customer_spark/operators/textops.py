@@ -414,6 +414,75 @@ def chunk_assignments(
     )
 
 
+def line_dedup(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int = 8,
+):
+    """Corpus-wide exact span dedup with document reassembly — the
+    C4/MassiveText "remove repeated lines" pass, over fixed-width token
+    spans (the synthetic corpus has no newline structure, so a pseudo-line
+    is ``line_tokens`` consecutive tokens; on real web text the splitter
+    would be newline/sentence-based, the plan identical). Every span keeps
+    exactly its FIRST corpus occurrence (min (doc, position) — the same
+    keep-min-id rule as `dedup.survivors`); later occurrences anywhere in
+    the corpus are cut, and each doc is rebuilt from its surviving spans in
+    order.
+
+    Emits one row per input doc: the rebuilt (normalized) text plus
+    kept/removed span counts — '' when every span was seen earlier.
+
+    Scale: the span explode is map-side; the first-occurrence choice is ONE
+    groupBy on the span value whose output rows ARE the survivors (min
+    struct aggregation — no window over a potentially massive duplicate
+    group, no self-join back); reassembly is one groupBy + one join on the
+    doc key, which share an exchange. Span working set ≈ corpus tokens /
+    line_tokens rows.
+    """
+    toks = tokens(F.col(text_col))
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(line_tokens)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, line_tokens)),
+            )
+        ).alias("pos", "line"),
+    )
+    # survivors: one row per distinct span = its first corpus occurrence
+    kept = spans.groupBy("line").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_k")
+    )
+    rebuilt = (
+        kept.select(F.col(f"_k.{id_col}").alias(id_col), F.col("_k.pos").alias("pos"), "line")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("_text"),
+            F.count("*").alias("_kept"),
+        )
+    )
+    n_lines = F.size(F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(line_tokens)))
+    return (
+        df.select(F.col(id_col), n_lines.cast("long").alias("_n"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_text", F.lit("")).alias(text_col),
+            F.coalesce("_kept", F.lit(0)).cast("long").alias("lines_kept"),
+            (F.col("_n") - F.coalesce("_kept", F.lit(0)))
+            .cast("long")
+            .alias("lines_removed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Distributed BPE tokenizer training. The corpus never leaves the cluster:
 # each merge round is one pair-count aggregation (explode adjacent symbol

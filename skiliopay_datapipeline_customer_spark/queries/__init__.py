@@ -218,6 +218,7 @@ _PRIORITY = [
     "weekday_seasonality",
     "purchase_cadence",
     "basket_part_pairs",
+    "line_dedup_docs",
 ]
 
 

@@ -795,3 +795,49 @@ def token_zipf_curve(spark, sf_dir):
         .select("rank", "tok", "n", "zipf_slope")
         .orderBy("rank")
     )
+
+
+# Corpus-wide exact span dedup with reassembly (C4/MassiveText line dedup):
+# every 8-token span keeps only its first corpus occurrence (min (doc, pos)),
+# docs rebuild from surviving spans in order.
+
+
+@query(
+    "line_dedup_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, CAST((i - 1) / 8 AS BIGINT) AS pos,
+             array_to_string(t[i:i+7], ' ') AS line
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(t), 1), 8)) AS i
+      )
+    ),
+    kept AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      FROM spans
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text,
+             count(*) AS kept
+      FROM kept WHERE rn = 1 GROUP BY doc_id
+    ),
+    counts AS (
+      SELECT doc_id, len(generate_series(1, greatest(len(t), 1), 8)) AS n_lines
+      FROM toks
+    )
+    SELECT c.doc_id,
+           coalesce(r.text, '') AS text,
+           CAST(coalesce(r.kept, 0) AS BIGINT) AS lines_kept,
+           CAST(c.n_lines - coalesce(r.kept, 0) AS BIGINT) AS lines_removed
+    FROM counts c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def line_dedup_docs(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return T.line_dedup(docs, line_tokens=8).orderBy("doc_id")

@@ -255,3 +255,29 @@ def test_unigram_logprob_ranks_gibberish_below_common_text(spark, tmp_path):
     }
     common = max(v for k, v in scores.items() if k != 100)
     assert scores[100] < common < 0
+
+
+def test_line_dedup_removes_later_occurrences_and_reassembles(spark):
+    """First corpus occurrence of a span survives; later ones (across or
+    within docs) are cut; docs rebuild in span order; a fully-duplicated
+    doc empties."""
+    shared = "a b c d e f g h"          # exactly one 8-token span
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " p q r s t u v w"),   # both spans first-seen
+            (2, shared + " x y z zz"),          # span 0 duplicates doc 1's
+            (3, shared),                        # fully duplicated -> empty
+            (4, "p q r s t u v w " + shared),   # both spans seen earlier
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TX.line_dedup(docs, line_tokens=8).collect()
+    }
+    assert out[1]["text"] == shared + " p q r s t u v w"
+    assert (out[1]["lines_kept"], out[1]["lines_removed"]) == (2, 0)
+    assert out[2]["text"] == "x y z zz"
+    assert (out[2]["lines_kept"], out[2]["lines_removed"]) == (1, 1)
+    assert out[3]["text"] == "" and out[3]["lines_removed"] == 1
+    assert out[4]["text"] == "" and out[4]["lines_removed"] == 2
