@@ -78,6 +78,63 @@ def latest_snapshot(spark: SparkSession, target_dir: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(target_dir, f"v={vs[-1]}"))
 
 
+def read_version(spark: SparkSession, target_dir: str, version: int) -> DataFrame:
+    """Time travel, ``VERSION AS OF`` form: read one exact committed
+    version of the snapshot layout. Raises (listing what IS readable) for a
+    version that never committed or that ``vacuum_versions`` already
+    reclaimed — the same contract as Delta's versionAsOf past the retention
+    horizon."""
+    vs = _versions(target_dir)
+    if version not in vs:
+        raise ValueError(
+            f"version {version} not available under {target_dir}; "
+            f"committed versions: {vs}"
+        )
+    return spark.read.parquet(os.path.join(target_dir, f"v={version}"))
+
+
+def version_history(target_dir: str) -> list[dict]:
+    """DESCRIBE HISTORY for the snapshot layout: one record per committed
+    version — commit time (the _SUCCESS marker's mtime: written last, so it
+    IS the commit instant), file count and byte size. Driver-side directory
+    metadata only; never opens data files."""
+    out = []
+    for v in _versions(target_dir):
+        vdir = os.path.join(target_dir, f"v={v}")
+        files = [
+            f
+            for f in os.listdir(vdir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+        out.append(
+            {
+                "version": v,
+                "committed_at": os.path.getmtime(os.path.join(vdir, "_SUCCESS")),
+                "n_files": len(files),
+                "bytes": sum(
+                    os.path.getsize(os.path.join(vdir, f)) for f in files
+                ),
+            }
+        )
+    return out
+
+
+def snapshot_as_of(
+    spark: SparkSession, target_dir: str, timestamp: float
+) -> DataFrame | None:
+    """Time travel, ``TIMESTAMP AS OF`` form: the newest version whose
+    commit instant is <= ``timestamp`` (epoch seconds) — None when nothing
+    had committed yet. Commit instants come from :func:`version_history`."""
+    eligible = [
+        h["version"]
+        for h in version_history(target_dir)
+        if h["committed_at"] <= timestamp
+    ]
+    if not eligible:
+        return None
+    return read_version(spark, target_dir, max(eligible))
+
+
 def upsert_snapshot(
     target_dir: str,
     key_cols: list[str],

@@ -558,3 +558,45 @@ def test_streaming_wap_quarantines_failing_microbatch(spark, events_dir, tmp_pat
 
     staging = os.path.join(target, "_staging")
     assert os.path.isdir(staging) and len(os.listdir(staging)) >= 1
+
+
+def test_time_travel_version_and_timestamp_reads(spark, tmp_path):
+    """VERSION AS OF reads an exact committed version; TIMESTAMP AS OF picks
+    the newest version committed at-or-before the instant; vacuumed and
+    never-committed versions raise with the readable list."""
+    import os
+    import time
+
+    import pytest
+
+    from skiliopay_datapipeline_customer_spark.pipelines.wap import vacuum_versions
+    from skiliopay_datapipeline_customer_spark.streaming.sinks import (
+        read_version,
+        snapshot_as_of,
+        version_history,
+    )
+
+    target = str(tmp_path / "snap")
+    instants = []
+    for v, n in enumerate([2, 4, 6]):
+        spark.range(n).write.parquet(os.path.join(target, f"v={v}"))
+        time.sleep(0.05)
+        instants.append(time.time())  # just after v committed
+
+    assert [h["version"] for h in version_history(target)] == [0, 1, 2]
+    assert all(h["n_files"] >= 1 and h["bytes"] > 0 for h in version_history(target))
+    assert read_version(spark, target, 1).count() == 4
+    # as-of each instant sees exactly the versions committed by then
+    assert snapshot_as_of(spark, target, instants[0]).count() == 2
+    assert snapshot_as_of(spark, target, instants[1]).count() == 4
+    assert snapshot_as_of(spark, target, instants[2]).count() == 6
+    assert snapshot_as_of(spark, target, instants[0] - 10.0) is None
+    # an uncommitted (markerless) version is invisible to time travel
+    os.makedirs(os.path.join(target, "v=3"))
+    with pytest.raises(ValueError, match="committed versions"):
+        read_version(spark, target, 3)
+    # vacuum reclaims v0 -> reading past the horizon raises like Delta
+    vacuum_versions(target, keep_last=2)
+    with pytest.raises(ValueError, match=r"\[1, 2\]"):
+        read_version(spark, target, 0)
+    assert read_version(spark, target, 2).count() == 6
