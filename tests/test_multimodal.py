@@ -162,3 +162,66 @@ def test_codec_decoders_reject_corrupt_payloads(spark):
     )
     with pytest.raises(Exception):
         decode_png(truncated).collect()
+
+
+def test_map_in_arrow_doc_stats_matches_native_twin(spark, sf_dir):
+    """The Arrow-native tier (mapInArrow, pyarrow.compute string kernels)
+    produces exactly the native expression results for token/char counts."""
+    from pyspark.sql import functions as F
+
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.operators.arrow_ops import (
+        arrow_doc_stats,
+    )
+    from skiliopay_datapipeline_customer_spark.operators.textops import (
+        whitespace_token_count,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    arrow = arrow_doc_stats(docs).orderBy("doc_id").collect()
+    native = (
+        docs.select(
+            "doc_id",
+            whitespace_token_count(F.col("text")).cast("long").alias("n_tokens"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert len(arrow) == len(native) > 0
+    assert [tuple(r) for r in arrow] == [tuple(r) for r in native]
+
+
+def test_apply_in_arrow_group_trend_matches_native_aggregate(spark, sf_dir):
+    """applyInArrow grouped-map slope agrees with the native
+    covar_pop/var_pop closed form to float tolerance."""
+    from pyspark.sql import functions as F
+
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.operators.arrow_ops import (
+        arrow_group_trend,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_totalprice").alias("y"),
+        (F.unix_timestamp("o_orderdate") / 86400.0).alias("x"),
+    )
+    arrow = {
+        r["o_custkey"]: r
+        for r in arrow_group_trend(orders).collect()
+        if r["n_orders"] >= 3
+    }
+    native = {
+        r["o_custkey"]: r["price_trend"]
+        for r in orders.groupBy("o_custkey")
+        .agg(
+            (F.covar_pop("y", "x") / F.var_pop("x")).alias("price_trend"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 3)
+        .collect()
+    }
+    assert set(arrow) == set(native) and len(native) > 0
+    for k, row in arrow.items():
+        assert abs(row["trend_slope"] - native[k]) < 1e-6
