@@ -64,6 +64,26 @@ def main() -> None:
     # worker pool + Arrow channel with one untimed tiny pandas_udf action —
     # interpreter fork/init is session overhead, not operator cost
     spark.range(1).count()
+    # warm the OS page cache over the input parquet (~100 MB at sf0.1): a
+    # cold-disk first read otherwise lands on whichever query scans a table
+    # first, adding up-to-35% run-to-run variance that measures the machine,
+    # not the operators
+    for name in sorted(os.listdir(sf_dir)):
+        if name.endswith(".parquet"):
+            with open(os.path.join(sf_dir, name), "rb") as f:
+                while f.read(1 << 24):
+                    pass
+    # JIT-warm the shuffle/join/agg codepaths on synthetic rows (JMH-style
+    # warmup iteration): the first timed query otherwise pays ~3 s of JVM
+    # compilation that belongs to the session, not the operator
+    from pyspark.sql import functions as _F
+
+    _w = spark.range(100_000).select(
+        (_F.col("id") % 97).alias("k"), _F.col("id").alias("v")
+    )
+    _w.join(_w.groupBy("k").agg(_F.sum("v").alias("s")), "k").groupBy("k").agg(
+        _F.avg("s")
+    ).write.format("noop").mode("overwrite").save()
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
