@@ -219,6 +219,7 @@ _PRIORITY = [
     "purchase_cadence",
     "basket_part_pairs",
     "line_dedup_docs",
+    "seasonal_value_anomalies",
 ]
 
 

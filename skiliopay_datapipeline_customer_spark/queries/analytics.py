@@ -1119,3 +1119,56 @@ def purchase_cadence(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# Seasonal anomaly detection: per-(event_type, hour-of-day) value baseline
+# (the seasonality cell), events flagged where |value - cell mean| > 3σ.
+# One fused agg over the fact builds the cell-stats frame (types × 24 rows,
+# broadcast); the flag pass is map-only — the same two-scan shape as the
+# z-score outlier report, but seasonally conditioned.
+
+
+@query(
+    "seasonal_value_anomalies",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             avg(value) AS mu, stddev_pop(value) AS sigma
+      FROM events
+      GROUP BY event_type, hour(ts)
+    )
+    SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS BIGINT) AS hr,
+           e.value,
+           round(cells.mu, 4) AS cell_mean,
+           round((e.value - cells.mu) / cells.sigma, 4) AS zscore
+    FROM events e
+    JOIN cells ON e.event_type = cells.event_type AND hour(e.ts) = cells.hr
+    WHERE cells.sigma > 0 AND abs(e.value - cells.mu) > 3 * cells.sigma
+    ORDER BY e.event_id
+    """,
+)
+def seasonal_value_anomalies(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.hour("ts").cast("long").alias("hr"), "value"
+    )
+    cells = ev.groupBy("event_type", "hr").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    return (
+        ev.join(F.broadcast(cells), ["event_type", "hr"])
+        .filter(
+            (F.col("sigma") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "hr",
+            "value",
+            F.round("mu", 4).alias("cell_mean"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias(
+                "zscore"
+            ),
+        )
+        .orderBy("event_id")
+    )
