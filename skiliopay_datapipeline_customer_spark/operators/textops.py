@@ -414,6 +414,45 @@ def chunk_assignments(
     )
 
 
+# AFINN-style sentiment lexicon (SURVEY §7.2 item 9) over the synthetic
+# corpus vocabulary — word -> signed weight. Real deployments swap in the
+# full AFINN/VADER table; the operator shape (map literal folded into one
+# token pass) is identical at any lexicon size that fits an expression.
+SENTIMENT_LEXICON = {
+    "fast": 2,
+    "small": 1,
+    "merge": 1,
+    "slow": -2,
+    "big": -1,
+    "dup": -3,
+}
+
+
+def sentiment_terms(col, lexicon: dict[str, int] | None = None):
+    """(score, pos_hits, neg_hits) struct per text: token weights summed
+    with multiplicity in one pass over the token array — map-only, no
+    shuffle, exact integer arithmetic (engine-portable)."""
+    lex = SENTIMENT_LEXICON if lexicon is None else lexicon
+    toks = tokens(col)
+    weights = F.transform(
+        toks,
+        lambda t: F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in lex.items() for x in kv]
+                ),
+                t,
+            ),
+            F.lit(0),
+        ),
+    )
+    return F.struct(
+        F.aggregate(weights, F.lit(0), lambda a, v: a + v).alias("score"),
+        F.size(F.filter(weights, lambda w: w > 0)).alias("pos_hits"),
+        F.size(F.filter(weights, lambda w: w < 0)).alias("neg_hits"),
+    )
+
+
 def line_dedup(
     df,
     text_col: str = "text",

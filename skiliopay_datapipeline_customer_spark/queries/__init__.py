@@ -220,6 +220,7 @@ _PRIORITY = [
     "basket_part_pairs",
     "line_dedup_docs",
     "seasonal_value_anomalies",
+    "sentiment_scores",
 ]
 
 

@@ -841,3 +841,49 @@ def token_zipf_curve(spark, sf_dir):
 def line_dedup_docs(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     return T.line_dedup(docs, line_tokens=8).orderBy("doc_id")
+
+
+# Sentiment-lexicon scoring (SURVEY §7.2 item 9): AFINN-style weighted
+# lexicon folded into one token pass; net score + hit counts + sign label.
+
+
+@query(
+    "sentiment_scores",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+               t -> CASE t WHEN 'fast' THEN 2 WHEN 'small' THEN 1
+                           WHEN 'merge' THEN 1 WHEN 'slow' THEN -2
+                           WHEN 'big' THEN -1 WHEN 'dup' THEN -3
+                           ELSE 0 END) AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(coalesce(list_sum(w), 0) AS BIGINT) AS sentiment,
+           CAST(len(list_filter(w, x -> x > 0)) AS INT) AS pos_hits,
+           CAST(len(list_filter(w, x -> x < 0)) AS INT) AS neg_hits,
+           CASE WHEN coalesce(list_sum(w), 0) > 0 THEN 'positive'
+                WHEN coalesce(list_sum(w), 0) < 0 THEN 'negative'
+                ELSE 'neutral' END AS label
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def sentiment_scores(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    s = T.sentiment_terms(F.col("text"))
+    return (
+        docs.select("doc_id", s.alias("_s"))
+        .select(
+            "doc_id",
+            F.col("_s.score").cast("long").alias("sentiment"),
+            F.col("_s.pos_hits").alias("pos_hits"),
+            F.col("_s.neg_hits").alias("neg_hits"),
+            F.when(F.col("_s.score") > 0, "positive")
+            .when(F.col("_s.score") < 0, "negative")
+            .otherwise("neutral")
+            .alias("label"),
+        )
+        .orderBy("doc_id")
+    )

@@ -281,3 +281,18 @@ def test_line_dedup_removes_later_occurrences_and_reassembles(spark):
     assert (out[2]["lines_kept"], out[2]["lines_removed"]) == (1, 1)
     assert out[3]["text"] == "" and out[3]["lines_removed"] == 1
     assert out[4]["text"] == "" and out[4]["lines_removed"] == 2
+
+
+def test_sentiment_terms_weights_with_multiplicity(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "fast fast slow"), (2, "big dup"), (3, "table scan")], ["id", "t"]
+    )
+    rows = {
+        r["id"]: r["s"]
+        for r in df.select("id", TX.sentiment_terms(F.col("t")).alias("s")).collect()
+    }
+    assert (rows[1]["score"], rows[1]["pos_hits"], rows[1]["neg_hits"]) == (2, 2, 1)
+    assert rows[2]["score"] == -4
+    assert (rows[3]["score"], rows[3]["pos_hits"], rows[3]["neg_hits"]) == (0, 0, 0)
