@@ -60,3 +60,85 @@ def label_encode(
     for i, cat in enumerate(cats[1:], start=1):
         chain = chain.when(F.col(col) == cat, i)
     return df.withColumn(out, chain.otherwise(F.lit(None).cast("int")))
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    out: str = "te",
+    smoothing: float = 0.0,
+    prior: float | None = None,
+) -> DataFrame:
+    """Leave-one-out target (mean) encoding — the high-cardinality
+    alternative to one-hot: each row gets its category's target mean
+    computed WITHOUT the row itself, (sum - y) / (n - 1), so the encoding
+    never leaks the row's own label into its feature (the classic
+    target-leak the naive groupBy-mean join has). Optional additive
+    smoothing toward the global prior: (sum - y + s·prior) / (n - 1 + s) —
+    singleton categories (n=1) come out as the prior when smoothing > 0,
+    NULL otherwise.
+
+    Scale: one groupBy on the category (map-side partial sums), the
+    per-category frame joins back — dimension-table-sized against the fact,
+    so AQE broadcasts it; the LOO arithmetic is map-only. The global prior
+    (when smoothing without an explicit prior) is one scalar agg.
+    """
+    stats = df.groupBy(cat_col).agg(
+        F.sum(F.col(target_col).cast("double")).alias("_tsum"),
+        F.count(target_col).alias("_tn"),
+    )
+    joined = df.join(stats, cat_col, "left")
+    y = F.col(target_col).cast("double")
+    if smoothing > 0:
+        if prior is None:
+            prior = df.agg(F.avg(F.col(target_col).cast("double"))).first()[0]
+        enc = (F.col("_tsum") - y + F.lit(smoothing * prior)) / (
+            F.col("_tn") - 1 + F.lit(smoothing)
+        )
+    else:
+        enc = F.when(
+            F.col("_tn") > 1, (F.col("_tsum") - y) / (F.col("_tn") - 1)
+        )
+    return joined.withColumn(out, enc).drop("_tsum", "_tn")
+
+
+def hashed_features(
+    df: DataFrame,
+    cols: list[str],
+    num_buckets: int = 16,
+    salt: str = "fh",
+    out_prefix: str = "fh",
+) -> DataFrame:
+    """Hashing-trick encoder (feature hashing): each (column, value) pair
+    hashes to one of ``num_buckets`` counters with a ±1 sign bit, giving a
+    FIXED-width numeric representation independent of category cardinality
+    — the 100 TB answer to one-hot over unbounded vocabularies (no
+    discovery pass, no vocabulary broadcast, collisions average out under
+    the signed sum).
+
+    Buckets/signs derive from md5 (engine-portable, same idiom as
+    `operators/sampling.hash_bucket`) — bucket from hex chars 1-8, sign
+    from the parity of chars 9-10 — so a SQL oracle reproduces the exact
+    layout. Map-only: one expression per (input col), no shuffle, no state.
+    """
+    from ..operators.sampling import hash_bucket
+
+    outputs = []
+    for b in range(num_buckets):
+        terms = []
+        for c in cols:
+            h = F.md5(F.concat(F.lit(f"{salt}:{c}:"), F.col(c).cast("string")))
+            bucket = (
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+                % num_buckets
+            )
+            sign = F.when(
+                F.conv(F.substring(h, 9, 2), 16, 10).cast("long") % 2 == 0, 1
+            ).otherwise(-1)
+            terms.append(F.when(bucket == b, sign).otherwise(0))
+        col_sum = terms[0]
+        for t in terms[1:]:
+            col_sum = col_sum + t
+        outputs.append(col_sum.cast("long").alias(f"{out_prefix}_{b}"))
+    return df.select(*df.columns, *outputs)

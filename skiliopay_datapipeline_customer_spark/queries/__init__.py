@@ -221,6 +221,8 @@ _PRIORITY = [
     "line_dedup_docs",
     "seasonal_value_anomalies",
     "sentiment_scores",
+    "loo_target_encoding",
+    "hashed_segment_features",
 ]
 
 

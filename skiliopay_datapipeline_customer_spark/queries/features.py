@@ -405,3 +405,91 @@ def churn_features_gold(spark, sf_dir):
         F.col("is_high_value").cast("int").alias("is_high_value"),
         "churn_label",
     ).orderBy("user_id")
+
+
+# Leave-one-out target encoding (the high-cardinality alternative to F15
+# one-hot): category mean computed WITHOUT the row's own label — integer
+# target keeps the distributed sum exact, so the float division is
+# order-independent and engine-portable.
+
+
+@query(
+    "loo_target_encoding",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(c_acctbal > 5000 AS INT) AS y
+      FROM customer
+    ),
+    stats AS (
+      SELECT c_mktsegment, CAST(sum(y) AS DOUBLE) AS s, count(*) AS n
+      FROM base GROUP BY c_mktsegment
+    )
+    SELECT b.c_custkey, b.c_mktsegment,
+           CASE WHEN stats.n > 1
+                THEN round((stats.s - b.y) / (stats.n - 1), 6) END AS te
+    FROM base b JOIN stats USING (c_mktsegment)
+    ORDER BY b.c_custkey
+    """,
+)
+def loo_target_encoding(spark, sf_dir):
+    from ..functions.encoding import target_encode_loo
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") > 5000).cast("int").alias("y"),
+    )
+    return (
+        target_encode_loo(cust, "c_mktsegment", "y", out="_te")
+        .select(
+            "c_custkey", "c_mktsegment", F.round("_te", 6).alias("te")
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# Hashing-trick encoder: fixed-width signed bucket counts from md5 —
+# no vocabulary pass, engine-portable layout.
+
+_FH_COLS = ["c_mktsegment", "c_nationkey"]
+_FH_BUCKETS = 8
+
+
+def _fh_oracle() -> str:
+    def bucket(c):
+        return (
+            f"CAST('0x' || substr(md5('fh:{c}:' || CAST({c} AS VARCHAR)), 1, 8) "
+            f"AS BIGINT) % {_FH_BUCKETS}"
+        )
+
+    def sign(c):
+        return (
+            f"CASE WHEN CAST('0x' || substr(md5('fh:{c}:' || CAST({c} AS VARCHAR)), 9, 2) "
+            "AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+        )
+
+    outs = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN {bucket(c)} = {b} THEN {sign(c)} ELSE 0 END)"
+            for c in _FH_COLS
+        )
+        + f" AS BIGINT) AS fh_{b}"
+        for b in range(_FH_BUCKETS)
+    )
+    return f"SELECT c_custkey, {outs} FROM customer ORDER BY c_custkey"
+
+
+@query("hashed_segment_features", oracle=_fh_oracle())
+def hashed_segment_features(spark, sf_dir):
+    from ..functions.encoding import hashed_features
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    return (
+        hashed_features(cust, _FH_COLS, num_buckets=_FH_BUCKETS)
+        .drop("c_mktsegment", "c_nationkey")
+        .orderBy("c_custkey")
+    )

@@ -195,3 +195,54 @@ def test_kmeans_recovers_planted_blobs(spark):
     profile = kmeans_cluster_profile(df, k=3).collect()
     assert [r["n_vecs"] for r in profile] == [30, 30, 30]
     assert all(r["purity"] == 1.0 for r in profile)
+
+
+def test_target_encode_loo_excludes_own_label_and_smooths_singletons(spark):
+    from pyspark.sql import functions as F
+
+    from skiliopay_datapipeline_customer_spark.functions.encoding import (
+        target_encode_loo,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("a", 1), ("b", 1), ("b", 0), ("c", 1)],
+        ["cat", "y"],
+    )
+    rows = {
+        (r["cat"], r["y"]): r["te"]
+        for r in target_encode_loo(df, "cat", "y").collect()
+    }
+    # each encoding is the mean of the OTHER rows in the category
+    assert abs(rows[("a", 1)] - 0.5) < 1e-12   # others: 0,1
+    assert abs(rows[("a", 0)] - 1.0) < 1e-12   # others: 1,1
+    assert abs(rows[("b", 1)] - 0.0) < 1e-12
+    assert rows[("c", 1)] is None              # singleton, no smoothing
+    # smoothing pulls toward the global prior; singleton = prior exactly
+    prior = 4 / 6
+    sm = {
+        (r["cat"], r["y"]): r["te"]
+        for r in target_encode_loo(df, "cat", "y", smoothing=2.0).collect()
+    }
+    assert abs(sm[("c", 1)] - prior) < 1e-12
+    assert abs(sm[("a", 1)] - (1 + 2 * prior) / 4) < 1e-12
+
+
+def test_hashed_features_fixed_width_and_deterministic(spark, sf_dir):
+    from skiliopay_datapipeline_customer_spark.functions.encoding import (
+        hashed_features,
+    )
+    from skiliopay_datapipeline_customer_spark.io import table
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    out = hashed_features(cust, ["c_mktsegment", "c_nationkey"], num_buckets=8)
+    fh_cols = [c for c in out.columns if c.startswith("fh_")]
+    assert len(fh_cols) == 8
+    rows = out.orderBy("c_custkey").limit(50).collect()
+    again = out.orderBy("c_custkey").limit(50).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    # every row distributes exactly len(cols) units of signed mass
+    for r in rows:
+        assert sum(abs(r[c]) for c in fh_cols) <= 2
+        assert sum(abs(r[c]) for c in fh_cols) >= 0  # collisions may cancel
