@@ -541,3 +541,33 @@ def test_registry_rotation_invariants():
     order = q._rotated(list(q.QUERIES))
     assert len(order) == len(q.QUERIES)
     assert len(set(order)) == len(order)
+
+
+def test_plan_digest_reports_shapes_and_smells(spark, sf_dir):
+    """plan_digest turns .explain('formatted') into assertable counts: the
+    flagship broadcasts its dims with no cartesian/smells; an un-partitioned
+    window and a cross join are flagged."""
+    from pyspark.sql import Window
+
+    from skiliopay_datapipeline_customer_spark.plans.report import plan_digest
+    from skiliopay_datapipeline_customer_spark.queries import QUERIES, load_all
+
+    load_all()
+    d = plan_digest(QUERIES["flagship_revenue_by_nation"](spark, sf_dir))
+    assert d["broadcast_joins"] >= 1           # dims broadcast
+    assert d["nested_loop_joins"] == 0 and not d["has_cartesian"]
+    assert d["pushed_filters"] >= 1            # predicates reach the scan
+    assert d["whole_stage_codegen"] >= 1       # fused pipelines exist
+    assert not d["single_partition_window"]
+
+    ev = table(spark, sf_dir, "events")
+    w = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("event_id"))
+    )
+    assert plan_digest(w)["single_partition_window"]
+    wp = ev.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("event_id")),
+    )
+    assert not plan_digest(wp)["single_partition_window"]
+    assert plan_digest(ev.limit(3).crossJoin(ev.limit(2)))["has_cartesian"]
