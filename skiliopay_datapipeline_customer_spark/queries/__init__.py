@@ -223,6 +223,7 @@ _PRIORITY = [
     "sentiment_scores",
     "loo_target_encoding",
     "hashed_segment_features",
+    "corpus_attrition_funnel",
 ]
 
 

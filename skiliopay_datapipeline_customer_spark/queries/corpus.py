@@ -511,3 +511,103 @@ def length_bucketed_batches(spark, sf_dir):
         )
         .orderBy("batch_id")
     )
+
+
+# Attrition funnel: survivor counts through the corpus build stages —
+# the curator's observability view of the same composition
+# `corpus_build_pipeline` verifies row-by-row. At 100 TB these counts ride
+# the single pipeline pass as `observe()` metrics (no extra jobs); the
+# declared query recomputes each prefix so the funnel itself is
+# oracle-checkable.
+
+
+@query(
+    "corpus_attrition_funnel",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, len(t) - 2),
+               i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
+      FROM (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+      )
+    ),
+    e0 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM e0
+      UNION SELECT id_b, id_a FROM e0
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+    scored AS (
+      SELECT doc_id, lang, {{q}} AS quality FROM documents
+      WHERE doc_id NOT IN (SELECT node FROM lab WHERE node <> cluster)
+    ),
+    ranked AS (
+      SELECT doc_id, lang, quality,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM scored
+    ),
+    gated AS (SELECT doc_id, lang FROM ranked WHERE (rk - 1) * 4 <= (n - 1)),
+    mixed AS (
+      SELECT doc_id FROM gated
+      WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 100 < {{r}}
+    ),
+    counts AS (
+              SELECT '1_raw' AS stage, count(*) AS n_docs FROM documents
+    UNION ALL SELECT '2_dedup', count(*) FROM scored
+    UNION ALL SELECT '3_quality', count(*) FROM gated
+    UNION ALL SELECT '4_mixture', count(*) FROM mixed
+    )
+    SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+           round(n_docs * 1.0 / max(n_docs) OVER (), 4) AS retained_pct
+    FROM counts ORDER BY stage
+    """.format(q=_QUALITY_SQL, r=_mix_rate_case()),
+)
+def corpus_attrition_funnel(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.9, shingle_n=3)
+    deduped = D.survivors(docs, pairs)
+    scored = deduped.select(
+        "doc_id", "lang", T.quality_score(F.col("text")).alias("quality")
+    )
+    gated = SM.group_top_fraction(scored, "lang", "quality", "doc_id", 1, 4)
+    mixed = SM.stratified_sample(gated, "lang", _MIX_RATES, id_col="doc_id")
+    stages = [
+        ("1_raw", docs),
+        ("2_dedup", deduped),
+        ("3_quality", gated),
+        ("4_mixture", mixed),
+    ]
+    counts = None
+    for name, frame in stages:
+        c = frame.agg(
+            F.lit(name).alias("stage"), F.count("*").alias("n_docs")
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    from pyspark.sql import Window
+
+    # 4-row frame: the global window is metadata-sized
+    return (
+        counts.withColumn(
+            "retained_pct",
+            F.round(
+                F.col("n_docs") / F.max("n_docs").over(Window.partitionBy()), 4
+            ),
+        )
+        .orderBy("stage")
+    )
