@@ -224,6 +224,9 @@ _PRIORITY = [
     "loo_target_encoding",
     "hashed_segment_features",
     "corpus_attrition_funnel",
+    "unpivoted_customer_metrics",
+    "topk_orders_with_ties",
+    "activity_heatmap",
 ]
 
 

@@ -286,3 +286,98 @@ def order_trend_pandas(spark, sf_dir):
         .applyInPandas(slope, schema="o_custkey long, price_trend double")
         .orderBy("o_custkey")
     )
+
+
+# Unpivot (melt): wide per-customer metrics to tidy (key, metric, value)
+# rows — the inverse of pivot, Spark's native `unpivot` (no explode/stack
+# UDF detour; DuckDB mirrors with UNPIVOT).
+
+
+@query(
+    "unpivoted_customer_metrics",
+    oracle="""
+    SELECT c_custkey, metric, round(value, 2) AS value
+    FROM (
+      SELECT c_custkey,
+             round(c_acctbal, 2) AS acctbal,
+             CAST(c_nationkey AS DOUBLE) AS nationkey
+      FROM customer
+    ) UNPIVOT (value FOR metric IN (acctbal, nationkey))
+    ORDER BY c_custkey, metric
+    """,
+)
+def unpivoted_customer_metrics(spark, sf_dir):
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return (
+        cust.unpivot(
+            "c_custkey", ["acctbal", "nationkey"], "metric", "value"
+        )
+        .select("c_custkey", "metric", F.round("value", 2).alias("value"))
+        .orderBy("c_custkey", "metric")
+    )
+
+
+# Ties-inclusive top-k: rank() <= k keeps ALL orders tied at the cutoff
+# price — different cardinality semantics from row_number top-k
+# (topn_per_customer), worth its own declared contract.
+
+
+@query(
+    "topk_orders_with_ties",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             rank() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC) AS rk
+      FROM orders
+    )
+    WHERE rk <= 3
+    ORDER BY o_custkey, rk, o_orderkey
+    """,
+)
+def topk_orders_with_ties(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        orders.withColumn("rk", F.rank().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk", "o_orderkey")
+    )
+
+
+# Activity heatmap: hour-of-day × day-of-week event counts — the dashboard
+# usage-pattern pivot, ISO day numbers on both engines.
+
+
+@query(
+    "activity_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hr,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY isodow(ts), hour(ts)
+    ORDER BY dow, hr
+    """,
+)
+def activity_heatmap(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.expr("(dayofweek(ts) + 5) % 7 + 1").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hr"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hr")
+    )
