@@ -251,3 +251,48 @@ def compact_small_files(
         "files_after": files_after,
         "bytes": total_bytes,
     }
+
+
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    fpp: float = 0.01,
+    ndv: int | None = None,
+) -> None:
+    """Write parquet with PER-COLUMN BLOOM FILTERS — the point-lookup
+    "index" for high-cardinality keys where sorted-row-group min/max
+    (:func:`index_equivalent_layout`) can't skip: a reader probes the bloom
+    sidecar per row group and skips groups that definitely lack the key
+    (false-positive rate ``fpp``, never false negatives). Standard parquet
+    metadata — every engine that reads the footer benefits, not just Spark.
+    """
+    w = df.write.mode("overwrite")
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.fpp#{c}", str(fpp)
+        )
+        if ndv is not None:
+            w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+    w.parquet(path)
+
+
+def backfill_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+) -> None:
+    """Backfill a date-partitioned table: rewrite ONLY the partitions
+    present in ``df``, leaving every other partition untouched — Spark's
+    dynamic partition overwrite (`partitionOverwriteMode=dynamic`), the
+    idempotent daily-recompute primitive (re-running a day's job replaces
+    that day exactly; a STATIC overwrite would drop the whole table).
+    Scoped via the writer's per-operation conf, not a session-level flip.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

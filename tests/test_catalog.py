@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -244,3 +246,67 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     narrow = spark.read.schema("id long, a long").parquet(p)
     assert narrow.count() == 10
     assert set(narrow.columns) == {"id", "a", "day"}
+
+
+def test_write_with_bloom_emits_parquet_bloom_metadata(spark, sf_dir, tmp_path):
+    """Bloom filters land in the parquet column metadata (offset recorded),
+    and the bloom-indexed file answers point lookups identically."""  # noqa: D401
+    from skiliopay_datapipeline_customer_spark.sources.catalog import (
+        write_with_bloom,
+    )
+
+    def _bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    orders = table(spark, sf_dir, "orders").coalesce(1)
+    path = str(tmp_path / "orders_bloom")
+    write_with_bloom(orders, path, ["o_orderkey"], ndv=100_000)
+    plain = str(tmp_path / "orders_plain")
+    orders.write.mode("overwrite").parquet(plain)
+    # identical rows; the bloom sidecar is the only size delta (this
+    # pyarrow build doesn't expose bloom_filter_offset to inspect directly)
+    assert _bytes(path) > _bytes(plain)
+    assert spark.read.parquet(path).count() == orders.count()
+    key = orders.select("o_orderkey").first()[0]
+    got = spark.read.parquet(path).filter(F.col("o_orderkey") == key).count()
+    want = orders.filter(F.col("o_orderkey") == key).count()
+    assert got == want > 0
+
+
+def test_backfill_partitions_overwrites_only_touched_days(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite: re-running one day replaces exactly that
+    day; other partitions keep their original content."""
+    from skiliopay_datapipeline_customer_spark.sources.catalog import (
+        backfill_partitions,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.to_date("ts").alias("day")
+    )
+    days = [r["day"] for r in ev.select("day").distinct().orderBy("day").limit(3).collect()]
+    base = ev.filter(F.col("day").isin(days))
+    path = str(tmp_path / "events_by_day")
+    base.write.mode("overwrite").partitionBy("day").parquet(path)
+    before = spark.read.parquet(path).groupBy("day").count().collect()
+    # backfill day[1] with doubled values; a STATIC overwrite would drop the
+    # other two partitions
+    fix = base.filter(F.col("day") == days[1]).withColumn(
+        "value", F.col("value") * 2
+    )
+    backfill_partitions(spark, fix, path, "day")
+    after = spark.read.parquet(path)
+    assert {r["day"] for r in after.select("day").distinct().collect()} == set(days)
+    assert (
+        after.filter(F.col("day") == days[0]).agg(F.sum("value")).first()[0]
+        == base.filter(F.col("day") == days[0]).agg(F.sum("value")).first()[0]
+    )
+    doubled = after.filter(F.col("day") == days[1]).agg(F.sum("value")).first()[0]
+    orig = base.filter(F.col("day") == days[1]).agg(F.sum("value")).first()[0]
+    assert abs(doubled - 2 * orig) < 1e-6
+    assert {(r["day"], r["count"]) for r in after.groupBy("day").count().collect()} == {
+        (r["day"], r["count"]) for r in before
+    }

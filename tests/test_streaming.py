@@ -600,3 +600,36 @@ def test_time_travel_version_and_timestamp_reads(spark, tmp_path):
     with pytest.raises(ValueError, match=r"\[1, 2\]"):
         read_version(spark, target, 0)
     assert read_version(spark, target, 2).count() == 6
+
+
+def test_stream_static_dim_join_matches_batch(spark, events_dir, sf_dir, tmp_path):
+    """Stream-static enrichment: the streaming fact joins a STATIC dimension
+    (no watermark needed — the static side is re-read per micro-batch, the
+    standard dim-enrichment shape). Result equals the batch twin."""
+
+    def enrich(ev):
+        dim = (
+            table(spark, sf_dir, "customer")
+            .select(
+                F.col("c_custkey").alias("user_id"),
+                "c_mktsegment",
+            )
+        )
+        return (
+            ev.join(F.broadcast(dim), "user_id", "left")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+
+    run_available_now(
+        enrich(events_stream(spark, events_dir)),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="complete",
+        query_name="enriched_t",
+    )
+    got = _rows(spark.sql("SELECT * FROM enriched_t"), "c_mktsegment")
+    want = _rows(enrich(spark.read.parquet(events_dir)), "c_mktsegment")
+    assert got == want and len(got) > 0
