@@ -227,6 +227,8 @@ _PRIORITY = [
     "unpivoted_customer_metrics",
     "topk_orders_with_ties",
     "activity_heatmap",
+    "new_vs_returning_users",
+    "dau_mau_stickiness",
 ]
 
 

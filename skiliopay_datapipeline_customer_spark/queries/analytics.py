@@ -1172,3 +1172,105 @@ def seasonal_value_anomalies(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# New-vs-returning split per day: a user's first-ever event day marks them
+# new that day, returning after. First-seen days come from one groupBy
+# (min event time per user); the daily split is a second groupBy — no
+# window over the fact.
+
+
+@query(
+    "new_vs_returning_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS first_day FROM events
+      GROUP BY user_id
+    ),
+    daily AS (
+      SELECT CAST(e.ts AS DATE) AS day, e.user_id,
+             max(CASE WHEN CAST(e.ts AS DATE) = f.first_day THEN 1 ELSE 0 END)
+               AS is_new
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      GROUP BY CAST(e.ts AS DATE), e.user_id
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(sum(is_new) AS BIGINT) AS new_users,
+           CAST(sum(1 - is_new) AS BIGINT) AS returning_users
+    FROM daily GROUP BY day ORDER BY day
+    """,
+)
+def new_vs_returning_users(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "ts"
+    )
+    firsts = ev.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("first_day"))
+    daily = (
+        ev.join(firsts, "user_id")
+        .groupBy("day", "user_id")
+        .agg(
+            F.max((F.col("day") == F.col("first_day")).cast("int")).alias(
+                "is_new"
+            )
+        )
+    )
+    return (
+        daily.groupBy("day")
+        .agg(
+            F.sum("is_new").alias("new_users"),
+            F.sum(1 - F.col("is_new")).alias("returning_users"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            "returning_users",
+        )
+        .orderBy("day")
+    )
+
+
+# Engagement stickiness: daily actives vs the month's actives (DAU/MAU).
+# Month actives come from one distinct-count groupBy; each day joins its
+# month row — the dashboard's stickiness ratio without a sliding window.
+
+
+@query(
+    "dau_mau_stickiness",
+    oracle="""
+    WITH dau AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    mau AS (
+      SELECT date_trunc('month', CAST(ts AS DATE)) AS month,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM events GROUP BY date_trunc('month', CAST(ts AS DATE))
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, m.mau,
+           round(d.dau * 1.0 / m.mau, 4) AS stickiness
+    FROM dau d JOIN mau m ON date_trunc('month', d.day) = m.month
+    ORDER BY d.day
+    """,
+)
+def dau_mau_stickiness(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    dau = ev.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    mau = (
+        ev.select(F.trunc("day", "month").alias("month"), "user_id")
+        .groupBy("month")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.withColumn("month", F.trunc("day", "month"))
+        .join(F.broadcast(mau), "month")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
