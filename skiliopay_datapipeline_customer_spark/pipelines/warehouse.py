@@ -131,3 +131,86 @@ def build_star_schema(spark: SparkSession, sf_dir: str, base_dir: str) -> dict:
     out["fk"]["fact_orders.user_key"] = fk_violations(fo, du, "user_key")
     out["fk"]["fact_orders.date_key"] = fk_violations(fo, dd, "date_key")
     return out
+
+
+def scd2_merge(
+    current: DataFrame | None,
+    updates: DataFrame,
+    key_col: str,
+    tracked_cols: list[str],
+    batch_ts,
+    end_of_time: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 merge: apply a batch of dimension
+    updates to a history table, preserving full change history.
+
+    ``current`` rows carry (key, tracked..., valid_from, valid_to,
+    is_current); ``None`` bootstraps an empty history. For each incoming
+    key: unchanged rows pass through; a changed tracked value CLOSES the
+    open row (valid_to = batch_ts, is_current = false) and INSERTS a new
+    open version; unseen keys insert their first version. Updates for a key
+    must be one row per batch (latest-wins upstream compaction —
+    `latest_event_per_user` — is the feeder).
+
+    Scale: one full-outer-shaped join on the key between the OPEN slice and
+    the batch (closed history passes through untouched — at 100 TB it's the
+    bulk of the table and never shuffles), null-safe change predicate in
+    codegen, output is history + batch sized. The same protocol is Delta's
+    ``MERGE INTO`` with a whenMatched-close / whenNotMatched-insert pair.
+    """
+    ts = F.lit(batch_ts).cast("timestamp")
+    open_end = F.lit(end_of_time).cast("timestamp")
+    upd = updates.select(key_col, *tracked_cols)
+    if current is None:
+        return upd.select(
+            key_col,
+            *tracked_cols,
+            ts.alias("valid_from"),
+            open_end.alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    closed = current.filter(~F.col("is_current"))
+    open_rows = current.filter(F.col("is_current"))
+    u = upd.select(
+        F.col(key_col).alias("_uk"),
+        *[F.col(c).alias(f"_u_{c}") for c in tracked_cols],
+    )
+    joined = open_rows.join(u, open_rows[key_col] == u["_uk"], "full_outer")
+    changed = F.lit(False)
+    for c in tracked_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"_u_{c}"))
+    # open rows: keep (no update for the key), keep (update identical),
+    # or close at batch_ts (update differs)
+    kept_open = joined.filter(F.col(key_col).isNotNull()).select(
+        key_col,
+        *tracked_cols,
+        F.col("valid_from"),
+        F.when(F.col("_uk").isNotNull() & changed, ts)
+        .otherwise(F.col("valid_to"))
+        .alias("valid_to"),
+        F.when(F.col("_uk").isNotNull() & changed, F.lit(False))
+        .otherwise(F.col("is_current"))
+        .alias("is_current"),
+    )
+    # inserts: brand-new keys + new versions of changed keys
+    inserts = joined.filter(
+        F.col("_uk").isNotNull() & (F.col(key_col).isNull() | changed)
+    ).select(
+        F.col("_uk").alias(key_col),
+        *[F.col(f"_u_{c}").alias(c) for c in tracked_cols],
+        ts.alias("valid_from"),
+        open_end.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(kept_open).unionByName(inserts)
+
+
+def snapshot_at(history: DataFrame, key_col: str, as_of) -> DataFrame:
+    """Point-in-time dimension view from an SCD2 history: the version of
+    each key whose [valid_from, valid_to) interval covers ``as_of`` — the
+    time-travel read the history exists for (joins facts to the dimension
+    AS IT WAS on the fact's date)."""
+    ts = F.lit(as_of).cast("timestamp")
+    return history.filter(
+        (F.col("valid_from") <= ts) & (ts < F.col("valid_to"))
+    ).drop("is_current")

@@ -229,6 +229,7 @@ _PRIORITY = [
     "activity_heatmap",
     "new_vs_returning_users",
     "dau_mau_stickiness",
+    "user_state_history",
 ]
 
 

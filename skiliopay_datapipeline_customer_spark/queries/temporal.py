@@ -681,3 +681,78 @@ def event_props_variant_rollup(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# SCD2-shaped history from the event stream: each user's consecutive
+# same-event_type runs become versioned rows (valid_from/valid_to epoch
+# micros, open row flagged current) — gaps-and-islands + one lead over the
+# runs frame; the query twin of `pipelines/warehouse.scd2_merge`.
+
+
+@query(
+    "user_state_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    ),
+    grouped AS (
+      SELECT user_id, run_id, min(event_type) AS state,
+             epoch_us(min(ts)) AS valid_from_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id, state, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from_us) AS valid_to_us,
+           n_events,
+           CAST(lead(valid_from_us) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from_us) IS NULL
+                AS INT) AS is_current
+    FROM grouped
+    ORDER BY user_id, valid_from_us
+    """,
+)
+def user_state_history(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.withColumn(
+        "chg",
+        (
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+        ).cast("int"),
+    )
+    runs = ordered.withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    grouped = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("state"),
+        F.unix_micros(F.min("ts")).alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return (
+        grouped.withColumn("valid_to_us", F.lead("valid_from_us").over(wr))
+        .select(
+            "user_id",
+            "state",
+            "valid_from_us",
+            "valid_to_us",
+            "n_events",
+            F.col("valid_to_us").isNull().cast("int").alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from_us")
+    )

@@ -346,3 +346,44 @@ def test_maintenance_quartet_end_to_end(spark, sf_dir, tmp_path):
         after.agg(F.sum("o_orderkey")).first()[0]
         == orders.agg(F.sum("o_orderkey")).first()[0]
     )
+
+
+def test_scd2_merge_tracks_history_and_point_in_time(spark):
+    """Three batches of dimension updates: changed values close the open row
+    and insert a new version; unchanged/unseen keys pass through; snapshots
+    reconstruct the dimension as of any instant."""
+    from skiliopay_datapipeline_customer_spark.pipelines.warehouse import (
+        scd2_merge,
+        snapshot_at,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ["user_id", "segment"])
+
+    h = scd2_merge(None, batch([(1, "basic"), (2, "basic")]), "user_id",
+                   ["segment"], "2024-01-01 00:00:00")
+    h = scd2_merge(h, batch([(1, "gold"), (3, "basic")]), "user_id",
+                   ["segment"], "2024-02-01 00:00:00")
+    h = scd2_merge(h, batch([(1, "gold"), (2, "silver")]), "user_id",
+                   ["segment"], "2024-03-01 00:00:00").cache()
+
+    rows = {(r["user_id"], str(r["valid_from"])): r for r in h.collect()}
+    assert len(rows) == 5  # u1: basic+gold, u2: basic+silver, u3: basic
+    u1_old = rows[(1, "2024-01-01 00:00:00")]
+    assert not u1_old["is_current"] and str(u1_old["valid_to"]).startswith("2024-02-01")
+    u1_new = rows[(1, "2024-02-01 00:00:00")]
+    assert u1_new["is_current"] and u1_new["segment"] == "gold"
+    # identical re-delivery (u1 gold in batch 3) did NOT spawn a version
+    assert h.filter((F.col("user_id") == 1) & F.col("is_current")).count() == 1
+    # current view: one open row per key
+    cur = {r["user_id"]: r["segment"] for r in h.filter("is_current").collect()}
+    assert cur == {1: "gold", 2: "silver", 3: "basic"}
+    # point-in-time: mid-February sees u1=gold, u2=basic, u3=basic
+    snap = {
+        r["user_id"]: r["segment"]
+        for r in snapshot_at(h, "user_id", "2024-02-15 00:00:00").collect()
+    }
+    assert snap == {1: "gold", 2: "basic", 3: "basic"}
+    # before any data: empty
+    assert snapshot_at(h, "user_id", "2023-12-31 00:00:00").count() == 0
+    h.unpersist()
