@@ -230,6 +230,8 @@ _PRIORITY = [
     "new_vs_returning_users",
     "dau_mau_stickiness",
     "user_state_history",
+    "cumulative_unique_users",
+    "abc_customer_classes",
 ]
 
 

@@ -1274,3 +1274,101 @@ def dau_mau_stickiness(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# Cumulative unique users (the growth curve): each user counts once, on
+# their first-seen day; the running total is a cumsum over the days frame
+# (calendar-sized — the global window is metadata-cheap).
+
+
+@query(
+    "cumulative_unique_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS day FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM firsts GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS total_users
+    FROM daily ORDER BY day
+    """,
+)
+def cumulative_unique_users(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("day"))
+    daily = firsts.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn("total_users", F.sum("new_users").over(w))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            "total_users",
+        )
+        .orderBy("day")
+    )
+
+
+# Pareto / ABC classification: customers sorted by revenue descending,
+# classed by inclusive cumulative revenue share (A <= 80%, B <= 95%, C).
+# Revenue in integer cents so the distributed cumsum is EXACT and
+# order-independent; the running sum itself is the range-partitioned
+# two-pass form — no single-task window over the customer frame.
+
+
+@query(
+    "abc_customer_classes",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    c AS (
+      SELECT o_custkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cents) OVER () AS tot
+      FROM rev
+    )
+    SELECT o_custkey,
+           round(cents / 100.0, 2) AS revenue,
+           round(cum * 1.0 / tot, 6) AS cum_share,
+           CASE WHEN cum * 20 <= tot * 16 THEN 'A'
+                WHEN cum * 20 <= tot * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c ORDER BY o_custkey
+    """,
+)
+def abc_customer_classes(spark, sf_dir):
+    from ..operators.ranks import global_cumsum_distributed
+
+    orders = table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    cum = global_cumsum_distributed(
+        rev, [F.col("cents").desc(), F.col("o_custkey")], "cents", out="cum"
+    )
+    tot = rev.agg(F.sum("cents").alias("tot"))
+    # integer cutoff compare (cum/tot <= 0.8 === cum*20 <= tot*16): no float
+    # boundary, bit-identical classes on any engine
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("cum") / F.col("tot"), 6).alias("cum_share"),
+            F.when(F.col("cum") * 20 <= F.col("tot") * 16, "A")
+            .when(F.col("cum") * 20 <= F.col("tot") * 19, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy("o_custkey")
+    )
