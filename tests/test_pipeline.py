@@ -387,3 +387,102 @@ def test_scd2_merge_tracks_history_and_point_in_time(spark):
     # before any data: empty
     assert snapshot_at(h, "user_id", "2023-12-31 00:00:00").count() == 0
     h.unpersist()
+
+
+def test_incremental_agg_refresh_equals_full_recompute_and_replay_safe(
+    spark, sf_dir, tmp_path
+):
+    """The incrementally-maintained per-key aggregate equals a full batch
+    recompute after multiple arrivals, and re-delivering a batch id does not
+    double-count (replay idempotence)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from skiliopay_datapipeline_customer_spark.pipelines.incremental import (
+        incremental_agg_refresh,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    landing = str(tmp_path / "landing")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def land(df, name):
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage_{name}")
+        )
+        import glob
+        import shutil
+
+        src = glob.glob(str(tmp_path / f"stage_{name}" / "*.parquet"))[0]
+        shutil.copy(src, os.path.join(landing, f"{name}.parquet"))
+
+    land(ev.filter(F.col("event_id") % 3 == 0), "a")
+    snap1 = incremental_agg_refresh(
+        spark, landing, view, ckpt, schema, ["user_id"], ["value"],
+        max_files_per_trigger=1,
+    )
+    assert snap1 is not None
+    land(ev.filter(F.col("event_id") % 3 == 1), "b")
+    land(ev.filter(F.col("event_id") % 3 == 2), "c")
+    snap = incremental_agg_refresh(
+        spark, landing, view, ckpt, schema, ["user_id"], ["value"],
+        max_files_per_trigger=1,
+    )
+    got = {
+        r["user_id"]: (r["n"], round(r["sum_value"], 6))
+        for r in snap.collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["sum_value"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == want
+    from skiliopay_datapipeline_customer_spark.streaming.sinks import _versions
+
+    n_versions = len(_versions(view))
+    # no new files -> no new batch -> view byte-stable
+    snap2 = incremental_agg_refresh(
+        spark, landing, view, ckpt, schema, ["user_id"], ["value"]
+    )
+    assert {
+        r["user_id"]: (r["n"], round(r["sum_value"], 6))
+        for r in snap2.collect()
+    } == want
+    assert len(_versions(view)) == n_versions
+    # CRASH REPLAY: re-deliver the LAST batch's partials under the same
+    # batch id — the view version is the batch id and the merge base is a
+    # strictly-earlier version, so the replay overwrites its own output
+    # instead of double-counting
+    from skiliopay_datapipeline_customer_spark.pipelines.incremental import (
+        merge_additive_partials,
+    )
+
+    last_v = _versions(view)[-1]
+    replay = (
+        spark.read.parquet(os.path.join(landing, "c.parquet"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )
+    merge_additive_partials(
+        spark, view, replay, last_v, ["user_id"], ["n", "sum_value"]
+    )
+    from skiliopay_datapipeline_customer_spark.streaming.sinks import (
+        latest_snapshot,
+    )
+
+    assert {
+        r["user_id"]: (r["n"], round(r["sum_value"], 6))
+        for r in latest_snapshot(spark, view).collect()
+    } == want
