@@ -342,3 +342,47 @@ def test_ewm_prefix_sum_form_matches_pandas(spark, xs):
     want = pd.Series(xs, dtype="float64").ewm(alpha=0.5, adjust=True).mean()
     for g, wv in zip(got, want):
         assert math.isclose(g, wv, rel_tol=1e-9, abs_tol=1e-9)
+
+
+# --- corpus span dedup (line_dedup) vs a pure-Python reference ------------
+
+DOCS = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=20).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _py_line_dedup(texts, L=3):
+    """First-corpus-occurrence span dedup, sequential reference."""
+    seen = set()
+    out = []
+    for i, text in enumerate(texts):
+        toks = text.split()
+        spans = [
+            " ".join(toks[s : s + L]) for s in range(0, max(len(toks), 1), L)
+        ]
+        kept = []
+        for sp in spans:  # within-doc repeats also keep only the first
+            if sp not in seen:
+                kept.append(sp)
+                seen.add(sp)
+        out.append((i, " ".join(kept), len(kept), len(spans) - len(kept)))
+    return out
+
+
+@SETTINGS
+@given(texts=DOCS)
+def test_line_dedup_matches_sequential_reference(spark, texts):
+    from skiliopay_datapipeline_customer_spark.operators.textops import line_dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["text"], r["lines_kept"], r["lines_removed"])
+        for r in line_dedup(df, line_tokens=3).collect()
+    )
+    assert got == _py_line_dedup(texts, L=3)
