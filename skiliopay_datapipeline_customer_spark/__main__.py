@@ -1,0 +1,148 @@
+"""Command-line entry points — the engine twin of the reference's
+`scripts/run_*.py` operational surface (SURVEY §3.4: run_ingestion /
+run_processing / run_warehouse / run_training / check_daily_data, each a
+thin script over the library).
+
+    python -m skiliopay_datapipeline_customer_spark list
+    python -m skiliopay_datapipeline_customer_spark run <query> [--sf-dir D] [--limit N] [--json]
+    python -m skiliopay_datapipeline_customer_spark check <query> [--sf-dir D]
+    python -m skiliopay_datapipeline_customer_spark quality [--sf-dir D]
+    python -m skiliopay_datapipeline_customer_spark train [--sf-dir D] [--model gbt]
+
+`run` executes one declared query and prints rows; `check` also runs the
+query's DuckDB oracle and reports the comparison — the driver's correctness
+gate as a shell one-liner. `quality` runs the composite data-quality gate
+over the orders table; `train` runs the churn training task and prints the
+deploy-gate decision (the reference's run_training.py + DAG evaluate_model
+in one step).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(cpus: str = "8"):
+    from .session import get_spark
+
+    return get_spark(app_name="engine-cli", cpus=cpus)
+
+
+def cmd_list(args) -> int:
+    from .queries import ORACLES, all_queries
+
+    for name in all_queries():
+        tag = "oracle" if name in ORACLES else "rows-only"
+        print(f"{name}\t{tag}")
+    return 0
+
+
+def cmd_run(args) -> int:
+    from .queries import all_queries
+
+    queries = all_queries()
+    if args.query not in queries:
+        print(f"unknown query: {args.query}", file=sys.stderr)
+        return 2
+    df = queries[args.query](_spark(args.cpus), args.sf_dir)
+    rows = df.limit(args.limit).collect()
+    if args.json:
+        print(json.dumps([r.asDict(recursive=True) for r in rows], default=str))
+    else:
+        for r in rows:
+            print("\t".join(str(v) for v in r))
+    return 0
+
+
+def cmd_check(args) -> int:
+    from .parity import compare_frames, duckdb_connection
+    from .queries import ORACLES, all_queries
+
+    queries = all_queries()
+    if args.query not in queries:
+        print(f"unknown query: {args.query}", file=sys.stderr)
+        return 2
+    pdf = queries[args.query](_spark(args.cpus), args.sf_dir).toPandas()
+    if args.query not in ORACLES:
+        print(f"{args.query}: rows-only ({len(pdf)} rows, no oracle)")
+        return 0
+    con = duckdb_connection(args.sf_dir)
+    problems = compare_frames(pdf, con.execute(ORACLES[args.query]).fetchdf())
+    con.close()
+    if problems:
+        print(f"{args.query}: MISMATCH {problems}")
+        return 1
+    print(f"{args.query}: OK ({len(pdf)} rows match the oracle)")
+    return 0
+
+
+def cmd_quality(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .io import table
+    from .plans.quality import run_quality_checks
+
+    orders = table(_spark(args.cpus), args.sf_dir, "orders")
+    report = run_quality_checks(
+        orders,
+        key_columns=["o_orderkey"],
+        completeness_columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        validity_rules={"neg_price": F.col("o_totalprice") < 0},
+        outlier_columns=["o_totalprice"],
+    )
+    print(json.dumps({"overall": report.overall, "passed": report.passed,
+                      "scores": report.scores}, default=str))
+    return 0 if report.passed else 1
+
+
+def cmd_train(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .ml.dataset import FEATURE_COLS, LABEL_COL, churn_dataset
+    from .ml.pipeline import deploy_gate, evaluate_classifier, train_classifier
+    from .ml.split import stratified_split
+
+    ds = stratified_split(
+        churn_dataset(_spark(args.cpus), args.sf_dir), LABEL_COL, key_col="c_custkey"
+    ).cache()
+    model, transform = train_classifier(
+        ds.filter(F.col("_split") == 0), FEATURE_COLS, LABEL_COL,
+        model_type=args.model,
+    )
+    metrics = evaluate_classifier(
+        transform(ds.filter(F.col("_split") == 2)), LABEL_COL
+    )
+    decision = deploy_gate(metrics)
+    print(json.dumps({"metrics": metrics, "deploy": decision["deploy"]}))
+    return 0 if decision["deploy"] else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="skiliopay_datapipeline_customer_spark")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--cpus", default="8")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list")
+    runp = sub.add_parser("run")
+    runp.add_argument("query")
+    runp.add_argument("--limit", type=int, default=20)
+    runp.add_argument("--json", action="store_true")
+    checkp = sub.add_parser("check")
+    checkp.add_argument("query")
+    sub.add_parser("quality")
+    trainp = sub.add_parser("train")
+    trainp.add_argument("--model", default="gbt")
+    args = p.parse_args(argv)
+    return {
+        "list": cmd_list,
+        "run": cmd_run,
+        "check": cmd_check,
+        "quality": cmd_quality,
+        "train": cmd_train,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
