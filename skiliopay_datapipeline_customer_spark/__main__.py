@@ -119,6 +119,33 @@ def cmd_train(args) -> int:
     return 0 if decision["deploy"] else 1
 
 
+def cmd_sql(args) -> int:
+    from .sql import run_sql
+
+    spark = _spark(args.cpus)
+    rows = run_sql(spark, args.sf_dir, args.statement).limit(args.limit).collect()
+    if args.json:
+        print(json.dumps([r.asDict(recursive=True) for r in rows], default=str))
+    else:
+        for r in rows:
+            print("\t".join(str(v) for v in r))
+    return 0
+
+
+def cmd_freshness(args) -> int:
+    from .sources.snapshots import freshness_report
+
+    layers = {}
+    for spec in args.layer:
+        name, base_dir, prefix = spec.split(":", 2)
+        layers[name] = (base_dir, prefix)
+    report = freshness_report(
+        _spark(args.cpus), layers, expected_stamp=args.expected
+    )
+    print(json.dumps(report))
+    return 0 if all(r["fresh"] for r in report) else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="skiliopay_datapipeline_customer_spark")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -134,6 +161,18 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("quality")
     trainp = sub.add_parser("train")
     trainp.add_argument("--model", default="gbt")
+    sqlp = sub.add_parser("sql")
+    sqlp.add_argument("statement")
+    sqlp.add_argument("--limit", type=int, default=20)
+    sqlp.add_argument("--json", action="store_true")
+    freshp = sub.add_parser("freshness")
+    freshp.add_argument(
+        "--layer",
+        action="append",
+        required=True,
+        help="name:base_dir:prefix (repeatable)",
+    )
+    freshp.add_argument("--expected", default=None)
     args = p.parse_args(argv)
     return {
         "list": cmd_list,
@@ -141,6 +180,8 @@ def main(argv: list[str] | None = None) -> int:
         "check": cmd_check,
         "quality": cmd_quality,
         "train": cmd_train,
+        "sql": cmd_sql,
+        "freshness": cmd_freshness,
     }[args.cmd](args)
 
 

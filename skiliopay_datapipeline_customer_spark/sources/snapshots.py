@@ -91,3 +91,47 @@ def snapshot_diff(
         joined.select(*keys, status.alias("status"))
         .filter(F.col("status") != "same")
     )
+
+
+def freshness_report(
+    spark,
+    layers: dict[str, tuple[str, str]],
+    expected_stamp: str | None = None,
+) -> list[dict]:
+    """Layer-freshness check — the engine twin of the reference's daily
+    data audit (scripts/check_daily_data.py: does TODAY's file exist in
+    raw / processed / warehouse, and how many rows). ``layers`` maps layer
+    name -> (base_dir, prefix) of dated snapshots
+    (:func:`write_dated_snapshot` layout); each layer reports its newest
+    stamp, row count, and — when ``expected_stamp`` is given — whether it
+    is fresh (newest stamp >= expected). Driver-side directory listing plus
+    one count per layer."""
+    import glob as _glob
+    import os
+    import re
+
+    out = []
+    for layer, (base_dir, prefix) in sorted(layers.items()):
+        stamps = sorted(
+            m.group(1)
+            for p in _glob.glob(os.path.join(base_dir, f"{prefix}_*.parquet"))
+            if (m := re.search(rf"{re.escape(prefix)}_(\d{{8}})\.parquet$", p))
+        )
+        if not stamps:
+            out.append(
+                {"layer": layer, "latest_stamp": None, "rows": 0, "fresh": False}
+            )
+            continue
+        latest = stamps[-1]
+        rows = spark.read.parquet(
+            dated_snapshot_path(base_dir, prefix, latest)
+        ).count()
+        out.append(
+            {
+                "layer": layer,
+                "latest_stamp": latest,
+                "rows": rows,
+                "fresh": expected_stamp is None or latest >= expected_stamp,
+            }
+        )
+    return out

@@ -38,3 +38,42 @@ def test_cli_quality_gate_passes_on_clean_orders(capsys, sf_dir):
     assert main(["--sf-dir", sf_dir, "quality"]) == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["passed"] and payload["overall"] >= 0.8
+
+
+def test_cli_sql_runs_over_registered_views(capsys, sf_dir):
+    assert (
+        main(
+            [
+                "--sf-dir",
+                sf_dir,
+                "sql",
+                "SELECT count(*) AS n FROM orders",
+                "--json",
+            ]
+        )
+        == 0
+    )
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rows[0]["n"] > 0
+
+
+def test_cli_freshness_exit_code_tracks_staleness(capsys, spark, sf_dir, tmp_path):
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.sources.snapshots import (
+        write_dated_snapshot,
+    )
+
+    raw = str(tmp_path / "raw")
+    write_dated_snapshot(table(spark, sf_dir, "region"), raw, "churn_data", "20240102")
+    assert (
+        main(
+            ["freshness", "--layer", f"raw:{raw}:churn_data", "--expected", "20240102"]
+        )
+        == 0
+    )
+    assert (
+        main(
+            ["freshness", "--layer", f"raw:{raw}:churn_data", "--expected", "20240103"]
+        )
+        == 1
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -548,3 +550,38 @@ def test_read_csv_corrupt_record_capture_and_failfast(spark, tmp_path):
 
     with _pytest.raises(Exception, match="Malformed|FAILFAST"):
         read_csv(spark, p, schema, mode="FAILFAST").collect()
+
+
+def test_freshness_report_flags_stale_and_missing_layers(spark, sf_dir, tmp_path):
+    """check_daily_data twin: newest stamp + rows per layer; stale layers
+    flagged against the expected stamp; empty layers report missing."""
+    from skiliopay_datapipeline_customer_spark.sources.snapshots import (
+        freshness_report,
+        write_dated_snapshot,
+    )
+
+    raw = str(tmp_path / "raw")
+    proc = str(tmp_path / "processed")
+    os.makedirs(proc)
+    docs = table(spark, sf_dir, "region")
+    write_dated_snapshot(docs, raw, "churn_data", "20240101")
+    write_dated_snapshot(docs, raw, "churn_data", "20240102")
+    report = {
+        r["layer"]: r
+        for r in freshness_report(
+            spark,
+            {"raw": (raw, "churn_data"), "processed": (proc, "churn_proc")},
+            expected_stamp="20240102",
+        )
+    }
+    assert report["raw"]["latest_stamp"] == "20240102"
+    assert report["raw"]["fresh"] and report["raw"]["rows"] == docs.count()
+    assert not report["processed"]["fresh"] and report["processed"]["rows"] == 0
+    # expected newer than anything landed -> stale
+    stale = {
+        r["layer"]: r["fresh"]
+        for r in freshness_report(
+            spark, {"raw": (raw, "churn_data")}, expected_stamp="20240103"
+        )
+    }
+    assert stale == {"raw": False}
