@@ -232,6 +232,7 @@ _PRIORITY = [
     "user_state_history",
     "cumulative_unique_users",
     "abc_customer_classes",
+    "cohort_ltv_curves",
 ]
 
 

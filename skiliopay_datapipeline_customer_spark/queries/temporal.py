@@ -756,3 +756,81 @@ def user_state_history(spark, sf_dir):
         )
         .orderBy("user_id", "valid_from_us")
     )
+
+
+# Cohort LTV curves — the revenue companion of the retention matrix:
+# cumulative purchase value per WEEKLY cohort at each week offset (the
+# 30-day events table spans ~5 weeks), normalized per cohort member.
+# Revenue in integer cents so distributed sums are exact and
+# order-independent; the cumsum runs per cohort (a weeks-sized frame).
+
+
+@query(
+    "cohort_ltv_curves",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    firsts AS (
+      SELECT user_id, min(w) AS cohort FROM purchases GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM firsts GROUP BY cohort
+    ),
+    cells AS (
+      SELECT f.cohort,
+             CAST(datediff('day', f.cohort, p.w) / 7 AS BIGINT) AS week_offset,
+             sum(p.cents) AS cents
+      FROM purchases p JOIN firsts f ON p.user_id = f.user_id
+      GROUP BY f.cohort, week_offset
+    )
+    SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort, c.week_offset,
+           s.cohort_users,
+           round(sum(c.cents) OVER (PARTITION BY c.cohort ORDER BY c.week_offset
+                                    ROWS UNBOUNDED PRECEDING)
+                 / 100.0 / s.cohort_users, 4) AS cum_ltv_per_user
+    FROM cells c JOIN sizes s ON c.cohort = s.cohort
+    ORDER BY cohort, c.week_offset
+    """,
+)
+def cohort_ltv_curves(spark, sf_dir):
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.to_date(F.date_trunc("week", "ts")).alias("w"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    firsts = purchases.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(F.count("*").alias("cohort_users"))
+    cells = (
+        purchases.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("w"), F.col("cohort")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "week_offset",
+            "cohort_users",
+            F.round(
+                F.sum("cents").over(w) / 100.0 / F.col("cohort_users"), 4
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort", "week_offset")
+    )

@@ -386,3 +386,56 @@ def test_line_dedup_matches_sequential_reference(spark, texts):
         for r in line_dedup(df, line_tokens=3).collect()
     )
     assert got == _py_line_dedup(texts, L=3)
+
+
+# --- SCD2 merge vs a sequential dict reference ----------------------------
+
+BATCHES = st.lists(
+    st.lists(
+        st.tuples(st.integers(1, 5), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda kv: kv[0],  # one row per key per batch
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _py_scd2(batches):
+    """Sequential reference: history as (key, value, from_i, to_i, current)."""
+    hist = []  # list of [key, val, from, to, open]
+    for i, batch in enumerate(batches):
+        for k, v in batch:
+            open_rows = [r for r in hist if r[0] == k and r[4]]
+            if not open_rows:
+                hist.append([k, v, i, None, True])
+            elif open_rows[0][1] != v:
+                open_rows[0][3] = i
+                open_rows[0][4] = False
+                hist.append([k, v, i, None, True])
+    return sorted((r[0], r[1], r[2], r[3], r[4]) for r in hist)
+
+
+@SETTINGS
+@given(batches=BATCHES)
+def test_scd2_merge_matches_sequential_reference(spark, batches):
+    from skiliopay_datapipeline_customer_spark.pipelines.warehouse import scd2_merge
+
+    h = None
+    for i, batch in enumerate(batches):
+        df = spark.createDataFrame(batch, "k long, v string")
+        h = scd2_merge(h, df, "k", ["v"], f"2024-01-{i + 1:02d} 00:00:00")
+    got = sorted(
+        (
+            r["k"],
+            r["v"],
+            int(str(r["valid_from"])[8:10]) - 1,
+            None
+            if str(r["valid_to"]).startswith("9999")
+            else int(str(r["valid_to"])[8:10]) - 1,
+            r["is_current"],
+        )
+        for r in h.collect()
+    )
+    assert got == _py_scd2(batches)
