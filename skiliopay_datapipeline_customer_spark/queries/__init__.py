@@ -233,6 +233,7 @@ _PRIORITY = [
     "cumulative_unique_users",
     "abc_customer_classes",
     "cohort_ltv_curves",
+    "nearest_train_similarity",
 ]
 
 

@@ -393,3 +393,77 @@ def embedding_dim_stats(spark, sf_dir):
         )
         .orderBy("dim")
     )
+
+
+# Embedding-space train/eval leakage check (the semantic tier of benchmark
+# decontamination): per held-out vector, its nearest TRAINING vector and
+# max cosine — the distribution a curator inspects before trusting eval
+# numbers. Split is md5-deterministic; the eval side is benchmark-sized in
+# practice, so it BROADCASTS against the distributed train scan (the
+# nested-loop is against the small side — the legitimate exact kernel; the
+# corpus×corpus variant goes through `lsh_dup_pairs`). Tie-break: highest
+# similarity, then highest train id (max-struct == ORDER BY sim DESC, id
+# DESC on the oracle).
+
+
+@query(
+    "nearest_train_similarity",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CAST('0x' || substr(md5('split:' || CAST(vec_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 100 AS b
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT e.vec_id AS eval_id, t.vec_id AS train_id,
+             round(
+               list_sum(list_transform(list_zip(e.embedding, t.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(t.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS sim
+      FROM s e JOIN s t ON e.b < 10 AND t.b >= 10
+    ),
+    ranked AS (
+      SELECT eval_id, train_id, sim,
+             row_number() OVER (PARTITION BY eval_id
+                                ORDER BY sim DESC, train_id DESC) AS rn
+      FROM pairs
+    )
+    SELECT eval_id, train_id AS nearest_train_id, sim AS max_train_sim,
+           CAST(sim >= 0.45 AS INT) AS leaked
+    FROM ranked WHERE rn = 1 ORDER BY eval_id
+    """,
+)
+def nearest_train_similarity(spark, sf_dir):
+    from ..operators.sampling import hash_bucket
+
+    emb = table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("_b", hash_bucket(F.col("vec_id"), salt="split"))
+    ev = bucketed.filter(F.col("_b") < 10).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("_ev")
+    )
+    tr = bucketed.filter(F.col("_b") >= 10).select(
+        F.col("vec_id").alias("train_id"), "embedding"
+    )
+    sim = F.round(
+        S.dot(S.as_double(F.col("_ev")), S.as_double(F.col("embedding")))
+        / (S.norm(S.as_double(F.col("_ev"))) * S.norm(S.as_double(F.col("embedding")))),
+        6,
+    )
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .select("eval_id", "train_id", sim.alias("sim"))
+        .groupBy("eval_id")
+        .agg(F.max(F.struct("sim", "train_id")).alias("_m"))
+        .select(
+            "eval_id",
+            F.col("_m.train_id").alias("nearest_train_id"),
+            F.col("_m.sim").alias("max_train_sim"),
+            (F.col("_m.sim") >= 0.45).cast("int").alias("leaked"),
+        )
+        .orderBy("eval_id")
+    )
