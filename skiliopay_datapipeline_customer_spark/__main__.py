@@ -132,6 +132,19 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    from .plans.report import plan_digest
+    from .queries import all_queries
+
+    queries = all_queries()
+    if args.query not in queries:
+        print(f"unknown query: {args.query}", file=sys.stderr)
+        return 2
+    df = queries[args.query](_spark(args.cpus), args.sf_dir)
+    print(json.dumps(plan_digest(df)))
+    return 0
+
+
 def cmd_freshness(args) -> int:
     from .sources.snapshots import freshness_report
 
@@ -165,6 +178,8 @@ def main(argv: list[str] | None = None) -> int:
     sqlp.add_argument("statement")
     sqlp.add_argument("--limit", type=int, default=20)
     sqlp.add_argument("--json", action="store_true")
+    explainp = sub.add_parser("explain")
+    explainp.add_argument("query")
     freshp = sub.add_parser("freshness")
     freshp.add_argument(
         "--layer",
@@ -182,6 +197,7 @@ def main(argv: list[str] | None = None) -> int:
         "train": cmd_train,
         "sql": cmd_sql,
         "freshness": cmd_freshness,
+        "explain": cmd_explain,
     }[args.cmd](args)
 
 

@@ -346,3 +346,65 @@ def jdbc_exactly_once_sink(
         )
 
     return load
+
+
+class ProgressRecorder:
+    """Streaming observability: a `StreamingQueryListener` that appends one
+    JSON line per micro-batch (query name, batch id, input rows, processed
+    rows/sec, batch duration, per-source watermark) to a metrics file — the
+    ops feed the reference exposes through Airflow task logs, here from the
+    engine itself. Attach with ``spark.streams.addListener``; detach with
+    ``removeListener`` when the run ends."""
+
+    def __init__(self, path: str):
+        import pyspark.sql.streaming.listener as L
+
+        self.path = path
+
+        outer = self
+
+        class _Listener(L.StreamingQueryListener):
+            def onQueryStarted(self, event):
+                outer._write(
+                    {"event": "started", "name": event.name, "id": str(event.id)}
+                )
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                outer._write(
+                    {
+                        "event": "progress",
+                        "name": p.name,
+                        "batch_id": p.batchId,
+                        "num_input_rows": p.numInputRows,
+                        "rows_per_sec": p.processedRowsPerSecond,
+                        "duration_ms": (p.durationMs or {}).get("triggerExecution"),
+                        "watermark": (p.eventTime or {}).get("watermark"),
+                    }
+                )
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                outer._write(
+                    {"event": "terminated", "id": str(event.id),
+                     "exception": event.exception}
+                )
+
+        self.listener = _Listener()
+
+    def _write(self, record: dict) -> None:
+        import json
+
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record, default=str) + "\n")
+
+    def records(self) -> list[dict]:
+        import json
+        import os
+
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [json.loads(line) for line in f if line.strip()]

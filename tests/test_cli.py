@@ -77,3 +77,9 @@ def test_cli_freshness_exit_code_tracks_staleness(capsys, spark, sf_dir, tmp_pat
         )
         == 1
     )
+
+
+def test_cli_explain_reports_plan_digest(capsys, sf_dir):
+    assert main(["--sf-dir", sf_dir, "explain", "flagship_revenue_by_nation"]) == 0
+    digest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert digest["broadcast_joins"] >= 1 and not digest["has_cartesian"]

@@ -633,3 +633,42 @@ def test_stream_static_dim_join_matches_batch(spark, events_dir, sf_dir, tmp_pat
     got = _rows(spark.sql("SELECT * FROM enriched_t"), "c_mktsegment")
     want = _rows(enrich(spark.read.parquet(events_dir)), "c_mktsegment")
     assert got == want and len(got) > 0
+
+
+def test_progress_recorder_captures_batch_metrics(spark, events_dir, tmp_path):
+    """The listener records per-batch input rows and lifecycle events for a
+    named streaming run."""
+    import time
+
+    from skiliopay_datapipeline_customer_spark.streaming.sinks import (
+        ProgressRecorder,
+    )
+
+    rec = ProgressRecorder(str(tmp_path / "metrics.jsonl"))
+    spark.streams.addListener(rec.listener)
+    try:
+        run_available_now(
+            tumbling_counts(events_stream(spark, events_dir)),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            output_mode="complete",
+            query_name="metered_t",
+        )
+        # listener events deliver asynchronously after the query stops
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            recs = rec.records()
+            if any(r["event"] == "progress" and r.get("name") == "metered_t"
+                   and r["num_input_rows"] > 0 for r in recs) and any(
+                r["event"] == "terminated" for r in recs
+            ):
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(rec.listener)
+    recs = rec.records()
+    progress = [r for r in recs if r["event"] == "progress" and r.get("name") == "metered_t"]
+    assert any(r["event"] == "started" for r in recs)
+    assert sum(r["num_input_rows"] for r in progress) == spark.read.parquet(
+        events_dir
+    ).count()
+    assert any(r["event"] == "terminated" for r in recs)
