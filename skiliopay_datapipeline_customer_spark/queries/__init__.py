@@ -234,6 +234,8 @@ _PRIORITY = [
     "abc_customer_classes",
     "cohort_ltv_curves",
     "nearest_train_similarity",
+    "revenue_gini",
+    "repeat_purchase_rate",
 ]
 
 

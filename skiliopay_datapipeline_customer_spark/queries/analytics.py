@@ -1372,3 +1372,89 @@ def abc_customer_classes(spark, sf_dir):
         )
         .orderBy("o_custkey")
     )
+
+
+# Revenue concentration (Gini): the single-number inequality metric next to
+# the ABC report. G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n over per-customer
+# revenue sorted ascending — revenue in integer cents and the rank from the
+# range-partitioned two-pass form, so every term before the final division
+# is exact integer arithmetic on any engine.
+
+
+@query(
+    "revenue_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS rk
+      FROM rev
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(cents) / 100.0, 2) AS total_revenue,
+           round(2.0 * sum(rk * cents) / (count(*) * sum(cents))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked
+    """,
+)
+def revenue_gini(spark, sf_dir):
+    from ..operators.ranks import global_rank_distributed
+
+    orders = table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    ranked = global_rank_distributed(
+        rev, [F.col("cents"), F.col("o_custkey")], rank_col="rk"
+    )
+    return ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("cents") / 100.0, 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("rk") * F.col("cents"))
+            / (F.count("*") * F.sum("cents"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# Repeat-purchase rate: the loyalty KPI — among users with any purchase,
+# the share with two or more. One conditional aggregate over per-user
+# purchase counts; integer ratio rounded identically on both engines.
+
+
+@query(
+    "repeat_purchase_rate",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, count(*) AS n FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS purchasers,
+           CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS repeat_purchasers,
+           round(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS repeat_rate
+    FROM counts
+    """,
+)
+def repeat_purchase_rate(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    counts = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.agg(
+        F.count("*").alias("purchasers"),
+        F.sum((F.col("n") >= 2).cast("int")).alias("repeat_purchasers"),
+        F.round(
+            F.sum((F.col("n") >= 2).cast("int")) / F.count("*"), 6
+        ).alias("repeat_rate"),
+    )
