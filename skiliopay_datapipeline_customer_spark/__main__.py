@@ -159,6 +159,26 @@ def cmd_freshness(args) -> int:
     return 0 if all(r["fresh"] for r in report) else 1
 
 
+def cmd_maintain(args) -> int:
+    """Run the lake-maintenance pair on a parquet directory: small-file
+    compaction (OPTIMIZE) and, for the versioned snapshot layout, version
+    vacuum (VACUUM RETAIN) — the operational half of the maintenance
+    quartet (ANALYZE and Z-order are table/layout decisions, not routine)."""
+    from .pipelines.wap import vacuum_versions
+    from .sources.catalog import compact_small_files
+
+    out = {}
+    if args.vacuum_keep is not None:
+        out["vacuum"] = vacuum_versions(args.path, keep_last=args.vacuum_keep)
+    else:
+        out["compact"] = compact_small_files(
+            _spark(args.cpus), args.path,
+            target_file_bytes=args.target_mb * 1024 * 1024,
+        )
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="skiliopay_datapipeline_customer_spark")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -180,6 +200,10 @@ def main(argv: list[str] | None = None) -> int:
     sqlp.add_argument("--json", action="store_true")
     explainp = sub.add_parser("explain")
     explainp.add_argument("query")
+    maintp = sub.add_parser("maintain")
+    maintp.add_argument("path")
+    maintp.add_argument("--target-mb", type=int, default=128)
+    maintp.add_argument("--vacuum-keep", type=int, default=None)
     freshp = sub.add_parser("freshness")
     freshp.add_argument(
         "--layer",
@@ -198,6 +222,7 @@ def main(argv: list[str] | None = None) -> int:
         "sql": cmd_sql,
         "freshness": cmd_freshness,
         "explain": cmd_explain,
+        "maintain": cmd_maintain,
     }[args.cmd](args)
 
 

@@ -83,3 +83,27 @@ def test_cli_explain_reports_plan_digest(capsys, sf_dir):
     assert main(["--sf-dir", sf_dir, "explain", "flagship_revenue_by_nation"]) == 0
     digest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert digest["broadcast_joins"] >= 1 and not digest["has_cartesian"]
+
+
+def test_cli_maintain_compacts_small_files(capsys, spark, sf_dir, tmp_path):
+    from skiliopay_datapipeline_customer_spark.io import table
+
+    path = str(tmp_path / "frag")
+    table(spark, sf_dir, "orders").repartition(16).write.mode(
+        "overwrite"
+    ).parquet(path)
+    assert main(["maintain", path, "--target-mb", "64"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compact"]["files_after"] < out["compact"]["files_before"]
+    assert spark.read.parquet(path).count() == table(spark, sf_dir, "orders").count()
+
+
+def test_cli_maintain_vacuums_versions(capsys, spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "versioned")
+    for v in range(4):
+        spark.range(v + 1).write.parquet(os.path.join(path, f"v={v}"))
+    assert main(["maintain", path, "--vacuum-keep", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["vacuum"]["removed_versions"] == [0, 1]
