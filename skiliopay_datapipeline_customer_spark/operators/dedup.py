@@ -486,6 +486,7 @@ def connected_components(
     max_iters: int = 25,
     checkpoint_interval: int = 5,
     strict: bool = True,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Dedup cluster assignment: connected components over an undirected
     near-dup pair list via MIN-LABEL PROPAGATION — each round every node
@@ -508,9 +509,43 @@ def connected_components(
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
+    # Small-graph fast tier: the pair list is orders of magnitude smaller
+    # than the corpus by construction (banded + capped candidates), and a
+    # graph under the threshold is MODEL-sized — labels come from one
+    # driver-side union-find instead of O(diameter) join rounds (each round
+    # is 3 scheduled stages; on a small graph the rounds are pure
+    # overhead). Above the threshold the distributed propagation below is
+    # the only shape that scales; the count that picks the tier rides the
+    # first action either way.
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges <= small_graph_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.collect():
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the final label is min reachable id,
+                # identical to the propagation fixpoint
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        edges.unpersist()
+        spark = pairs.sparkSession
+        return spark.createDataFrame(rows, "node long, cluster long")
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    edges.unpersist()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

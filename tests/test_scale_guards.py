@@ -231,7 +231,9 @@ def test_connected_components_long_path_past_checkpoint_interval(spark):
     )
     got = {
         r["node"]: r["cluster"]
-        for r in D.connected_components(pairs, checkpoint_interval=5).collect()
+        for r in D.connected_components(
+            pairs, checkpoint_interval=5, small_graph_threshold=0
+        ).collect()
     }
     assert got == {i: 1 for i in range(1, n + 1)}
 
@@ -243,10 +245,12 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(1, 20)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        D.connected_components(pairs, max_iters=3)
+        D.connected_components(pairs, max_iters=3, small_graph_threshold=0)
     # non-strict tier: warn and hand back the partial labels
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        partial = D.connected_components(pairs, max_iters=3, strict=False)
+        partial = D.connected_components(
+            pairs, max_iters=3, strict=False, small_graph_threshold=0
+        )
     assert partial.count() == 20
 
 
@@ -571,3 +575,21 @@ def test_plan_digest_reports_shapes_and_smells(spark, sf_dir):
     )
     assert not plan_digest(wp)["single_partition_window"]
     assert plan_digest(ev.limit(3).crossJoin(ev.limit(2)))["has_cartesian"]
+
+
+def test_connected_components_tiers_agree(spark):
+    """Small-graph union-find tier == distributed propagation on the same
+    graph (labels are min reachable id either way)."""
+    edges = [(i, i + 1) for i in range(0, 40, 2)] + [(1, 3), (100, 101)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {
+        r["node"]: r["cluster"]
+        for r in D.connected_components(pairs).collect()
+    }
+    dist = {
+        r["node"]: r["cluster"]
+        for r in D.connected_components(
+            pairs, small_graph_threshold=0
+        ).collect()
+    }
+    assert fast == dist and len(fast) > 0
