@@ -122,8 +122,10 @@ def hashed_features(
     from the parity of chars 9-10 — so a SQL oracle reproduces the exact
     layout. Map-only: one expression per (input col), no shuffle, no state.
     """
-    from ..operators.sampling import hash_bucket
-
+    # bucket AND sign come from one md5 digest (chars 1-8 / 9-10), so the
+    # expression is inlined rather than composed from sampling.hash_bucket
+    # (which exposes only the bucket half); the hex layout must stay in sync
+    # with the SQL oracle in queries/features.py.
     outputs = []
     for b in range(num_buckets):
         terms = []

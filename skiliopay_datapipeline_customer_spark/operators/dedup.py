@@ -545,7 +545,6 @@ def connected_components(
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    edges.unpersist()
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -585,6 +584,7 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    edges.unpersist()
     if changed > 0:
         msg = (
             f"connected_components did not converge in {max_iters} rounds "

@@ -75,11 +75,9 @@ def incremental_agg_refresh(
     uses an outer union + groupBy-sum on the key — with Delta/Iceberg the
     same body is MERGE INTO ... UPDATE SET n = n + s.n.
     """
-    import os
-
     from pyspark.sql import functions as F
 
-    from ..streaming.sinks import _versions, latest_snapshot, run_available_now
+    from ..streaming.sinks import latest_snapshot, run_available_now
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

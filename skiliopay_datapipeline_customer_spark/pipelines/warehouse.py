@@ -205,7 +205,7 @@ def scd2_merge(
     return closed.unionByName(kept_open).unionByName(inserts)
 
 
-def snapshot_at(history: DataFrame, key_col: str, as_of) -> DataFrame:
+def snapshot_at(history: DataFrame, as_of) -> DataFrame:
     """Point-in-time dimension view from an SCD2 history: the version of
     each key whose [valid_from, valid_to) interval covers ``as_of`` — the
     time-travel read the history exists for (joins facts to the dimension

@@ -1131,44 +1131,68 @@ def purchase_cadence(spark, sf_dir):
 @query(
     "seasonal_value_anomalies",
     oracle="""
-    WITH cells AS (
-      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
-             avg(value) AS mu, stddev_pop(value) AS sigma
+    WITH ev AS (
+      SELECT event_id, event_type, CAST(hour(ts) AS BIGINT) AS hr, value,
+             CAST(round(value * 100) AS BIGINT) AS c
       FROM events
-      GROUP BY event_type, hour(ts)
+    ),
+    cells AS (
+      SELECT event_type, hr,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(c) AS HUGEINT) AS s,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+      FROM ev GROUP BY event_type, hr
     )
-    SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS BIGINT) AS hr,
-           e.value,
-           round(cells.mu, 4) AS cell_mean,
-           round((e.value - cells.mu) / cells.sigma, 4) AS zscore
-    FROM events e
-    JOIN cells ON e.event_type = cells.event_type AND hour(e.ts) = cells.hr
-    WHERE cells.sigma > 0 AND abs(e.value - cells.mu) > 3 * cells.sigma
+    SELECT e.event_id, e.event_type, e.hr, e.value,
+           round(cells.s / 100.0 / cells.n, 4) AS cell_mean,
+           round((cells.n * e.c - cells.s) * 1.0
+                 / sqrt((cells.n * cells.s2 - cells.s * cells.s) * 1.0), 4)
+             AS zscore
+    FROM ev e
+    JOIN cells ON e.event_type = cells.event_type AND e.hr = cells.hr
+    WHERE cells.n * cells.s2 > cells.s * cells.s
+      AND (cells.n * e.c - cells.s) * (cells.n * e.c - cells.s)
+          > 9 * (cells.n * cells.s2 - cells.s * cells.s)
     ORDER BY e.event_id
     """,
 )
 def seasonal_value_anomalies(spark, sf_dir):
+    # membership is decided in EXACT integer arithmetic over cents moments —
+    # (n·x − S)² > 9·(n·S2 − S²) is |x − μ| > 3σ cross-multiplied — so the
+    # flagged row set is bit-identical on any engine/partitioning (a float
+    # |x−μ| > 3σ boundary flips rows that land within an ulp of the cutoff);
+    # only the DISPLAYED mean/z-score are floats, rounded on both sides.
+    # decimal(38,0) == the oracle's HUGEINT: the squared terms pass 2^63
+    # once a cell holds ~billions of events.
     ev = table(spark, sf_dir, "events").select(
-        "event_id", "event_type", F.hour("ts").cast("long").alias("hr"), "value"
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
     )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     cells = ev.groupBy("event_type", "hr").agg(
-        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("s"),
+        F.sum(dec(F.col("c")) * F.col("c")).alias("s2"),
     )
+    dev = F.col("n") * F.col("c") - F.col("s")          # n·x − S
+    var_num = F.col("n") * F.col("s2") - F.col("s") * F.col("s")  # n²σ²... (n·S2 − S²)
     return (
         ev.join(F.broadcast(cells), ["event_type", "hr"])
-        .filter(
-            (F.col("sigma") > 0)
-            & (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
-        )
+        .filter((var_num > 0) & (dev * dev > 9 * var_num))
         .select(
             "event_id",
             "event_type",
             "hr",
             "value",
-            F.round("mu", 4).alias("cell_mean"),
-            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias(
-                "zscore"
-            ),
+            F.round(
+                (F.col("s") / 100.0 / F.col("n")).cast("double"), 4
+            ).alias("cell_mean"),
+            F.round(
+                dev.cast("double") / F.sqrt(var_num.cast("double")), 4
+            ).alias("zscore"),
         )
         .orderBy("event_id")
     )
@@ -1397,7 +1421,8 @@ def abc_customer_classes(spark, sf_dir):
     )
     SELECT CAST(count(*) AS BIGINT) AS n_customers,
            round(sum(cents) / 100.0, 2) AS total_revenue,
-           round(2.0 * sum(rk * cents) / (count(*) * sum(cents))
+           round(2.0 * sum(CAST(rk AS HUGEINT) * cents)
+                 / (count(*) * CAST(sum(cents) AS HUGEINT))
                  - (count(*) + 1.0) / count(*), 6) AS gini
     FROM ranked
     """,
@@ -1412,13 +1437,18 @@ def revenue_gini(spark, sf_dir):
     ranked = global_rank_distributed(
         rev, [F.col("cents"), F.col("o_custkey")], rank_col="rk"
     )
+    # rank*cents sums pass 2^63 around sf10 — accumulate in decimal(38,0)
+    # (the oracle's HUGEINT), exact at any corpus size
     return ranked.agg(
         F.count("*").alias("n_customers"),
         F.round(F.sum("cents") / 100.0, 2).alias("total_revenue"),
         F.round(
-            2.0 * F.sum(F.col("rk") * F.col("cents"))
-            / (F.count("*") * F.sum("cents"))
-            - (F.count("*") + 1.0) / F.count("*"),
+            (
+                2.0
+                * F.sum(F.col("rk").cast("decimal(38,0)") * F.col("cents"))
+                / (F.count("*") * F.sum(F.col("cents").cast("decimal(38,0)")))
+                - (F.count("*") + 1.0) / F.count("*")
+            ).cast("double"),
             6,
         ).alias("gini"),
     )

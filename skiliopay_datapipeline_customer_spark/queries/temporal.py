@@ -713,13 +713,14 @@ def event_props_variant_rollup(spark, sf_dir):
     )
     SELECT user_id, state, valid_from_us,
            lead(valid_from_us) OVER (PARTITION BY user_id
-                                     ORDER BY valid_from_us) AS valid_to_us,
+                                     ORDER BY valid_from_us, run_id)
+             AS valid_to_us,
            n_events,
            CAST(lead(valid_from_us) OVER (PARTITION BY user_id
-                                          ORDER BY valid_from_us) IS NULL
-                AS INT) AS is_current
+                                          ORDER BY valid_from_us, run_id)
+                IS NULL AS INT) AS is_current
     FROM grouped
-    ORDER BY user_id, valid_from_us
+    ORDER BY user_id, valid_from_us, state
     """,
 )
 def user_state_history(spark, sf_dir):
@@ -743,7 +744,10 @@ def user_state_history(spark, sf_dir):
         F.unix_micros(F.min("ts")).alias("valid_from_us"),
         F.count("*").alias("n_events"),
     )
-    wr = Window.partitionBy("user_id").orderBy("valid_from_us")
+    # run_id tiebreak: two runs of one user CAN share a start microsecond
+    # (same-timestamp events of different types) — without it the lead frame
+    # is not a total order and valid_to/is_current become placement-dependent
+    wr = Window.partitionBy("user_id").orderBy("valid_from_us", "run_id")
     return (
         grouped.withColumn("valid_to_us", F.lead("valid_from_us").over(wr))
         .select(
@@ -754,7 +758,7 @@ def user_state_history(spark, sf_dir):
             "n_events",
             F.col("valid_to_us").isNull().cast("int").alias("is_current"),
         )
-        .orderBy("user_id", "valid_from_us")
+        .orderBy("user_id", "valid_from_us", "state")
     )
 
 

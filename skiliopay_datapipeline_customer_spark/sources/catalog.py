@@ -278,7 +278,6 @@ def write_with_bloom(
 
 
 def backfill_partitions(
-    spark: SparkSession,
     df: DataFrame,
     path: str,
     partition_col: str,

@@ -297,7 +297,7 @@ def test_backfill_partitions_overwrites_only_touched_days(spark, sf_dir, tmp_pat
     fix = base.filter(F.col("day") == days[1]).withColumn(
         "value", F.col("value") * 2
     )
-    backfill_partitions(spark, fix, path, "day")
+    backfill_partitions(fix, path, "day")
     after = spark.read.parquet(path)
     assert {r["day"] for r in after.select("day").distinct().collect()} == set(days)
     assert (

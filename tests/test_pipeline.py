@@ -381,11 +381,11 @@ def test_scd2_merge_tracks_history_and_point_in_time(spark):
     # point-in-time: mid-February sees u1=gold, u2=basic, u3=basic
     snap = {
         r["user_id"]: r["segment"]
-        for r in snapshot_at(h, "user_id", "2024-02-15 00:00:00").collect()
+        for r in snapshot_at(h, "2024-02-15 00:00:00").collect()
     }
     assert snap == {1: "gold", 2: "basic", 3: "basic"}
     # before any data: empty
-    assert snapshot_at(h, "user_id", "2023-12-31 00:00:00").count() == 0
+    assert snapshot_at(h, "2023-12-31 00:00:00").count() == 0
     h.unpersist()
 
 
