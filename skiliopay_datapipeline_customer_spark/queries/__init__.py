@@ -236,6 +236,7 @@ _PRIORITY = [
     "nearest_train_similarity",
     "revenue_gini",
     "repeat_purchase_rate",
+    "rolling_7d_active_users_hll",
 ]
 
 

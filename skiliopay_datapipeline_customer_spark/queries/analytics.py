@@ -1488,3 +1488,36 @@ def repeat_purchase_rate(spark, sf_dir):
             F.sum((F.col("n") >= 2).cast("int")) / F.count("*"), 6
         ).alias("repeat_rate"),
     )
+
+
+# Sketch tier of the rolling 7-day actives: per-day HLL sketches (one
+# groupBy over the fact), then each day unions its trailing week's sketches
+# — the merge joins DAY-frames (calendar-sized), never re-touching events.
+# At 100 TB this replaces the exact tier's ×7 row fan-out with 7 sketch
+# merges per day; approximate by construction -> rows-only (no oracle), the
+# exact twin `rolling_7d_active_users` carries the hash contract, and the
+# pytest asserts the estimate lands within HLL tolerance of it.
+
+
+@query("rolling_7d_active_users_hll")
+def rolling_7d_active_users_hll(spark, sf_dir):
+    ev = table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("d"),
+        "user_id",
+    )
+    daily = ev.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("_hll"))
+    a = daily.select(F.col("d").alias("target_d"))
+    return (
+        a.join(
+            daily,
+            (F.col("d") <= F.col("target_d"))
+            & (F.col("d") >= F.col("target_d") - 6),
+        )
+        .groupBy(F.col("target_d").alias("d"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("_hll")).alias(
+                "active_7d_approx"
+            )
+        )
+        .orderBy("d")
+    )

@@ -129,3 +129,22 @@ def test_outliers_approx_tier_tracks_exact_fences(spark, sf_dir):
     for c in cols:
         assert abs(exact["outlier_rates"][c] - approx["outlier_rates"][c]) < 0.002, c
     assert exact["flagged"] == approx["flagged"]
+
+
+def test_rolling_7d_hll_tier_tracks_exact_tier(spark, sf_dir):
+    """The sketch tier's estimates land within HLL tolerance (<5% here) of
+    the exact rolling-7d distinct counts, day by day."""
+    from skiliopay_datapipeline_customer_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = {
+        r["d"]: r["active_7d"]
+        for r in QUERIES["rolling_7d_active_users"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["d"]: r["active_7d_approx"]
+        for r in QUERIES["rolling_7d_active_users_hll"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx) and len(exact) > 10
+    for d, n in exact.items():
+        assert abs(approx[d] - n) <= max(2, 0.05 * n), (d, n, approx[d])
