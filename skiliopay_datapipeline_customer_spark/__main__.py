@@ -159,6 +159,88 @@ def cmd_freshness(args) -> int:
     return 0 if all(r["fresh"] for r in report) else 1
 
 
+def cmd_dag(args) -> int:
+    """Run the churn pipeline as the reference's task graph (quality check
+    -> ingest -> process -> {warehouse, train} -> evaluate -> gated deploy),
+    printing per-task states — `airflow dags trigger` without the daemon."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .io import table
+    from .ml.dataset import FEATURE_COLS, LABEL_COL, churn_dataset
+    from .ml.pipeline import deploy_gate, evaluate_classifier, train_classifier
+    from .ml.split import stratified_split
+    from .pipelines.dag import ONE_FAILED, Dag, Task
+
+    spark = _spark(args.cpus)
+    out_dir = args.out or tempfile.mkdtemp(prefix="churn_dag_")
+    dag = Dag("churn")
+    dag.add(Task("check_data_quality",
+                 lambda r: {"rows": table(spark, args.sf_dir, "customer").count()}))
+    dag.add(Task("ingest_data", lambda r: args.sf_dir),
+            upstream=["check_data_quality"])
+    dag.add(
+        Task(
+            "process_data",
+            lambda r: stratified_split(
+                churn_dataset(spark, r["ingest_data"]), LABEL_COL,
+                key_col="c_custkey",
+            ).cache(),
+        ),
+        upstream=["ingest_data"],
+    )
+    dag.add(
+        Task(
+            "load_to_warehouse",
+            lambda r: r["process_data"].write.mode("overwrite").parquet(
+                f"{out_dir}/features.parquet"
+            ),
+        ),
+        upstream=["process_data"],
+    )
+
+    def train(r):
+        ds = r["process_data"]
+        model, transform = train_classifier(
+            ds.filter(F.col("_split") == 0), FEATURE_COLS, LABEL_COL,
+            model_type=args.model,
+        )
+        return {"model": model, "transform": transform,
+                "test": ds.filter(F.col("_split") == 2)}
+
+    dag.add(Task("train_model", train), upstream=["process_data"])
+    dag.add(
+        Task(
+            "evaluate_model",
+            lambda r: evaluate_classifier(
+                r["train_model"]["transform"](r["train_model"]["test"]), LABEL_COL
+            ),
+        ),
+        upstream=["train_model"],
+    )
+
+    def deploy(r):
+        decision = deploy_gate(r["evaluate_model"])
+        if not decision["deploy"]:
+            raise ValueError(f"below deploy thresholds: {decision['checks']}")
+        r["train_model"]["model"].write().overwrite().save(f"{out_dir}/model")
+        return f"{out_dir}/model"
+
+    dag.add(Task("deploy_model", deploy), upstream=["evaluate_model"])
+    dag.add(Task("notify_failure", lambda r: "alert", trigger_rule=ONE_FAILED),
+            upstream=["load_to_warehouse", "deploy_model"])
+    run = dag.run()
+    print(json.dumps({
+        "ok": run.ok,
+        "out_dir": out_dir,
+        "states": {t: {"state": st.state, "attempts": st.attempts,
+                       "error": st.error} for t, st in run.states.items()},
+        "metrics": run.results.get("evaluate_model"),
+    }, default=str))
+    return 0 if run.ok else 1
+
+
 def cmd_maintain(args) -> int:
     """Run the lake-maintenance pair on a parquet directory: small-file
     compaction (OPTIMIZE) and, for the versioned snapshot layout, version
@@ -200,6 +282,9 @@ def main(argv: list[str] | None = None) -> int:
     sqlp.add_argument("--json", action="store_true")
     explainp = sub.add_parser("explain")
     explainp.add_argument("query")
+    dagp = sub.add_parser("dag")
+    dagp.add_argument("--model", default="lr")
+    dagp.add_argument("--out", default=None)
     maintp = sub.add_parser("maintain")
     maintp.add_argument("path")
     maintp.add_argument("--target-mb", type=int, default=128)
@@ -223,6 +308,7 @@ def main(argv: list[str] | None = None) -> int:
         "freshness": cmd_freshness,
         "explain": cmd_explain,
         "maintain": cmd_maintain,
+        "dag": cmd_dag,
     }[args.cmd](args)
 
 

@@ -107,3 +107,12 @@ def test_cli_maintain_vacuums_versions(capsys, spark, tmp_path):
     assert main(["maintain", path, "--vacuum-keep", "2"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["vacuum"]["removed_versions"] == [0, 1]
+
+
+def test_cli_dag_runs_churn_graph(capsys, tmp_path):
+    assert main(["dag", "--model", "lr", "--out", str(tmp_path / "run")]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["ok"]
+    assert payload["states"]["deploy_model"]["state"] == "success"
+    assert payload["states"]["notify_failure"]["state"] == "skipped"
+    assert payload["metrics"]["roc_auc"] >= 0.8

@@ -486,3 +486,35 @@ def test_incremental_agg_refresh_equals_full_recompute_and_replay_safe(
         r["user_id"]: (r["n"], round(r["sum_value"], 6))
         for r in latest_snapshot(spark, view).collect()
     } == want
+
+
+def test_scd2_point_in_time_join_is_leak_free(spark):
+    """Feature-store correctness: joining facts to the SCD2 dimension AS OF
+    each fact's own date yields the value that was CURRENT then — never a
+    later version (the label-leak a latest-only join commits)."""
+    from skiliopay_datapipeline_customer_spark.pipelines.warehouse import (
+        scd2_merge,
+    )
+
+    h = scd2_merge(None, spark.createDataFrame([(1, "basic")], ["uid", "seg"]),
+                   "uid", ["seg"], "2024-01-01 00:00:00")
+    h = scd2_merge(h, spark.createDataFrame([(1, "gold")], ["uid", "seg"]),
+                   "uid", ["seg"], "2024-03-01 00:00:00")
+    facts = spark.createDataFrame(
+        [(1, "2024-02-10 00:00:00"), (1, "2024-03-10 00:00:00")],
+        ["uid", "fact_ts"],
+    ).withColumn("fact_ts", F.col("fact_ts").cast("timestamp"))
+    joined = facts.join(
+        h,
+        (facts.uid == h.uid)
+        & (h.valid_from <= facts.fact_ts)
+        & (facts.fact_ts < h.valid_to),
+    ).select(facts.uid, "fact_ts", "seg")
+    rows = {str(r["fact_ts"])[:10]: r["seg"] for r in joined.collect()}
+    # the February fact sees "basic" even though "gold" is current NOW
+    assert rows == {"2024-02-10": "basic", "2024-03-10": "gold"}
+    # a latest-only join would have leaked "gold" into the February fact
+    latest = facts.join(h.filter("is_current"), facts.uid == h.uid).select(
+        "fact_ts", "seg"
+    )
+    assert {r["seg"] for r in latest.collect()} == {"gold"}

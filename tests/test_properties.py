@@ -439,3 +439,38 @@ def test_scd2_merge_matches_sequential_reference(spark, batches):
         for r in h.collect()
     )
     assert got == _py_scd2(batches)
+
+
+# --- leave-one-out target encoding vs pandas ------------------------------
+
+LOO_ROWS = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 1)),
+    min_size=2,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(rows=LOO_ROWS)
+def test_target_encode_loo_matches_pandas(spark, rows):
+    import pandas as pd
+
+    from skiliopay_datapipeline_customer_spark.functions.encoding import (
+        target_encode_loo,
+    )
+
+    df = spark.createDataFrame(
+        [(i, c, y) for i, (c, y) in enumerate(rows)], "id long, cat string, y long"
+    )
+    got = {
+        r["id"]: r["te"] for r in target_encode_loo(df, "cat", "y").collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["cat", "y"])
+    g = pdf.groupby("cat")["y"]
+    s, n = g.transform("sum"), g.transform("count")
+    want = (s - pdf["y"]) / (n - 1)
+    for i in range(len(rows)):
+        if n[i] == 1:
+            assert got[i] is None
+        else:
+            assert abs(got[i] - want[i]) < 1e-12
