@@ -56,30 +56,50 @@ def file_backed_fetcher(pages_dir: str) -> PageFetcher:
     return fetch
 
 
-def http_fetcher(base_url: str, timeout: float = 10.0) -> PageFetcher:
+def http_fetcher(
+    base_url: str,
+    timeout: float = 10.0,
+    max_retries: int = 2,
+    backoff_s: float = 0.5,
+    sleeper=None,
+) -> PageFetcher:
     """A PageFetcher doing real HTTP GETs with stdlib urllib (no extra
     deps): ``GET {base_url}?page=N&page_size=S``, expecting a JSON array of
     records — the reference's paginated-GET contract
     (src/ingestion/api_ingestion.py:111-150, params {'page': n,
-    'page_size': s}). A 404 terminates pagination like a missing page file;
-    other HTTP errors propagate (the caller's retry policy owns them)."""
+    'page_size': s}). A 404 terminates pagination like a missing page file.
+    TRANSIENT failures (HTTP 5xx/429, socket timeouts, connection errors)
+    retry up to ``max_retries`` times with exponential backoff — the
+    hardening the reference's bare ``session.get`` lacks; non-transient
+    HTTP errors (other 4xx) propagate immediately. ``sleeper`` injects the
+    delay function for delay-free tests."""
     import json
+    import time
     import urllib.error
     import urllib.parse
     import urllib.request
 
+    sleep = sleeper or time.sleep
+
     def fetch(page: int, page_size: int) -> list[dict]:
         qs = urllib.parse.urlencode({"page": page, "page_size": page_size})
         sep = "&" if "?" in base_url else "?"
-        try:
-            with urllib.request.urlopen(
-                f"{base_url}{sep}{qs}", timeout=timeout
-            ) as resp:
-                return json.loads(resp.read().decode("utf-8"))
-        except urllib.error.HTTPError as e:
-            if e.code == 404:
-                return []
-            raise
+        url = f"{base_url}{sep}{qs}"
+        for attempt in range(max_retries + 1):
+            try:
+                with urllib.request.urlopen(url, timeout=timeout) as resp:
+                    return json.loads(resp.read().decode("utf-8"))
+            except urllib.error.HTTPError as e:
+                if e.code == 404:
+                    return []
+                transient = e.code >= 500 or e.code == 429
+                if not transient or attempt == max_retries:
+                    raise
+            except (urllib.error.URLError, TimeoutError):
+                if attempt == max_retries:
+                    raise
+            sleep(backoff_s * (2**attempt))
+        raise AssertionError("unreachable")
 
     return fetch
 

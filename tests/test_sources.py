@@ -585,3 +585,57 @@ def test_freshness_report_flags_stale_and_missing_layers(spark, sf_dir, tmp_path
         )
     }
     assert stale == {"raw": False}
+
+
+def test_http_fetcher_retries_transient_errors_then_succeeds():
+    """5xx responses retry with backoff; the page arrives on a later
+    attempt; 4xx (non-404) fails immediately without retries."""
+    import http.server
+    import json as _json
+    import threading
+    import urllib.error
+
+    import pytest as _pytest
+
+    from skiliopay_datapipeline_customer_spark.sources.rest import http_fetcher
+
+    hits = {"n": 0}
+
+    class Flaky(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits["n"] += 1
+            if "fail4xx" in self.path:
+                self.send_response(403)
+                self.end_headers()
+                return
+            if hits["n"] < 3:  # two 503s, then success
+                self.send_response(503)
+                self.end_headers()
+                return
+            body = _json.dumps([{"id": 1}]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Flaky)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}/api"
+        sleeps = []
+        fetch = http_fetcher(base, max_retries=2, sleeper=sleeps.append)
+        assert fetch(1, 10) == [{"id": 1}]
+        assert hits["n"] == 3 and sleeps == [0.5, 1.0]  # exponential
+        # non-transient 4xx: no retries, immediate raise
+        hits["n"] = 10
+        fetch4 = http_fetcher(base + "?fail4xx=1", max_retries=2, sleeper=sleeps.append)
+        before = hits["n"]
+        with _pytest.raises(urllib.error.HTTPError):
+            fetch4(1, 10)
+        assert hits["n"] == before + 1
+    finally:
+        srv.shutdown()
