@@ -237,6 +237,8 @@ _PRIORITY = [
     "revenue_gini",
     "repeat_purchase_rate",
     "rolling_7d_active_users_hll",
+    "segment_price_percentiles",
+    "daily_revenue_7d_ma",
 ]
 
 

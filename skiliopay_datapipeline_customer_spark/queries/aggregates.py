@@ -470,3 +470,47 @@ def weighted_median_by_flag(spark, sf_dir):
         .agg(F.round(F.min("p"), 4).alias("weighted_median_price"))
         .orderBy("flag")
     )
+
+
+# Grouped exact percentile ARRAY: the five-number summary per segment in
+# ONE aggregation pass (percentile takes the probability array — never five
+# separate sorts). Both engines use the same continuous-interpolation
+# definition ((n-1)p index + linear blend), so rounded values hash-match.
+
+
+@query(
+    "segment_price_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(o_totalprice, 0.10), 4) AS p10,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def segment_price_percentiles(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    probs = [0.10, 0.25, 0.50, 0.75, 0.90]
+    pct = F.percentile(
+        "o_totalprice", F.array(*[F.lit(p) for p in probs])
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(pct.alias("_p"))
+        .select(
+            "c_mktsegment",
+            *[
+                F.round(F.element_at("_p", i + 1), 4).alias(
+                    f"p{int(p * 100)}"
+                )
+                for i, p in enumerate(probs)
+            ],
+        )
+        .orderBy("c_mktsegment")
+    )

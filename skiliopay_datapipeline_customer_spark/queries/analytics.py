@@ -1521,3 +1521,58 @@ def rolling_7d_active_users_hll(spark, sf_dir):
         )
         .orderBy("d")
     )
+
+
+# 7-day trailing moving average of daily revenue — the smoothed KPI line
+# next to the MoM trend: one events->days aggregation (integer cents), then
+# a day-range frame over the calendar-sized series.
+
+
+@query(
+    "daily_revenue_7d_ma",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY CAST(ts AS DATE)
+    ),
+    win AS (
+      SELECT day, cents,
+             sum(cents) OVER (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY
+                              PRECEDING AND CURRENT ROW) AS w_cents,
+             count(*) OVER (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY
+                            PRECEDING AND CURRENT ROW) AS w_days
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(cents / 100.0, 2) AS revenue,
+           round(w_cents / 100.0 / w_days, 4) AS ma_7d
+    FROM win ORDER BY day
+    """,
+)
+def daily_revenue_7d_ma(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    # integer epoch-day ordering key -> exact 6-day RANGE frame; the series
+    # is calendar-sized, so the global window is metadata-cheap
+    keyed = daily.withColumn(
+        "_d", F.datediff("day", F.lit("1970-01-01")).cast("long")
+    )
+    w = Window.orderBy("_d").rangeBetween(-6, 0)
+    return (
+        keyed.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.sum("cents").over(w) / 100.0 / F.count("*").over(w), 4
+            ).alias("ma_7d"),
+        )
+        .orderBy("day")
+    )
