@@ -189,15 +189,22 @@ def minhash_lsh_candidates(
     belong in the EXACT-dedup tier (identical content collides in every
     band), which runs first in the ladder.
     """
-    # banded feeds the size agg AND both join sides — persist so the
-    # signature pipeline (explode + k min-aggs) runs once, not three times
-    banded = minhash_band_buckets(
-        df, text_col, id_col, num_hashes, bands, shingle_n
-    ).persist()
-    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
-    capped = banded.join(
-        sizes.filter(F.col("_bsz") <= max_bucket_size), ["band", "bucket"]
-    ).drop("_bsz")
+    from pyspark.sql import Window
+
+    banded = minhash_band_buckets(df, text_col, id_col, num_hashes, bands, shingle_n)
+    # bucket-size cap as a count window over the self-join key, not a
+    # groupBy+join-back: ONE exchange on (band, bucket) that the self-join
+    # below then REUSES (the window leaves both cached sides hash-partitioned
+    # on exactly the join key, so the sort-merge join adds no new shuffle) —
+    # vs three exchanges for the agg + two join sides. Persist AFTER the
+    # window so the signature pipeline + exchange run once for both sides.
+    wb = Window.partitionBy("band", "bucket")
+    capped = (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+        .persist()
+    )
     a = capped.alias("a")
     b = capped.alias("b")
     pairs = (
@@ -212,7 +219,7 @@ def minhash_lsh_candidates(
         )
         .agg(F.count("*").alias("n_bands"))
     )
-    return materialize(pairs, banded)
+    return materialize(pairs, capped)
 
 
 def incremental_lsh_candidates(
@@ -305,10 +312,10 @@ def ngram_jaccard_pairs(
     all draw from a few dozen words makes token-set Jaccard quadratic in
     TRUE output, which no candidate strategy can bound).
 
-    Shuffle profile: df-count agg on gram, per-doc window for the frequency
-    rank, prefix self-join (rare grams only), verify join on the pair ids.
-    Still the verification tier at 100 TB (run post-LSH); prefix filtering
-    is what makes the full-corpus form survive medium scale.
+    Shuffle profile: gram-frequency window (one exchange on gram), per-doc
+    rank window, prefix self-join (rare grams only), verify join on the pair
+    ids. Still the verification tier at 100 TB (run post-LSH); prefix
+    filtering is what makes the full-corpus form survive medium scale.
     """
     from pyspark.sql import Window
 
@@ -318,24 +325,27 @@ def ngram_jaccard_pairs(
         else F.array_distinct(shingles_from_tokens(F.col("_toks"), shingle_n))
     )
     # the shingle explosion is an interpreted higher-order expression and
-    # feeds every downstream stage (df-count, rank, sizes, both join sides,
-    # verify) — persist it once instead of re-deriving it ~5×
-    toks = (
+    # feeds the prefix index AND both verify sides — keep the per-doc gram
+    # ARRAYS (with their size) and persist that frame once: the doc's gram
+    # count rides the array (no count window over the exploded rows), and
+    # the verify tier re-joins these arrays instead of rebuilding the sets
+    # with a collect_set groupBy (one whole shuffle of the exploded corpus
+    # gone)
+    arr = (
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-        .select(F.col(id_col), F.explode(grams).alias("tok"))
+        .select(F.col(id_col), grams.alias("_g"))
+        .withColumn("sz", F.size("_g"))
         .persist()
     )
-    dfreq = toks.groupBy("tok").agg(F.count("*").alias("_df"))
-    # rarest-first position of each token within its doc, and the doc's gram
-    # count from the SAME partitioning — a count window over the row_number
-    # window's partition key reuses its exchange, where a groupBy+join would
-    # add a shuffle and a join to compute the identical value
+    toks = arr.select(F.col(id_col), F.col("sz"), F.explode("_g").alias("tok"))
+    # global document frequency as a count window over the gram — one
+    # exchange on tok, where a groupBy+join-back costs an agg exchange plus
+    # a probe-side exchange for the identical value
+    wdf = Window.partitionBy("tok")
     w = Window.partitionBy(id_col).orderBy("_df", "tok")
-    wsz = Window.partitionBy(id_col)
     ranked = (
-        toks.join(dfreq, "tok")
+        toks.withColumn("_df", F.count(F.lit(1)).over(wdf))
         .withColumn("pos", F.row_number().over(w))
-        .withColumn("sz", F.count(F.lit(1)).over(wsz))
     )
     prefix = ranked.filter(
         F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
@@ -356,11 +366,10 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    # rebuild per-doc gram sets from the persisted explosion (collect_set)
-    # rather than re-evaluating the shingle expression over the raw text
-    sets_ = toks.groupBy(id_col).agg(F.array_sort(F.collect_set("tok")).alias("_toks"))
-    sa = sets_.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("_ta"))
-    sb = sets_.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("_tb"))
+    # per-doc gram sets come straight from the persisted array frame — the
+    # shingle expression never re-evaluates and no groupBy rebuilds the sets
+    sa = arr.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ta"))
+    sb = arr.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_tb"))
     inter = F.size(F.array_intersect("_ta", "_tb"))
     union = F.size("_ta") + F.size("_tb") - inter
     verified = (
@@ -370,7 +379,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return materialize(verified, toks, prefix)
+    return materialize(verified, arr, prefix)
 
 
 def simhash_signatures(
@@ -514,12 +523,14 @@ def connected_components(
     # graph under the threshold is MODEL-sized — labels come from one
     # driver-side union-find instead of O(diameter) join rounds (each round
     # is 3 scheduled stages; on a small graph the rounds are pure
-    # overhead). Above the threshold the distributed propagation below is
-    # the only shape that scales; the count that picks the tier rides the
-    # first action either way.
-    edges = edges.persist()
-    n_edges = edges.count()
-    if n_edges <= small_graph_threshold:
+    # overhead). The tier probe is a LIMIT threshold+1 collect: when the
+    # graph is small the probe's rows ARE the whole edge list, so tier
+    # choice and data arrive in ONE job (a separate count would schedule a
+    # second full pass); when it overflows, the ≤threshold+1 shipped rows
+    # are the bounded probe cost and the distributed propagation below —
+    # the only shape that scales — takes over.
+    probe = edges.limit(small_graph_threshold + 1).collect()
+    if len(probe) <= small_graph_threshold:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -528,7 +539,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in edges.collect():
+        for r in probe:
             a, b = r["src"], r["dst"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -538,10 +549,15 @@ def connected_components(
                 # identical to the propagation fixpoint
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        rows = [(n, find(n)) for n in parent]
-        edges.unpersist()
+        import pandas as pd
+
         spark = pairs.sparkSession
-        return spark.createDataFrame(rows, "node long, cluster long")
+        out = pd.DataFrame(
+            sorted((n, find(n)) for n in parent), columns=["node", "cluster"]
+        )
+        # Arrow-path createDataFrame; an empty frame still needs the schema
+        return spark.createDataFrame(out, "node long, cluster long")
+    edges = edges.persist()
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()

@@ -378,31 +378,40 @@ def lsh_dup_pairs(
             base.withColumn("_bks", buckets_udf(F.col(vec_col)))
             .select(id_col, F.posexplode("_bks").alias("band", "bucket"))
         )
-    # the plane-projection subtree (planes × dims hash evaluations per row)
-    # feeds the size agg AND both sides of the self-join — persist it once
-    # instead of recomputing it 4× (Spark's own MinHashLSH does the same).
-    # IDs ONLY: carrying the vectors through the self-join + dedupe would
-    # shuffle dim floats per candidate ROW; they re-attach after the pair
-    # set is deduped (measured ~30% off the whole pipeline).
-    bb = bb.persist()
-    sizes = bb.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
-    capped = bb.join(
-        sizes.filter(F.col("_bsz") <= max_bucket_size), ["band", "bucket"]
-    ).drop("_bsz")
+    from pyspark.sql import Window
+
+    # bucket-size cap as a count window over the self-join key: one exchange
+    # on (band, bucket) that the self-join REUSES (both cached sides stay
+    # hash-partitioned on exactly the join key), vs a groupBy + join-back
+    # costing three. Persist AFTER the window so the plane-projection
+    # subtree (planes × dims evaluations per row) + the exchange run once
+    # for both sides (Spark's own MinHashLSH persists the same frame).
+    # IDs ONLY: carrying the vectors through the self-join would shuffle dim
+    # floats per candidate ROW; they re-attach at the verify tier.
+    wb = Window.partitionBy("band", "bucket")
+    capped = (
+        bb.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+        .persist()
+    )
     a = capped.alias("a")
     b = capped.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # NO pair-dedup here: a pair colliding in k bands flows to the verify
+    # tier k times (k is ~1 for random data — multi-band collisions are
+    # rare), where the per-pair similarity is deterministic, and the
+    # ONE dedup below runs on the post-filter frame (pairs that passed the
+    # threshold — orders of magnitude smaller than the candidate list).
+    # Deduping candidates first would shuffle the full candidate volume
+    # an extra time to save only the duplicated verify arithmetic.
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
     )
     # verify tier: norms fold ONCE PER DOC here, not per pair — the same
     # left fold over the same list produces the identical double, so oracle
@@ -432,15 +441,15 @@ def lsh_dup_pairs(
         .join(vb, "id_b")
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
-        # re-assert one row per pair AFTER the vector re-join: a duplicated
-        # id in df would otherwise multiply each pair by its endpoint
-        # counts (the pre-rework code deduped post-join; this frame is
-        # pair-list-sized, so the extra exchange is noise)
+        # the ONE pair-dedup of the pipeline, on the post-threshold frame:
+        # collapses multi-band candidate collisions AND endpoint-count
+        # multiplication from a duplicated id in df (this frame is
+        # pair-list-sized, so the exchange is noise)
         .dropDuplicates(["id_a", "id_b"])
     )
     from .dedup import materialize
 
-    return materialize(verified, bb)
+    return materialize(verified, capped)
 
 
 def _band_buckets_udf(planes_by_band: list[list[list[float]]]):
