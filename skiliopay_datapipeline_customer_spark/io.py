@@ -67,3 +67,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view for spark.sql() query paths."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def fan_out(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
+    """Rebalance ``df`` ahead of a CPU-heavy per-row kernel IF its plan's
+    parallelism is below the session's core count.
+
+    Parquet scans parallelize at row-group granularity: a table written as
+    one row group per file (the test fixtures; any small dimension dump)
+    plans as ONE task no matter how many cores the session has, so an
+    expensive map stage hanging off it (shingle explode + k hashes, plane
+    projections, codec decode) runs single-threaded. On a 100 TB scan —
+    thousands of splits — the guard sees parallelism ≥ cores and returns
+    ``df`` untouched, so the hot path costs nothing at scale; it only
+    inserts the round-robin exchange when the input is narrower than the
+    machine, where shuffling the (small by definition) input is strictly
+    cheaper than leaving cores idle through the kernel.
+
+    Use only ahead of order-independent kernels (aggregations, per-row
+    maps); round-robin repartition does not preserve row order.
+    """
+    target = min_tasks or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(target, 8):
+        return df
+    return df.repartition(target)

@@ -24,6 +24,8 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..io import fan_out
+
 
 def materialize(df: DataFrame, *intermediates: DataFrame) -> DataFrame:
     """Run ``df``'s plan once, pin the (small) result via localCheckpoint,
@@ -118,7 +120,11 @@ def minhash_signatures(
     doc length. (A per-row nested array expression recomputes the shingle
     array k times and melts codegen — measured 60× slower.)
     """
-    shingled = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).select(
+    # fan_out: the shingle+hash kernel below is the expensive stage; a
+    # one-row-group scan would otherwise run it on a single core
+    shingled = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
         F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("sh"),
     )
@@ -332,7 +338,8 @@ def ngram_jaccard_pairs(
     # with a collect_set groupBy (one whole shuffle of the exploded corpus
     # gone)
     arr = (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         .select(F.col(id_col), grams.alias("_g"))
         .withColumn("sz", F.size("_g"))
         .persist()
@@ -395,7 +402,8 @@ def simhash_signatures(
     minhash: one shuffle of 63 small ints per doc, map-side combined.
     """
     hashed = (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         .select(
             F.col(id_col),
             F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("sh"),
@@ -438,7 +446,7 @@ def minhash_signatures_md5(
 ) -> DataFrame:
     """Token-set minhash with portable hashes (verification twin of
     minhash_signatures; 1-gram tokens so the oracle stays SQL-expressible)."""
-    toks = df.select(
+    toks = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
     )
     return toks.groupBy(id_col).agg(
@@ -468,7 +476,8 @@ def simhash_signatures_md5(
         else F.array_distinct(shingles_from_tokens(F.col("_toks"), shingle_n))
     )
     hashed = (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         .select(F.col(id_col), F.explode(grams).alias("tok"))
         .select(F.col(id_col), portable_hash64(F.col("tok"), 0).alias("hv"))
     )

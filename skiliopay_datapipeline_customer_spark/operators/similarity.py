@@ -354,7 +354,11 @@ def lsh_dup_pairs(
     """
     ppb = num_planes // bands
     dim = _probe_dim(df, vec_col)
-    base = df.select(id_col, vec_col)
+    from ..io import fan_out
+
+    # the plane-projection kernel is the expensive map stage; a one-row-group
+    # embedding dump would otherwise project every vector on a single core
+    base = fan_out(df.select(id_col, vec_col))
     planes_by_band = [
         make_planes(ppb, dim, plane_offset=band * ppb) for band in range(bands)
     ]
