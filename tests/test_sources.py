@@ -639,3 +639,72 @@ def test_http_fetcher_retries_transient_errors_then_succeeds():
         assert hits["n"] == before + 1
     finally:
         srv.shutdown()
+
+
+def test_jsonl_roundtrip_with_corrupt_quarantine(spark, sf_dir, tmp_path):
+    from skiliopay_datapipeline_customer_spark.sources.textcorpus import (
+        quarantine_corrupt,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    # plant a damaged shard (truncated write + binary damage)
+    with open(os.path.join(out, "part-damaged.json"), "w", encoding="utf-8") as f:
+        f.write('{"doc_id": 99999, "text": "trunca\n')
+        f.write("\x00\x01 not json at all\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    clean, bad = quarantine_corrupt(read_jsonl(spark, out, schema))
+    assert bad.count() == 2
+    assert {r["raw_line"][:1] for r in bad.collect()} == {"{", "\x00"}
+    # clean side round-trips exactly (same rows, same values)
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert got == orig
+    assert "_corrupt_record" not in clean.columns
+
+
+def test_jsonl_gzip_readback(spark, sf_dir, tmp_path):
+    from skiliopay_datapipeline_customer_spark.sources.textcorpus import (
+        quarantine_corrupt,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "docs_gz")
+    write_jsonl(docs, out, compression="gzip")
+    assert any(p.endswith(".gz") for p in os.listdir(out))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("lang", T.StringType())]
+    )
+    clean, bad = quarantine_corrupt(read_jsonl(spark, out, schema))
+    assert bad.count() == 0
+    assert clean.count() == docs.count()
+
+
+def test_text_docs_whole_file_and_lines(spark, tmp_path):
+    from skiliopay_datapipeline_customer_spark.sources.textcorpus import (
+        read_text_docs,
+        read_text_lines,
+    )
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "a.txt").write_text("first doc\nsecond line")
+    (d / "b.txt").write_text("solo")
+    docs = read_text_docs(spark, str(d)).collect()
+    by_path = {os.path.basename(r["doc_path"]): r["text"] for r in docs}
+    assert by_path == {"a.txt": "first doc\nsecond line", "b.txt": "solo"}
+    lines = {r["line"] for r in read_text_lines(spark, str(d)).collect()}
+    assert lines == {"first doc", "second line", "solo"}
