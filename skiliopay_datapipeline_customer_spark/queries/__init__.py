@@ -121,6 +121,9 @@ _FORCE = {
     "source_entropy": 3,
     "value_histogram": 3,
     "ewm_user_value": 3,
+    # round-4 late change: gained a literal-plane oracle + moved to 6 planes
+    # (prior rows-only record verified the old 8-plane output)
+    "lsh_ann_topk": 4,
 }
 
 _PRIORITY = [
@@ -183,6 +186,7 @@ _PRIORITY = [
     "cosine_topk",
     "asof_purchase_click",
     # --- r05 window starts here (the 50 slots above go to r04) ---
+    "lsh_ann_topk",
     # round-4 late additions: analytics suite
     "segment_balance_deciles",
     "daily_purchases_gapfilled",

@@ -94,15 +94,52 @@ def label_centroid_norms(spark, sf_dir):
     )
 
 
-# ANN via random-hyperplane LSH bucketing — xxhash64-derived planes, not
-# oracle-expressible: rows-only check. This is the 100 TB probe path.
+# ANN via random-hyperplane LSH bucketing — the 100 TB probe path: only the
+# query's bucket (~corpus/2^planes rows) is scanned, then exact cosine.
+# Oracle-checked: the md5-derived plane family folds into the SQL as the
+# SAME literals, and both engines compute the projection as a sequential
+# left fold (F.aggregate / list_sum), so the sign bits match bit-for-bit.
 
 
-@query("lsh_ann_topk")
+def _plane_list_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(c) for c in plane) + "]"
+
+
+def _lsh_ann_topk_oracle(num_planes: int = 8, dim: int = 64, k: int = 10) -> str:
+    bits = []
+    for j, pl in enumerate(S.make_planes(num_planes, dim)):
+        proj = (
+            "list_sum(list_transform(list_zip(embedding, "
+            f"{_plane_list_sql(pl)}), p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+        bits.append(f"CAST({proj} > 0 AS INT) * {2 ** j}")
+    bucket = "(" + "\n        + ".join(bits) + ")"
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ),
+    q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT b.vec_id,
+           round(
+             list_sum(list_transform(list_zip(b.embedding, q.qe),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qe,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+    FROM b JOIN q ON b.bucket = q.qb
+    ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@query("lsh_ann_topk", oracle=_lsh_ann_topk_oracle(num_planes=6))
 def lsh_ann_topk(spark, sf_dir):
+    # 6 planes: bucket occupancy ~corpus/64 — wide enough that the probe
+    # ranks real neighbors at the sf0.01 driver check, not just the query
     emb = table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0)
-    return S.lsh_topk(emb, qvec, k=10)
+    return S.lsh_topk(emb, qvec, k=10, num_planes=6)
 
 
 # IVF ANN: deterministic hash-sampled centroids + 2 Lloyd refinement rounds
@@ -169,10 +206,6 @@ _LSH_PLANES = 16
 _LSH_BANDS = 4
 _LSH_DIM = 64
 _LSH_THRESHOLD = 0.45
-
-
-def _plane_list_sql(plane: list[float]) -> str:
-    return "[" + ", ".join(repr(c) for c in plane) + "]"
 
 
 def _lsh_dup_pairs_oracle() -> str:

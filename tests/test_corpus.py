@@ -264,3 +264,32 @@ def test_group_capped_sample_caps_and_keeps_small_groups(spark):
     assert sorted(r["doc_id"] for r in capped.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_fan_out_rebalances_narrow_scans_without_changing_results(spark, sf_dir):
+    from skiliopay_datapipeline_customer_spark.io import fan_out, table
+    from skiliopay_datapipeline_customer_spark.operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    # the fixture parquet is one row group -> one-task scan; the guard fires
+    assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    widened = fan_out(docs.select("doc_id", "text"))
+    assert (
+        widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
+    # already-parallel inputs pass through untouched (same plan object)
+    wide_src = docs.select("doc_id").repartition(16)
+    assert fan_out(wide_src) is wide_src
+    # kernel results are identical with and without the rebalance
+    with_guard = {
+        tuple(r) for r in D.minhash_signatures(docs, num_hashes=4).collect()
+    }
+    orig = D.fan_out
+    D.fan_out = lambda df, n=None: df
+    try:
+        without = {
+            tuple(r) for r in D.minhash_signatures(docs, num_hashes=4).collect()
+        }
+    finally:
+        D.fan_out = orig
+    assert with_guard == without
