@@ -293,3 +293,25 @@ def test_fan_out_rebalances_narrow_scans_without_changing_results(spark, sf_dir)
     finally:
         D.fan_out = orig
     assert with_guard == without
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard_tier(spark, sf_dir):
+    """The text-tier twin of the embedding recall gate: banded MinHash
+    candidates must recover >= 0.9 of the exact 3-gram-shingle Jaccard
+    near-dup pairs (threshold 0.9; at b=8 r=4 the analytic candidate
+    probability at J=0.9 is 1-(1-0.9^4)^8 ~ 0.9998)."""
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.9, shingle_n=3).collect()
+    }
+    assert exact, "fixture must exercise real near-dup pairs"
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(docs).collect()
+    }
+    recall = len(cand & exact) / len(exact)
+    assert recall >= 0.9, f"text-tier recall {recall:.3f} below 0.9"
