@@ -187,6 +187,7 @@ _PRIORITY = [
     "asof_purchase_click",
     # --- r05 window starts here (the 50 slots above go to r04) ---
     "lsh_ann_topk",
+    "language_id_confusion",
     # round-4 late additions: analytics suite
     "segment_balance_deciles",
     "daily_purchases_gapfilled",

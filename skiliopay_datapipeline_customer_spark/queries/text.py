@@ -36,9 +36,10 @@ def token_stats(spark, sf_dir):
 # Heuristic language ID by stopword hits, deterministic tie order.
 
 
-@query(
-    "language_id",
-    oracle="""
+# The detection oracle fragment — shared by language_id and the confusion
+# matrix below; mirrors operators/textops.py::detect_language and must
+# change in lockstep.
+LANG_DETECT_SQL = """
     WITH scored AS (
       SELECT doc_id,
         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
@@ -50,15 +51,24 @@ def token_stats(spark, sf_dir):
         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
             t -> t IN ('el','la','y','los','que'))) AS s_es
       FROM documents
-    )
-    SELECT doc_id,
+    ),
+    pred AS (
+      SELECT doc_id,
            CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
                 WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
                 WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
                 WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
                 ELSE 'es' END AS detected_lang
-    FROM scored
-    ORDER BY doc_id
+      FROM scored
+    )
+"""
+
+
+@query(
+    "language_id",
+    oracle=LANG_DETECT_SQL
+    + """
+    SELECT doc_id, detected_lang FROM pred ORDER BY doc_id
     """,
 )
 def language_id(spark, sf_dir):
@@ -66,6 +76,37 @@ def language_id(spark, sf_dir):
     return docs.select(
         "doc_id", T.detect_language(F.col("text")).alias("detected_lang")
     ).orderBy("doc_id")
+
+
+# Classifier-evaluation view: the heuristic's predictions against the
+# table's ground-truth lang label — the confusion matrix a curator reads
+# before trusting language buckets for mixture sampling. One map-only
+# detection pass + one tiny (langs x langs) groupBy; at 100 TB the matrix
+# is the only thing that shuffles.
+
+
+@query(
+    "language_id_confusion",
+    oracle=LANG_DETECT_SQL
+    + """
+    SELECT d.lang AS actual_lang, p.detected_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY actual_lang, detected_lang
+    ORDER BY actual_lang, detected_lang
+    """,
+)
+def language_id_confusion(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("actual_lang"),
+            T.detect_language(F.col("text")).alias("detected_lang"),
+        )
+        .groupBy("actual_lang", "detected_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("actual_lang", "detected_lang")
+    )
 
 
 # Quality scoring: length/stopword/punctuation composite.
