@@ -188,6 +188,7 @@ _PRIORITY = [
     # --- r05 window starts here (the 50 slots above go to r04) ---
     "lsh_ann_topk",
     "language_id_confusion",
+    "source_epoch_plan",
     # round-4 late additions: analytics suite
     "segment_balance_deciles",
     "daily_purchases_gapfilled",

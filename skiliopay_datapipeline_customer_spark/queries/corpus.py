@@ -611,3 +611,60 @@ def corpus_attrition_funnel(spark, sf_dir):
         )
         .orderBy("stage")
     )
+
+
+# Data-scheduling epoch plan (the LLaMA/DoReMi-style table): given a total
+# training token budget, temperature weights (p_s ∝ tok_s^0.5) decide each
+# source's target tokens, and epochs = target / available says how many
+# times that source repeats (epochs > 1 = upsampling, < 1 = subsampling).
+# Shape: one groupBy to source-sized totals, then window shares over the
+# 20-row plan frame — the corpus shuffles once, the plan math is metadata.
+# Budget fixed at 2× the corpus so both regimes appear in the fixture.
+
+
+@query(
+    "source_epoch_plan",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ), totals AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+      FROM per_doc GROUP BY source
+    ), weighted AS (
+      SELECT source, avail_tokens,
+             sqrt(CAST(avail_tokens AS DOUBLE))
+               / sum(sqrt(CAST(avail_tokens AS DOUBLE))) OVER () AS w,
+             sum(avail_tokens) OVER () AS corpus_tokens
+      FROM totals
+    )
+    SELECT source, avail_tokens,
+           round(w, 6) AS weight,
+           CAST(round(w * 2 * corpus_tokens, 0) AS BIGINT) AS target_tokens,
+           round(w * 2 * corpus_tokens / avail_tokens, 6) AS epochs
+    FROM weighted
+    ORDER BY source
+    """,
+)
+def source_epoch_plan(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    totals = (
+        docs.select("source", T.whitespace_token_count(F.col("text")).alias("_nt"))
+        .groupBy("source")
+        .agg(F.sum("_nt").alias("avail_tokens"))
+    )
+    w_all = Window.partitionBy()
+    sq = F.sqrt(F.col("avail_tokens").cast("double"))
+    w = sq / F.sum(sq).over(w_all)
+    corpus_tokens = F.sum("avail_tokens").over(w_all)
+    target = w * F.lit(2) * corpus_tokens
+    return totals.select(
+        "source",
+        "avail_tokens",
+        F.round(w, 6).alias("weight"),
+        F.round(target, 0).cast("long").alias("target_tokens"),
+        F.round(target / F.col("avail_tokens"), 6).alias("epochs"),
+    ).orderBy("source")
