@@ -483,11 +483,13 @@ def star_revenue_rollup(spark, sf_dir):
 
     fact = build_fact_orders(spark, sf_dir)
     dim_user = build_dim_user(spark, sf_dir)
-    bounds = fact.agg(F.min("date_key").alias("lo"), F.max("date_key").alias("hi")).first()
-    lo, hi = str(bounds["lo"]), str(bounds["hi"])
-    dim_date = build_dim_date(
-        spark, f"{lo[:4]}-{lo[4:6]}-{lo[6:]}", f"{hi[:4]}-{hi[4:6]}-{hi[6:]}"
-    )
+    # the calendar dimension is a FIXED epoch, not data-derived: deriving
+    # start/end from fact.agg(min,max).first() cost an eager full fact scan
+    # per call (an extra job before the main query — the rfm_quintiles
+    # anti-pattern). A 1970–2099 calendar is static metadata (~47k rows,
+    # still broadcast-sized) and covers any date the fact can carry — the
+    # standard warehouse contract that the calendar spans the data epoch
+    dim_date = build_dim_date(spark, "1970-01-01", "2099-12-31")
     return (
         fact.join(F.broadcast(dim_user), "user_key")
         .join(F.broadcast(dim_date), "date_key")
