@@ -93,16 +93,22 @@ def segment_balance_deciles(spark, sf_dir):
 )
 def daily_purchases_gapfilled(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    d0, d1 = ev.agg(
-        F.min(F.col("ts").cast("date")), F.max(F.col("ts").cast("date"))
-    ).first()
+    # spine bounds ride as a broadcast 1-row cross join (the oracle's
+    # CROSS JOIN bounds, literally) — no eager .first() job
+    bounds = F.broadcast(
+        ev.agg(
+            F.min(F.col("ts").cast("date")).alias("_d0"),
+            F.max(F.col("ts").cast("date")).alias("_d1"),
+        )
+    )
     spine = (
         ev.select("user_id")
         .distinct()
+        .crossJoin(bounds)
         .select(
             "user_id",
             F.explode(
-                F.sequence(F.lit(d0), F.lit(d1), F.expr("INTERVAL 1 DAY"))
+                F.sequence(F.col("_d0"), F.col("_d1"), F.expr("INTERVAL 1 DAY"))
             ).alias("day"),
         )
     )
@@ -422,12 +428,19 @@ _HIST_BINS = 20
 )
 def value_histogram(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
-    mn, mx = ev.agg(F.min("value"), F.max("value")).first()
-    w = (mx - mn) / _HIST_BINS
+    # bounds ride as a broadcast 1-row cross join (the oracle's CROSS JOIN
+    # bounds, literally; same (mx-mn)/bins expression shape) — no eager job
+    bounds = F.broadcast(
+        ev.agg(
+            F.min("value").alias("_mn"),
+            ((F.max("value") - F.min("value")) / _HIST_BINS).alias("_w"),
+        )
+    )
     return (
-        ev.groupBy(
+        ev.crossJoin(bounds)
+        .groupBy(
             F.least(
-                F.floor((F.col("value") - F.lit(mn)) / F.lit(w)),
+                F.floor((F.col("value") - F.col("_mn")) / F.col("_w")),
                 F.lit(_HIST_BINS - 1),
             )
             .cast("long")
@@ -821,11 +834,18 @@ def rolling_7d_active_users(spark, sf_dir):
         "user_id",
         F.expr("unix_micros(ts) div 86400000000").cast("long").alias("d"),
     ).distinct()
-    d1 = pairs.agg(F.max("d")).first()[0]
-    contrib = pairs.select(
-        "user_id",
-        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("target_d"),
-    ).filter(F.col("target_d") <= F.lit(d1))
+    # the horizon rides as a broadcast 1-row cross join (the oracle's
+    # CROSS JOIN bounds, literally) — no eager .first() job
+    horizon = F.broadcast(pairs.agg(F.max("d").alias("_d1")))
+    contrib = (
+        pairs.crossJoin(horizon)
+        .select(
+            "user_id",
+            "_d1",
+            F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("target_d"),
+        )
+        .filter(F.col("target_d") <= F.col("_d1"))
+    )
     return (
         contrib.groupBy(F.col("target_d").alias("d"))
         .agg(F.countDistinct("user_id").alias("active_7d"))

@@ -194,11 +194,15 @@ def percent_rank_prices(spark, sf_dir):
         [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
         rank_col="_r",
     )
-    n = orders.count()
+    # n-1 rides as a broadcast 1-row cross join — no eager .count() job
+    nrow = F.broadcast(orders.agg(F.count("*").alias("_n")))
     return (
-        ranked.select(
+        ranked.crossJoin(nrow)
+        .select(
             "o_orderkey",
-            F.round((F.col("_r") - 1) / F.lit(float(n - 1)), 6).alias("price_pr"),
+            F.round(
+                (F.col("_r") - 1) / (F.col("_n") - 1).cast("double"), 6
+            ).alias("price_pr"),
         )
         .orderBy("o_orderkey")
     )
@@ -247,11 +251,14 @@ def percent_rank_prices_parity(spark, sf_dir):
 )
 def behavioral_columns_from_events(spark, sf_dir):
     events = table(spark, sf_dir, "events")
-    max_ts = events.agg(F.max("ts")).first()[0]
-    recent = F.col("ts") >= F.lit(max_ts) - F.expr("INTERVAL 30 DAYS")
+    # the corpus head rides the plan as a broadcast 1-row cross join (the
+    # oracle's CROSS JOIN head, literally) — no eager .first() job
+    head = F.broadcast(events.agg(F.max("ts").alias("_max_ts")))
+    recent = F.col("ts") >= F.col("_max_ts") - F.expr("INTERVAL 30 DAYS")
     is_purchase = F.col("event_type") == "purchase"
     return (
-        events.groupBy("user_id")
+        events.crossJoin(head)
+        .groupBy("user_id", "_max_ts")
         .agg(
             F.sum(recent.cast("int")).alias("sessions_30d"),
             F.count("*").alias("sessions_90d"),
@@ -260,9 +267,10 @@ def behavioral_columns_from_events(spark, sf_dir):
             ).alias("gmv_90d"),
             F.sum((is_purchase & recent).cast("int")).alias("orders_30d"),
             F.datediff(
-                F.lit(max_ts), F.max(F.when(is_purchase, F.col("ts")))
+                F.col("_max_ts"), F.max(F.when(is_purchase, F.col("ts")))
             ).cast("bigint").alias("days_since_last_order"),
         )
+        .drop("_max_ts")
         .orderBy("user_id")
     )
 

@@ -193,7 +193,9 @@ def doc_fingerprints(spark, sf_dir):
 )
 def tfidf_scores(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # the corpus count rides as a broadcast 1-row cross join (the oracle's
+    # CROSS JOIN n, literally) — no eager .count() job
+    nrow = F.broadcast(docs.agg(F.count("*").alias("_n_docs")))
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
     )
@@ -202,11 +204,12 @@ def tfidf_scores(spark, sf_dir):
     return (
         tf.join(df_, "term")
         .filter(F.col("doc_id") < 25)
+        .crossJoin(nrow)
         .select(
             "doc_id",
             "term",
             F.round(
-                F.col("tf") * (F.lit(n_docs) + 1.0) / (F.col("df") + 1.0), 6
+                F.col("tf") * (F.col("_n_docs") + 1.0) / (F.col("df") + 1.0), 6
             ).alias("tfidf"),
         )
         .orderBy("doc_id", "term")

@@ -122,15 +122,18 @@ def large_quantity_orders(spark, sf_dir):
     """,
 )
 def wealthy_inactive_customers(spark, sf_dir):
-    """Q22 shape: scalar subquery (1-row broadcast) + anti join."""
+    """Q22 shape: scalar subquery (an ACTUAL 1-row broadcast cross join,
+    not an eager driver action) + anti join."""
     customer = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
-    avg_bal = (
-        customer.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).first()[0]
+    avg_bal = F.broadcast(
+        customer.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg"))
     )
     return (
-        customer.filter(F.col("c_acctbal") > F.lit(avg_bal))
-        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        customer.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .drop("_avg")
+        .join(orders, F.col("c_custkey") == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
