@@ -133,10 +133,16 @@ def quantile_bucket_parity(
 
 def rfm_features(df: DataFrame) -> DataFrame:
     """feature_engineering.py:54-98: quintile segment digits, weighted raw
-    score, right-closed category bins (score outside (0,100] → null)."""
-    df = quantile_bucket(df, "rfm_recency", [5, 4, 3, 2, 1], ascending=False, out="_r")
-    df = quantile_bucket(df, "rfm_frequency", [1, 2, 3, 4, 5], ascending=True, out="_f")
-    df = quantile_bucket(df, "rfm_monetary", [1, 2, 3, 4, 5], ascending=True, out="_m")
+    score, right-closed category bins (score outside (0,100] → null).
+
+    Buckets come from the single-action distributed tier (stats ride the
+    plan as a broadcast 1-row cross join) — the eager `quantile_bucket`
+    form cost one extra stats job PER CALL, three per gold build."""
+    from ..operators.ranks import quantile_bucket_distributed as qbd
+
+    df = qbd(df, "rfm_recency", [5, 4, 3, 2, 1], ascending=False, out="_r")
+    df = qbd(df, "rfm_frequency", [1, 2, 3, 4, 5], ascending=True, out="_f")
+    df = qbd(df, "rfm_monetary", [1, 2, 3, 4, 5], ascending=True, out="_m")
     score = (
         F.col("rfm_recency") * 0.4
         + F.col("rfm_frequency") * 0.3
@@ -250,13 +256,18 @@ def domain_features(df: DataFrame) -> DataFrame:
     """feature_engineering.py:201-238: CLV proxy, consistency, diversity,
     version/device/value/risk flags. quantile(0.8) thresholds are exact
     percentiles computed once and folded into the flag expressions (A10)."""
-    q = df.agg(
-        F.percentile("gmv_2024", F.lit(0.8)).alias("gmv_q80"),
-        F.percentile("aov_2024", F.lit(0.8)).alias("aov_q80"),
-    ).first()
+    # thresholds ride the plan as a broadcast 1-row cross join — the eager
+    # .first() form cost an extra full pass over the feature lineage
+    q = F.broadcast(
+        df.agg(
+            F.percentile("gmv_2024", F.lit(0.8)).alias("_gmv_q80"),
+            F.percentile("aov_2024", F.lit(0.8)).alias("_aov_q80"),
+        )
+    )
     reg = F.col("reg_days")
     return (
-        df.withColumn("clv_proxy", F.col("gmv_2024") * (365 / _guard0(reg)))
+        df.crossJoin(q)
+        .withColumn("clv_proxy", F.col("gmv_2024") * (365 / _guard0(reg)))
         .withColumn(
             "purchase_consistency",
             F.col("orders_2024") / _guard0(reg / 30),
@@ -270,8 +281,8 @@ def domain_features(df: DataFrame) -> DataFrame:
         .withColumn("is_mobile_heavy", F.col("device_mix_ratio") > 0.7)
         .withColumn(
             "is_high_value",
-            (F.col("gmv_2024") > F.lit(q["gmv_q80"]))
-            | (F.col("aov_2024") > F.lit(q["aov_q80"])),
+            (F.col("gmv_2024") > F.col("_gmv_q80"))
+            | (F.col("aov_2024") > F.col("_aov_q80")),
         )
         .withColumn(
             "is_at_risk",
@@ -279,6 +290,7 @@ def domain_features(df: DataFrame) -> DataFrame:
             | (F.col("sessions_30d") == 0)
             | (F.col("refund_rate_2024") > 0.1),
         )
+        .drop("_gmv_q80", "_aov_q80")
     )
 
 
