@@ -262,34 +262,42 @@ def cmd_maintain(args) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    # --sf-dir/--cpus are accepted BOTH before and after the subcommand (the
+    # module docstring advertises the postfix form). The shared parent uses
+    # SUPPRESS defaults so a subparser only writes the attribute when the
+    # flag is actually given — otherwise a subparser default would clobber a
+    # value parsed by the root (the classic argparse parents gotcha).
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--sf-dir", default=argparse.SUPPRESS)
+    common.add_argument("--cpus", default=argparse.SUPPRESS)
     p = argparse.ArgumentParser(prog="skiliopay_datapipeline_customer_spark")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--cpus", default="8")
     sub = p.add_subparsers(dest="cmd", required=True)
-    sub.add_parser("list")
-    runp = sub.add_parser("run")
+    sub.add_parser("list", parents=[common])
+    runp = sub.add_parser("run", parents=[common])
     runp.add_argument("query")
     runp.add_argument("--limit", type=int, default=20)
     runp.add_argument("--json", action="store_true")
-    checkp = sub.add_parser("check")
+    checkp = sub.add_parser("check", parents=[common])
     checkp.add_argument("query")
-    sub.add_parser("quality")
-    trainp = sub.add_parser("train")
+    sub.add_parser("quality", parents=[common])
+    trainp = sub.add_parser("train", parents=[common])
     trainp.add_argument("--model", default="gbt")
-    sqlp = sub.add_parser("sql")
+    sqlp = sub.add_parser("sql", parents=[common])
     sqlp.add_argument("statement")
     sqlp.add_argument("--limit", type=int, default=20)
     sqlp.add_argument("--json", action="store_true")
-    explainp = sub.add_parser("explain")
+    explainp = sub.add_parser("explain", parents=[common])
     explainp.add_argument("query")
-    dagp = sub.add_parser("dag")
+    dagp = sub.add_parser("dag", parents=[common])
     dagp.add_argument("--model", default="lr")
     dagp.add_argument("--out", default=None)
-    maintp = sub.add_parser("maintain")
+    maintp = sub.add_parser("maintain", parents=[common])
     maintp.add_argument("path")
     maintp.add_argument("--target-mb", type=int, default=128)
     maintp.add_argument("--vacuum-keep", type=int, default=None)
-    freshp = sub.add_parser("freshness")
+    freshp = sub.add_parser("freshness", parents=[common])
     freshp.add_argument(
         "--layer",
         action="append",

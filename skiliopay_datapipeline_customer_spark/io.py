@@ -88,6 +88,6 @@ def fan_out(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
     maps); round-robin repartition does not preserve row order.
     """
     target = min_tasks or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= min(target, 8):
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

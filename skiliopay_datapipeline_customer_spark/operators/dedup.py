@@ -524,9 +524,15 @@ def connected_components(
     (some component's diameter exceeds max_iters): ``strict=True`` (default)
     raises; ``strict=False`` warns and returns the partial labels.
     """
+    # NULL ids carry no adjacency (a null never equals anything, matching
+    # SQL join semantics) and would crash the driver union-find's sorted();
+    # drop them up front so both tiers see the same edge set. Persisted
+    # BEFORE the tier probe: when the graph overflows the threshold, the
+    # distributed tier below reuses the partitions the probe already
+    # computed instead of re-executing the whole upstream pair plan.
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    )
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull()).persist()
     # Small-graph fast tier: the pair list is orders of magnitude smaller
     # than the corpus by construction (banded + capped candidates), and a
     # graph under the threshold is MODEL-sized — labels come from one
@@ -537,7 +543,8 @@ def connected_components(
     # choice and data arrive in ONE job (a separate count would schedule a
     # second full pass); when it overflows, the ≤threshold+1 shipped rows
     # are the bounded probe cost and the distributed propagation below —
-    # the only shape that scales — takes over.
+    # the only shape that scales — takes over, reusing the partitions the
+    # probe already cached.
     probe = edges.limit(small_graph_threshold + 1).collect()
     if len(probe) <= small_graph_threshold:
         parent: dict[int, int] = {}
@@ -564,9 +571,9 @@ def connected_components(
         out = pd.DataFrame(
             sorted((n, find(n)) for n in parent), columns=["node", "cluster"]
         )
+        edges.unpersist()
         # Arrow-path createDataFrame; an empty frame still needs the schema
         return spark.createDataFrame(out, "node long, cluster long")
-    edges = edges.persist()
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()

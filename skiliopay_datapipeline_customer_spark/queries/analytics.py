@@ -1183,7 +1183,12 @@ def seasonal_value_anomalies(spark, sf_dir):
     # |x−μ| > 3σ boundary flips rows that land within an ulp of the cutoff);
     # only the DISPLAYED mean/z-score are floats, rounded on both sides.
     # decimal(38,0) == the oracle's HUGEINT: the squared terms pass 2^63
-    # once a cell holds ~billions of events.
+    # once a cell holds ~billions of events. Exactness holds up to the
+    # decimal(38,0) ceiling — |n·x − S| < 10^19 and n·S2 − S² < 10^37 —
+    # roughly 10^12 events/cell at 10^7-cent values; in non-ANSI mode Spark
+    # NULLs an overflowing decimal product (which a bare filter would
+    # silently drop), so the filter raises loudly past those magnitudes
+    # instead of quietly missing anomalies.
     ev = table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -1199,9 +1204,34 @@ def seasonal_value_anomalies(spark, sf_dir):
     )
     dev = F.col("n") * F.col("c") - F.col("s")          # n·x − S
     var_num = F.col("n") * F.col("s2") - F.col("s") * F.col("s")  # n²σ²... (n·S2 − S²)
+    # n/s/s2/c are non-null by construction, so a NULL dev or var_num can
+    # only mean a decimal(38,0) product overflowed (n·c, n·S2, or S²); the
+    # magnitude bounds keep the SQUARED terms below 10^38 too.
+    import decimal
+
+    # 10^19 exceeds a JVM long, so the bounds ride in as Decimal literals
+    dec38 = lambda v: F.lit(decimal.Decimal(v)).cast("decimal(38,0)")  # noqa: E731
+    overflow = (
+        dev.isNull()
+        | var_num.isNull()
+        | (F.abs(dev) >= dec38(10**19))
+        | (var_num >= dec38(10**37))
+    )
     return (
         ev.join(F.broadcast(cells), ["event_type", "hr"])
-        .filter((var_num > 0) & (dev * dev > 9 * var_num))
+        .filter(
+            F.when(
+                overflow,
+                F.raise_error(
+                    F.lit(
+                        "seasonal_value_anomalies: cell moments exceed the "
+                        "decimal(38,0) exact-integer range — the 3σ membership "
+                        "test would silently drop rows; shard the cell or "
+                        "rescale the value unit"
+                    )
+                ).cast("boolean"),
+            ).otherwise((var_num > 0) & (dev * dev > 9 * var_num))
+        )
         .select(
             "event_id",
             "event_type",

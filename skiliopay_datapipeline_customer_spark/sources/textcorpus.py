@@ -47,7 +47,13 @@ def read_jsonl(
 
         schema = to_struct_type(schema)
     if CORRUPT_COL not in schema.fieldNames():
-        schema = schema.add(T.StructField(CORRUPT_COL, T.StringType(), True))
+        # build a NEW StructType: StructType.add mutates in place and returns
+        # self, which would permanently graft _corrupt_record onto the
+        # caller's schema object (breaking a reuse for a second reader,
+        # a writer, or a schema comparison)
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+        )
     return (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")

@@ -34,6 +34,16 @@ def test_cli_check_reports_oracle_match(capsys, sf_dir):
     assert "OK" in capsys.readouterr().out
 
 
+def test_cli_accepts_shared_flags_after_subcommand(capsys, sf_dir):
+    # the documented `run <query> [--sf-dir D]` postfix form
+    assert main(["run", "global_kpis", "--sf-dir", sf_dir, "--json"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rows and rows[0]["n_orders"] > 0
+    # a prefix value survives subparser parsing (no default clobbering)
+    assert main(["--sf-dir", sf_dir, "check", "pricing_summary"]) == 0
+    assert "OK" in capsys.readouterr().out
+
+
 def test_cli_quality_gate_passes_on_clean_orders(capsys, sf_dir):
     assert main(["--sf-dir", sf_dir, "quality"]) == 0
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])

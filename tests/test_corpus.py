@@ -278,8 +278,11 @@ def test_fan_out_rebalances_narrow_scans_without_changing_results(spark, sf_dir)
         widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     )
     # already-parallel inputs pass through untouched (same plan object)
-    wide_src = docs.select("doc_id").repartition(16)
+    cores = spark.sparkContext.defaultParallelism
+    wide_src = docs.select("doc_id").repartition(cores)
     assert fan_out(wide_src) is wide_src
+    # an explicit min_tasks above the input's parallelism is honored
+    assert fan_out(wide_src, cores * 2).rdd.getNumPartitions() == cores * 2
     # kernel results are identical with and without the rebalance
     with_guard = {
         tuple(r) for r in D.minhash_signatures(docs, num_hashes=4).collect()

@@ -221,6 +221,24 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_null_edges_dropped_in_both_tiers(spark):
+    """NULL pair ids carry no adjacency (SQL join semantics) and used to
+    crash the driver union-find tier (sorted over None); both tiers must
+    drop them and agree."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (None, None), (2, 5)],
+        "id_a long, id_b long",
+    )
+    small = {
+        r["node"]: r["cluster"] for r in D.connected_components(pairs).collect()
+    }
+    big = {
+        r["node"]: r["cluster"]
+        for r in D.connected_components(pairs, small_graph_threshold=0).collect()
+    }
+    assert small == big == {1: 1, 2: 1, 5: 1}
+
+
 def test_connected_components_long_path_past_checkpoint_interval(spark):
     """A path graph needs ~diameter rounds — length 12 crosses the
     localCheckpoint interval (5) twice, so convergence exercises the

@@ -674,6 +674,27 @@ def test_jsonl_roundtrip_with_corrupt_quarantine(spark, sf_dir, tmp_path):
     assert "_corrupt_record" not in clean.columns
 
 
+def test_read_jsonl_does_not_mutate_caller_schema(spark, sf_dir, tmp_path):
+    from skiliopay_datapipeline_customer_spark.sources.textcorpus import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "docs_schema")
+    write_jsonl(docs, out)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("lang", T.StringType())]
+    )
+    before = schema.fieldNames()
+    read_jsonl(spark, out, schema)
+    # StructType.add mutates in place; read_jsonl must build a copy so the
+    # caller can reuse the same schema object (second reader, writer, diff)
+    assert schema.fieldNames() == before
+    again = read_jsonl(spark, out, schema)
+    assert again.columns.count("_corrupt_record") == 1
+
+
 def test_jsonl_gzip_readback(spark, sf_dir, tmp_path):
     from skiliopay_datapipeline_customer_spark.sources.textcorpus import (
         quarantine_corrupt,
