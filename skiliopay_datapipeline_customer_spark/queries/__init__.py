@@ -185,11 +185,67 @@ _PRIORITY = [
     # marquee custom operators
     "cosine_topk",
     "asof_purchase_click",
-    # --- r05 window starts here (the 50 slots above go to r04) ---
+    # --- r05 window starts here (the 50 slots above went green in r04) ---
+    # Round-4 judge directive: r05 takes the most user-visible suites —
+    # the full TPC-H suite first, then temporal/analytics, then corpus.
     "lsh_ann_topk",
-    "language_id_confusion",
+    # TPC-H suite (queries/tpch.py, complete)
+    "shipping_priority",
+    "local_supplier_volume",
+    "nation_trade_volume",
+    "nation_market_share",
+    "product_type_profit",
+    "forecast_revenue_change",
+    "returned_item_losses",
+    "promo_revenue_share",
+    "discounted_brand_revenue",
+    "ship_delay_priority",
+    "top_revenue_supplier",
+    "part_supplier_counts",
+    "volume_part_suppliers",
+    "waiting_suppliers",
+    # judge-named analytics/temporal headliners
+    "cohort_retention",
+    "ewm_user_value",
+    "rolling_7d_active_users",
+    # judge-named corpus headliners
+    "corpus_build_pipeline",
+    "temperature_mixture_sample",
     "source_epoch_plan",
-    # round-4 late additions: analytics suite
+    "language_id_confusion",
+    # temporal/event suite (queries/temporal.py, complete)
+    "tumbling_window_counts",
+    "sliding_window_counts",
+    "session_window_stats",
+    "click_attribution_window",
+    "behavioral_columns_from_events",
+    "session_purchase_attribution",
+    "funnel_counts",
+    "latest_event_per_user",
+    "snapshot_diff_events",
+    "event_props_rollup",
+    "event_props_variant_rollup",
+    "cohort_ltv_curves",
+    "user_state_history",
+    "percent_rank_prices",
+    # corpus-construction suite (rest of queries/corpus.py)
+    "corpus_mixture_sample",
+    "quality_top_quartile",
+    "dedup_survivors",
+    "training_shard_assignments",
+    "domain_capped_sample",
+    "corpus_composition_report",
+    "weighted_doc_sample",
+    "corpus_attrition_funnel",
+    "length_bucketed_batches",
+    # dedup/similarity marquee closers
+    "dup_cluster_size_histogram",
+    "semantic_dedup_survivors",
+    "nearest_train_similarity",
+    "rfm_scores",
+    "trailing_week_user_value",
+    # --- r06 window starts here ---
+    # analytics suite
     "segment_balance_deciles",
     "daily_purchases_gapfilled",
     "mad_outlier_report",
@@ -198,53 +254,60 @@ _PRIORITY = [
     "user_journey_frequencies",
     "source_entropy",
     "value_histogram",
-    "ewm_user_value",
     "forward_fill_values",
     "collated_source_counts",
     "event_transition_matrix",
     "time_weighted_average",
     "null_safe_segment_join",
-    "correlation_matrix",
-    # round-4 late additions: corpus / text
-    "weighted_doc_sample",
-    "temperature_mixture_sample",
-    "length_bucketed_batches",
-    "unigram_doc_logprob",
-    "join_key_skew_report",
     "purchase_streaks",
-    "rolling_7d_active_users",
     "monthly_revenue_mom",
     "first_second_purchase",
-    "decontaminated_corpus",
-    "token_zipf_curve",
     "interpolated_values",
-    "weighted_median_price",
-    "rfm_scores",
-    "weighted_median_by_flag",
     "weekday_seasonality",
     "purchase_cadence",
-    "basket_part_pairs",
-    "line_dedup_docs",
     "seasonal_value_anomalies",
+    "new_vs_returning_users",
+    "dau_mau_stickiness",
+    "cumulative_unique_users",
+    "abc_customer_classes",
+    "revenue_gini",
+    "repeat_purchase_rate",
+    "daily_revenue_7d_ma",
+    # text suite
+    "unigram_doc_logprob",
+    "decontaminated_corpus",
+    "token_zipf_curve",
+    "line_dedup_docs",
     "sentiment_scores",
+    "normalized_text",
+    "shared_span_pairs",
+    "repetition_metrics",
+    "pii_redaction_report",
+    "benchmark_contamination",
+    "doc_chunk_assignments",
+    "bpe_pair_counts",
+    "doc_chunk_texts",
+    # similarity / quality / features / olap / aggregates remainder
+    "embedding_norms",
+    "label_centroid_norms",
+    "embedding_dup_pairs",
+    "embedding_dim_stats",
+    "join_key_skew_report",
+    "drift_report",
+    "fk_integrity_report",
+    "ks_drift_report",
     "loo_target_encoding",
     "hashed_segment_features",
-    "corpus_attrition_funnel",
     "unpivoted_customer_metrics",
     "topk_orders_with_ties",
     "activity_heatmap",
-    "new_vs_returning_users",
-    "dau_mau_stickiness",
-    "user_state_history",
-    "cumulative_unique_users",
-    "abc_customer_classes",
-    "cohort_ltv_curves",
-    "nearest_train_similarity",
-    "revenue_gini",
-    "repeat_purchase_rate",
-    "rolling_7d_active_users_hll",
+    "correlation_matrix",
+    "weighted_median_price",
+    "weighted_median_by_flag",
     "segment_price_percentiles",
-    "daily_revenue_7d_ma",
+    "basket_part_pairs",
+    # rows-only tail (weaker contract rows — take slots last)
+    "rolling_7d_active_users_hll",
 ]
 
 
