@@ -256,9 +256,22 @@ def incremental_lsh_candidates(
     unbounded by watermark (unlike ``dropDuplicatesWithinWatermark``,
     which forgets keys past the horizon).
     """
-    nb = minhash_band_buckets(
-        new_docs, text_col, id_col, num_hashes, bands, shingle_n
-    ).persist()
+    nb = minhash_band_buckets(new_docs, text_col, id_col, num_hashes, bands, shingle_n)
+    return incremental_bucket_candidates(nb, store, id_col, max_bucket_size)
+
+
+def incremental_bucket_candidates(
+    new_buckets: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Hash-agnostic core of :func:`incremental_lsh_candidates`: candidate
+    pairs for a NEW batch's (id, band, bucket) rows against the persistent
+    store. Split out so the portable-md5 banding tier
+    (:func:`minhash_band_buckets_md5` — oracle-checkable) and the xxhash64
+    production tier share one combinator."""
+    nb = new_buckets.persist()
     combined = nb.union(store.select(id_col, "band", "bucket"))
     # bucket caps must count ALL members (store + batch) or the capped set
     # would diverge from the full-corpus run's
@@ -443,18 +456,84 @@ def minhash_signatures_md5(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 8,
+    shingle_n: int = 1,
 ) -> DataFrame:
-    """Token-set minhash with portable hashes (verification twin of
-    minhash_signatures; 1-gram tokens so the oracle stays SQL-expressible)."""
-    toks = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
-    )
+    """Token/shingle-set minhash with portable hashes (verification twin of
+    minhash_signatures; both gram units stay SQL-expressible — DuckDB builds
+    the same shingles via list_transform)."""
+    if shingle_n == 1:
+        toks = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+        )
+    else:
+        toks = (
+            fan_out(df.select(F.col(id_col), F.col(text_col)))
+            .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.array_distinct(
+                        shingles_from_tokens(F.col("_toks"), shingle_n)
+                    )
+                ).alias("tok"),
+            )
+        )
     return toks.groupBy(id_col).agg(
         *[
             F.min(portable_hash64(F.col("tok"), j)).alias(f"mh_{j}")
             for j in range(num_hashes)
         ]
     )
+
+
+def minhash_band_buckets_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) banding rows from PORTABLE md5 minhashes — the
+    oracle-checkable twin of :func:`minhash_band_buckets` (DuckDB derives
+    bit-identical buckets from the same md5 kernel). Bucket = portable hash
+    of the band's signature slice serialized as ':'-joined decimal longs
+    with the band id as the seed suffix."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_md5(df, text_col, id_col, num_hashes, shingle_n)
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        ":",
+                                        *[
+                                            F.col(f"mh_{b * rows_per_band + r}")
+                                            for r in range(rows_per_band)
+                                        ],
+                                        F.lit(str(b)),
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("long")
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def simhash_signatures_md5(

@@ -83,12 +83,12 @@ _FORCE = {
     "latest_event_per_user": 3,
     "ivf_pq_ann_topk": 3,
     "bpe_pair_counts": 3,
-    "bpe_merges": 3,
+    "bpe_merges": 4,  # r05: gained full unrolled-round oracle
     "semantic_dedup_survivors": 3,
     "bpe_encoded_docs": 3,
     "training_shard_assignments": 3,
     "click_attribution_window": 3,
-    "incremental_dedup_candidates": 3,
+    "incremental_dedup_candidates": 4,  # r05: moved to oracle-checked md5 banding tier
     "shipping_priority": 3,
     "forecast_revenue_change": 3,
     "returned_item_losses": 3,
@@ -245,6 +245,9 @@ _PRIORITY = [
     "rfm_scores",
     "trailing_week_user_value",
     # --- r06 window starts here ---
+    # r05 oracle upgrades — verify first
+    "bpe_merges",
+    "incremental_dedup_candidates",
     # analytics suite
     "segment_balance_deciles",
     "daily_purchases_gapfilled",

@@ -305,19 +305,77 @@ def dedup_clusters(spark, sf_dir):
 
 # Ingestion-time dedup: the new half of the corpus deduped against a
 # signature store built from the historical half — no historical text is
-# re-shingled. xxhash64 band buckets are Spark-only -> rows-only; the
-# full-vs-incremental pair-set equivalence (same pairs, same n_bands as a
-# full-corpus run restricted to new docs) is asserted in
+# re-shingled. The declared query runs the PORTABLE md5 banding tier so the
+# whole store+batch candidate derivation is oracle-checked in DuckDB (same
+# md5 kernel, same 3-gram shingles, same bucket caps); the xxhash64
+# production tier shares the identical combinator
+# (operators/dedup.py::incremental_bucket_candidates) and keeps its
+# full-vs-incremental pair-set equivalence proof in
 # tests/test_corpus.py::test_incremental_lsh_matches_full_corpus_run.
 
+_INCR_HASHES, _INCR_BANDS = 8, 4
 
-@query("incremental_dedup_candidates")
+
+def _incremental_dedup_oracle() -> str:
+    rows = _INCR_HASHES // _INCR_BANDS
+    mins = ",\n             ".join(
+        f"min(CAST('0x' || substr(md5(sh || '#{j}'), 1, 15) AS BIGINT)) AS mh_{j}"
+        for j in range(_INCR_HASHES)
+    )
+    band_sel = []
+    for b in range(_INCR_BANDS):
+        cols = " || ':' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_sel.append(
+            f"SELECT doc_id, {b} AS band, CAST('0x' || substr(md5({cols} "
+            f"|| ':{b}'), 1, 15) AS BIGINT) AS bucket FROM sig"
+        )
+    bands_sql = "\n      UNION ALL ".join(band_sel)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, len(t) - 2),
+               i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]))) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bb AS (
+      {bands_sql}
+    ),
+    sizes AS (SELECT band, bucket, count(*) AS c FROM bb GROUP BY band, bucket),
+    ok AS (SELECT band, bucket FROM sizes WHERE c <= 1000),
+    newb AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)
+             WHERE doc_id % 2 = 1),
+    allb AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
+    p AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+             greatest(a.doc_id, b.doc_id) AS id_b, a.band
+      FROM newb a JOIN allb b USING (band, bucket)
+      WHERE a.doc_id <> b.doc_id
+    )
+    SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_bands
+    FROM p GROUP BY id_a, id_b ORDER BY id_a, id_b
+    """
+
+
+@query("incremental_dedup_candidates", oracle=_incremental_dedup_oracle())
 def incremental_dedup_candidates(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    store = D.minhash_band_buckets(old)
-    pairs, _additions = D.incremental_lsh_candidates(new, store)
+    store = D.minhash_band_buckets_md5(
+        old, num_hashes=_INCR_HASHES, bands=_INCR_BANDS
+    )
+    nb = D.minhash_band_buckets_md5(
+        new, num_hashes=_INCR_HASHES, bands=_INCR_BANDS
+    )
+    pairs, _additions = D.incremental_bucket_candidates(nb, store)
     return pairs.orderBy("id_a", "id_b")
 
 

@@ -584,10 +584,18 @@ def doc_chunk_assignments(spark, sf_dir):
 
 
 # Distributed BPE training surface. The per-round kernel (adjacent symbol-
-# pair counts over the word-frequency working set) is oracle-checked; the
-# merge LOOP is rows-only (its per-round argmax feeds back into the next
-# round's plan — not expressible as one SQL statement) with exact
-# pure-Python reference parity asserted in tests/test_text_extra.py.
+# pair counts over the word-frequency working set) is oracle-checked, and so
+# is the full 16-round merge LOOP: the rounds are UNROLLED into generated
+# chained CTEs (the lsh_ann_topk literal-generation precedent). Each round
+# re-derives pair counts, picks argmax on (count desc, l, r), and applies
+# the merge via leftmost non-overlapping string replace over a
+# control-char-bracketed symbol encoding (chr(2)·sym·chr(3) per symbol) —
+# replace's scan semantics equal the greedy carry fold of
+# operators/textops.py::_merge_pair_expr exactly (a merged symbol never
+# re-pairs within its round), and the brackets make cross-symbol matches
+# impossible. MATERIALIZED CTEs keep DuckDB's evaluation linear in rounds.
+# Early-stop parity: a round only fires if the previous round chose a merge
+# (EXISTS chain), mirroring bpe_train's pair_count >= 2 break.
 
 
 @query(
@@ -614,7 +622,56 @@ def bpe_pair_counts(spark, sf_dir):
     return T.symbol_pair_counts(words).orderBy("l", "r")
 
 
-@query("bpe_merges")
+def _bpe_merges_oracle(n_merges: int = 16) -> str:
+    cte = [
+        """words AS MATERIALIZED (
+      SELECT w AS word, count(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY w
+    )""",
+        """w0 AS MATERIALIZED (
+      SELECT cnt,
+             chr(2) || array_to_string(string_split_regex(word, ''),
+                                       chr(3)||chr(2)) || chr(3) AS w
+      FROM words
+    )""",
+    ]
+    for i in range(n_merges):
+        guard = "" if i == 0 else f"AND EXISTS (SELECT 1 FROM b{i-1})"
+        cte.append(f"""p{i} AS MATERIALIZED (
+      SELECT s[j] AS l, s[j+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt,
+                   string_split(trim(w, chr(2)||chr(3)), chr(3)||chr(2)) AS s
+            FROM w{i}),
+           unnest(range(1, len(s))) AS t(j)
+      GROUP BY s[j], s[j+1]
+    )""")
+        cte.append(f"""b{i} AS MATERIALIZED (
+      SELECT l, r FROM p{i} WHERE c >= 2 {guard}
+      ORDER BY c DESC, l, r LIMIT 1
+    )""")
+        cte.append(f"""w{i+1} AS MATERIALIZED (
+      SELECT f.cnt,
+             CASE WHEN b.l IS NULL THEN f.w
+                  ELSE replace(f.w,
+                       chr(2)||b.l||chr(3)||chr(2)||b.r||chr(3),
+                       chr(2)||b.l||b.r||chr(3)) END AS w
+      FROM w{i} f LEFT JOIN b{i} b ON TRUE
+    )""")
+    union = "\n      UNION ALL ".join(
+        f'SELECT CAST({i} AS INTEGER) AS rank, '
+        f'(SELECT l FROM b{i}) AS "left", (SELECT r FROM b{i}) AS "right"'
+        for i in range(n_merges)
+    )
+    return (
+        "WITH " + ",\n    ".join(cte)
+        + f'\n    SELECT rank, "left", "right" FROM ({union})\n'
+        + '    WHERE "left" IS NOT NULL ORDER BY rank'
+    )
+
+
+@query("bpe_merges", oracle=_bpe_merges_oracle(16))
 def bpe_merges(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     merges = T.bpe_train(docs, n_merges=16)
