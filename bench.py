@@ -107,9 +107,62 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "deltas": _deltas(timings),
             }
         )
     )
+
+
+def _deltas(timings: dict[str, float]) -> dict:
+    """Per-query ratio vs the latest recorded BENCH_r{N}.json, so a
+    regression in one heavy query can't hide inside a healthy total.
+    ``flagged`` lists queries whose ratio exceeds 1.5× — outside the
+    documented ~1.5× machine variance band (Firecracker VM; never conclude
+    a regression from ONE run) — among queries slow enough to measure
+    (>0.5 s before or after; sub-half-second timings are codegen-compile
+    noise)."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    prev_round, prev = -1, None
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) <= prev_round:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        # the driver wraps our JSON line under "parsed"
+        if isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        if isinstance(data.get("queries"), dict):
+            prev_round, prev = int(m.group(1)), data
+    if prev is None:
+        return {"vs_round": None, "ratios": {}, "flagged": []}
+    ratios = {
+        name: round(t / prev["queries"][name], 3)
+        for name, t in timings.items()
+        if prev["queries"].get(name)
+    }
+    flagged = sorted(
+        name
+        for name, r in ratios.items()
+        if r > 1.5 and max(timings[name], prev["queries"][name]) > 0.5
+    )
+    return {
+        "vs_round": prev_round,
+        "prev_total": prev.get("value"),
+        "total_ratio": (
+            round(sum(timings.values()) / prev["value"], 3)
+            if prev.get("value")
+            else None
+        ),
+        "ratios": ratios,
+        "flagged": flagged,
+    }
 
 
 if __name__ == "__main__":

@@ -126,3 +126,36 @@ def test_cli_dag_runs_churn_graph(capsys, tmp_path):
     assert payload["states"]["deploy_model"]["state"] == "success"
     assert payload["states"]["notify_failure"]["state"] == "skipped"
     assert payload["metrics"]["roc_auc"] >= 0.8
+
+
+def test_bench_deltas_flag_regressions_vs_latest_record():
+    """bench.py's deltas block must compare against the newest BENCH_r*.json
+    (driver-wrapped under "parsed") and flag >1.5x per-query regressions on
+    measurable (>0.5 s) queries only."""
+    import json
+    import os
+
+    from bench import _deltas
+
+    with open("/root/repo/BENCH_r04.json") as f:
+        prev = json.load(f)["parsed"]
+    cwd = os.getcwd()
+    os.chdir("/root/repo")
+    try:
+        same = _deltas(dict(prev["queries"]))
+        assert same["vs_round"] >= 4 and same["flagged"] == []
+        assert abs(same["total_ratio"] - prev["value"] / same["prev_total"]) < 0.01
+        bumped = {k: v * 1.1 for k, v in prev["queries"].items()}
+        slow = max(prev["queries"], key=lambda k: prev["queries"][k])
+        bumped[slow] = prev["queries"][slow] * 2.0
+        assert slow in _deltas(bumped)["flagged"]
+        # sub-half-second noise never flags
+        fast = {k: v for k, v in prev["queries"].items() if v < 0.3}
+        if fast:
+            noisy = {k: v * 3 for k, v in fast.items()}
+            assert _deltas({**prev["queries"], **noisy})["flagged"] == [] or all(
+                max(prev["queries"][q] * 3, prev["queries"][q]) > 0.5
+                for q in _deltas({**prev["queries"], **noisy})["flagged"]
+            )
+    finally:
+        os.chdir(cwd)
