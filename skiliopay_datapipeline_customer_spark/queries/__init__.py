@@ -85,7 +85,7 @@ _FORCE = {
     "bpe_pair_counts": 3,
     "bpe_merges": 4,  # r05: gained full unrolled-round oracle
     "semantic_dedup_survivors": 3,
-    "bpe_encoded_docs": 3,
+    "bpe_encoded_docs": 4,  # r05: gained rank-order replace-chain oracle
     "training_shard_assignments": 3,
     "click_attribution_window": 3,
     "incremental_dedup_candidates": 4,  # r05: moved to oracle-checked md5 banding tier
@@ -247,6 +247,7 @@ _PRIORITY = [
     # --- r06 window starts here ---
     # r05 oracle upgrades — verify first
     "bpe_merges",
+    "bpe_encoded_docs",
     "incremental_dedup_candidates",
     # analytics suite
     "segment_balance_deciles",

@@ -622,7 +622,9 @@ def bpe_pair_counts(spark, sf_dir):
     return T.symbol_pair_counts(words).orderBy("l", "r")
 
 
-def _bpe_merges_oracle(n_merges: int = 16) -> str:
+def _bpe_train_ctes(n_merges: int) -> list[str]:
+    """The shared CTE chain deriving b0..b{n-1} (the per-round merge picks)
+    and the evolving working sets w0..w{n} — prefix of both BPE oracles."""
     cte = [
         """words AS MATERIALIZED (
       SELECT w AS word, count(*) AS cnt FROM (
@@ -659,13 +661,17 @@ def _bpe_merges_oracle(n_merges: int = 16) -> str:
                        chr(2)||b.l||b.r||chr(3)) END AS w
       FROM w{i} f LEFT JOIN b{i} b ON TRUE
     )""")
+    return cte
+
+
+def _bpe_merges_oracle(n_merges: int = 16) -> str:
     union = "\n      UNION ALL ".join(
         f'SELECT CAST({i} AS INTEGER) AS rank, '
         f'(SELECT l FROM b{i}) AS "left", (SELECT r FROM b{i}) AS "right"'
         for i in range(n_merges)
     )
     return (
-        "WITH " + ",\n    ".join(cte)
+        "WITH " + ",\n    ".join(_bpe_train_ctes(n_merges))
         + f'\n    SELECT rank, "left", "right" FROM ({union})\n'
         + '    WHERE "left" IS NOT NULL ORDER BY rank'
     )
@@ -679,12 +685,56 @@ def bpe_merges(spark, sf_dir):
 
 
 # Encoding tier of the tokenizer: apply the trained merge rules to the
-# corpus. Rows-only (the merge table is data-derived; training feedback
-# isn't one SQL statement) — exact pure-Python reference parity and the
-# reconstruction invariant are asserted in tests/test_text_extra.py.
+# corpus. ALSO oracle-checked: applying the rules in RANK ORDER (each via
+# the same bracketed leftmost non-overlapping replace) equals the encoder's
+# lowest-rank-first loop — a rank-k pair can never contain a later round's
+# output symbol and a merged adjacency never re-forms, so exhausting rank 0
+# before rank 1 replays the training order exactly. The oracle chains the
+# shared training CTEs (the rules are data-derived) with one replace stage
+# per rank over every word occurrence, then reassembles per-doc token lists
+# in word order. Exact pure-Python reference parity and the reconstruction
+# invariant are additionally asserted in tests/test_text_extra.py.
 
 
-@query("bpe_encoded_docs")
+def _bpe_encoded_oracle(n_merges: int = 16) -> str:
+    cte = _bpe_train_ctes(n_merges)
+    cte.append("""enc0 AS MATERIALIZED (
+      SELECT doc_id, i,
+             chr(2) || array_to_string(string_split_regex(t[i], ''),
+                                       chr(3)||chr(2)) || chr(3) AS e
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents),
+           unnest(range(1, len(t) + 1)) AS u(i)
+      WHERE t[i] <> ''
+    )""")
+    for i in range(n_merges):
+        cte.append(f"""enc{i+1} AS MATERIALIZED (
+      SELECT f.doc_id, f.i,
+             CASE WHEN b.l IS NULL THEN f.e
+                  ELSE replace(f.e,
+                       chr(2)||b.l||chr(3)||chr(2)||b.r||chr(3),
+                       chr(2)||b.l||b.r||chr(3)) END AS e
+      FROM enc{i} f LEFT JOIN b{i} b ON TRUE
+    )""")
+    cte.append(f"""agg AS (
+      SELECT doc_id,
+             flatten(list(string_split(trim(e, chr(2)||chr(3)),
+                                       chr(3)||chr(2)) ORDER BY i)) AS tokens
+      FROM enc{n_merges} GROUP BY doc_id
+    )""")
+    return (
+        "WITH " + ",\n    ".join(cte)
+        + """
+    SELECT d.doc_id,
+           coalesce(a.tokens, CAST([] AS VARCHAR[])) AS tokens,
+           CAST(coalesce(len(a.tokens), 0) AS INTEGER) AS n_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id"""
+    )
+
+
+@query("bpe_encoded_docs", oracle=_bpe_encoded_oracle(16))
 def bpe_encoded_docs(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     merges = T.bpe_train(docs, n_merges=16)
