@@ -107,13 +107,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
-                "deltas": _deltas(timings),
+                "deltas": _deltas(timings, sf=sf_val),
             }
         )
     )
 
 
-def _deltas(timings: dict[str, float]) -> dict:
+def _deltas(
+    timings: dict[str, float],
+    root: str | None = None,
+    sf: float | str | None = None,
+) -> dict:
     """Per-query ratio vs the latest recorded BENCH_r{N}.json, so a
     regression in one heavy query can't hide inside a healthy total.
     ``flagged`` lists queries whose ratio exceeds 1.5× — outside the
@@ -121,25 +125,18 @@ def _deltas(timings: dict[str, float]) -> dict:
     a regression from ONE run) — among queries slow enough to measure
     (>0.5 s before or after; sub-half-second timings are codegen-compile
     noise)."""
-    import glob
-    import re
+    from skiliopay_datapipeline_customer_spark.artifacts import (
+        latest_round_artifact,
+    )
 
-    root = os.path.dirname(os.path.abspath(__file__))
-    prev_round, prev = -1, None
-    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m or int(m.group(1)) <= prev_round:
-            continue
-        try:
-            with open(path) as f:
-                data = json.load(f)
-        except (OSError, ValueError):
-            continue
-        # the driver wraps our JSON line under "parsed"
-        if isinstance(data.get("parsed"), dict):
-            data = data["parsed"]
-        if isinstance(data.get("queries"), dict):
-            prev_round, prev = int(m.group(1)), data
+    # only compare same-SF records: an ad-hoc sf0.01 run ratioed against the
+    # driver's sf0.1 history would flag (or mask) pure scale differences
+    prev_round, prev = latest_round_artifact(
+        "BENCH",
+        root,
+        require=lambda d: isinstance(d.get("queries"), dict)
+        and (sf is None or d.get("sf") == sf),
+    )
     if prev is None:
         return {"vs_round": None, "ratios": {}, "flagged": []}
     ratios = {

@@ -89,20 +89,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
-    n_oracle = sum(1 for r in out.values() if r["err"] != "no_oracle")
+    # oracle_checked counts queries whose oracle actually RAN — a query
+    # that threw before the compare has err=<exception> and oracle_rows
+    # None, and must land in failures, not inflate oracle coverage.
+    n_oracle = sum(1 for r in out.values() if r["oracle_rows"] is not None)
     n_green = sum(1 for r in out.values() if r["hash_match"])
+    failures = [k for k, r in out.items()
+                if r["err"] not in (None, "no_oracle") or
+                (r["err"] is None and not r["hash_match"])]
     print(json.dumps({
         "written": path,
         "queries": len(out),
         "oracle_checked": n_oracle,
         "hash_green": n_green,
         "rows_only": sum(1 for r in out.values() if r["err"] == "no_oracle"),
-        "failures": [k for k, r in out.items()
-                     if r["err"] not in (None, "no_oracle") or
-                     (r["err"] is None and not r["hash_match"])],
+        "failures": failures,
         "secs": round(time.time() - t0, 1),
     }))
-    return 0 if n_green == n_oracle else 1
+    return 0 if not failures else 1
 
 
 if __name__ == "__main__":

@@ -133,13 +133,14 @@ class RunTracker:
         if self._mlf is not None:
             self._mlf.log_artifact(artifact_path)
 
-    def end_run(self) -> None:
+    def end_run(self, status: str = "FINISHED") -> None:
         self._current["end"] = time.time()
+        self._current["status"] = status
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         with open(self.path, "a") as f:
             f.write(json.dumps(self._current) + "\n")
         if self._mlf is not None:
-            self._mlf.end_run()
+            self._mlf.end_run(status=status)
 
     def runs(self) -> list[dict]:
         if not os.path.exists(self.path):
@@ -173,19 +174,38 @@ def tune(
 
     def run_trial(t_idx: int, params: dict) -> dict:
         nonlocal best
+        hp = _to_hp(params, model_type)
         if tracker:
             tracker.start_run(f"trial_{t_idx}")
-            tracker.log_params({**params, "model_type": model_type})
-        cv = cross_validate(
-            df,
-            feature_cols,
-            label_col,
-            key_col=key_col,
-            n_folds=n_folds,
-            model_type=model_type,
-            seed=seed,
-            **_to_hp(params, model_type),
-        )
+            # top-level params are the RESOLVED estimator kwargs — replayable
+            # via train_classifier(model_type=..., **run["params"] sans
+            # model_type); the sampler's raw point rides under space.* so
+            # the record shows both what was proposed and what was trained.
+            tracker.log_params(
+                {
+                    **hp,
+                    "model_type": model_type,
+                    **{f"space.{k}": v for k, v in params.items()},
+                }
+            )
+        try:
+            cv = cross_validate(
+                df,
+                feature_cols,
+                label_col,
+                key_col=key_col,
+                n_folds=n_folds,
+                model_type=model_type,
+                seed=seed,
+                **hp,
+            )
+        except BaseException:
+            # a failed trial must still terminate the run in BOTH sinks:
+            # an active mlflow run would wedge every subsequent start_run,
+            # and the JSONL record keeps the two logs payload-identical.
+            if tracker:
+                tracker.end_run(status="FAILED")
+            raise
         if tracker:
             tracker.log_metrics(
                 {
@@ -195,7 +215,11 @@ def tune(
             )
             tracker.end_run()
         if cv["cv_roc_auc_mean"] > best["cv_roc_auc_mean"]:
-            best = {"params": params, **{k: v for k, v in cv.items() if k != "folds"}}
+            best = {
+                "params": params,
+                "estimator_params": hp,
+                **{k: v for k, v in cv.items() if k != "folds"},
+            }
         return cv
 
     if optuna is not None:

@@ -319,23 +319,10 @@ def _last_verified() -> dict[str, int]:
     """Latest round each query got a green driver row, from the repo-root
     CORRECTNESS_r*.json audit trail. Non-green rows don't count, so a failed
     query rotates straight back into the window after a fix."""
-    import glob
-    import json
-    import os
-    import re
+    from ..artifacts import round_artifacts
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     last: dict[str, int] = {}
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        try:
-            with open(path) as f:
-                data = json.load(f)
-        except (OSError, ValueError):
-            continue
+    for rnd, data in round_artifacts("CORRECTNESS"):
         for q, rec in data.items():
             if not isinstance(rec, dict):
                 continue

@@ -1194,7 +1194,14 @@ def seasonal_value_anomalies(spark, sf_dir):
         "event_type",
         F.hour("ts").cast("long").alias("hr"),
         "value",
-        F.round(F.col("value") * 100).cast("long").alias("c"),
+        # NULL c for NULL/NaN values: the oracle's NULL comparisons exclude
+        # such rows from membership (they still count in n via count(*));
+        # without the guard Spark would cast NaN to 0 cents and a NULL value
+        # would later masquerade as a decimal overflow.
+        F.when(
+            F.col("value").isNotNull() & ~F.isnan("value"),
+            F.round(F.col("value") * 100).cast("long"),
+        ).alias("c"),
     )
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     cells = ev.groupBy("event_type", "hr").agg(
@@ -1204,14 +1211,16 @@ def seasonal_value_anomalies(spark, sf_dir):
     )
     dev = F.col("n") * F.col("c") - F.col("s")          # n·x − S
     var_num = F.col("n") * F.col("s2") - F.col("s") * F.col("s")  # n²σ²... (n·S2 − S²)
-    # n/s/s2/c are non-null by construction, so a NULL dev or var_num can
-    # only mean a decimal(38,0) product overflowed (n·c, n·S2, or S²); the
-    # magnitude bounds keep the SQUARED terms below 10^38 too.
+    # On a non-null c row, n is never null and s/s2 include this row's c, so
+    # a NULL dev or var_num can only mean a decimal(38,0) product overflowed
+    # (n·c, n·S2, or S²); the magnitude bounds keep the SQUARED terms below
+    # 10^38 too. NULL-c rows (NULL/NaN value) are excluded from the overflow
+    # test — they drop out of membership like the oracle's NULL comparisons.
     import decimal
 
     # 10^19 exceeds a JVM long, so the bounds ride in as Decimal literals
     dec38 = lambda v: F.lit(decimal.Decimal(v)).cast("decimal(38,0)")  # noqa: E731
-    overflow = (
+    overflow = F.col("c").isNotNull() & (
         dev.isNull()
         | var_num.isNull()
         | (F.abs(dev) >= dec38(10**19))

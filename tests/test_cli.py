@@ -128,34 +128,39 @@ def test_cli_dag_runs_churn_graph(capsys, tmp_path):
     assert payload["metrics"]["roc_auc"] >= 0.8
 
 
-def test_bench_deltas_flag_regressions_vs_latest_record():
+def test_bench_deltas_flag_regressions_vs_latest_record(tmp_path):
     """bench.py's deltas block must compare against the newest BENCH_r*.json
-    (driver-wrapped under "parsed") and flag >1.5x per-query regressions on
-    measurable (>0.5 s) queries only."""
+    (driver-wrapped under "parsed", corrupt files tolerated) and flag >1.5x
+    per-query regressions on measurable (>0.5 s) queries only. Hermetic:
+    synthetic records in tmp_path, NOT the repo's real (variance-prone)
+    round history."""
     import json
-    import os
 
     from bench import _deltas
 
-    with open("/root/repo/BENCH_r04.json") as f:
-        prev = json.load(f)["parsed"]
-    cwd = os.getcwd()
-    os.chdir("/root/repo")
-    try:
-        same = _deltas(dict(prev["queries"]))
-        assert same["vs_round"] >= 4 and same["flagged"] == []
-        assert abs(same["total_ratio"] - prev["value"] / same["prev_total"]) < 0.01
-        bumped = {k: v * 1.1 for k, v in prev["queries"].items()}
-        slow = max(prev["queries"], key=lambda k: prev["queries"][k])
-        bumped[slow] = prev["queries"][slow] * 2.0
-        assert slow in _deltas(bumped)["flagged"]
-        # sub-half-second noise never flags
-        fast = {k: v for k, v in prev["queries"].items() if v < 0.3}
-        if fast:
-            noisy = {k: v * 3 for k, v in fast.items()}
-            assert _deltas({**prev["queries"], **noisy})["flagged"] == [] or all(
-                max(prev["queries"][q] * 3, prev["queries"][q]) > 0.5
-                for q in _deltas({**prev["queries"], **noisy})["flagged"]
-            )
-    finally:
-        os.chdir(cwd)
+    prev = {
+        "metric": "headline_queries_total_time",
+        "value": 10.0,
+        "queries": {"heavy": 4.0, "mid": 1.0, "fast": 0.2},
+        "sf": 0.1,
+    }
+    (tmp_path / "BENCH_r7.json").write_text(json.dumps({"parsed": prev}))
+    (tmp_path / "BENCH_r6.json").write_text("{corrupt")  # skipped, not fatal
+    (tmp_path / "BENCH_r9.json").write_text('{"no_queries": true}')  # filtered
+    root = str(tmp_path)
+
+    same = _deltas(dict(prev["queries"]), root=root)
+    assert same["vs_round"] == 7 and same["flagged"] == []
+    assert same["prev_total"] == 10.0 and same["total_ratio"] == 0.52
+    # a 2x regression on a measurable query flags; new queries don't crash
+    bumped = {**prev["queries"], "heavy": 8.0, "brand_new": 1.0}
+    d = _deltas(bumped, root=root)
+    assert d["flagged"] == ["heavy"] and "brand_new" not in d["ratios"]
+    # sub-half-second noise never flags (3x on a 0.2s query)
+    assert _deltas({**prev["queries"], "fast": 0.45}, root=root)["flagged"] == []
+    # no usable record → empty deltas
+    empty = _deltas({"q": 1.0}, root=str(tmp_path / "nowhere"))
+    assert empty == {"vs_round": None, "ratios": {}, "flagged": []}
+    # records at a different SF never compare (scale ≠ regression)
+    assert _deltas(dict(prev["queries"]), root=root, sf=0.1)["vs_round"] == 7
+    assert _deltas(dict(prev["queries"]), root=root, sf=0.01)["vs_round"] is None

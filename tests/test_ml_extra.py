@@ -71,9 +71,18 @@ def test_tune_loop_and_tracker(spark, sf_dir, tmp_path):
         "minInfoGain",
     }
     assert best["sampler"] == "seeded-random"  # optuna absent in container
+    # the resolved estimator kwargs replay through train_classifier: rf maps
+    # maxIter→numTrees, drops stepSize, stringifies featureSubsetStrategy
+    ep = best["estimator_params"]
+    assert "numTrees" in ep and "stepSize" not in ep
+    assert isinstance(ep["featureSubsetStrategy"], str)
     runs = tracker.runs()
     assert len(runs) == 2
     assert all("cv_roc_auc_mean" in r["metrics"] for r in runs)
+    assert all(r["status"] == "FINISHED" for r in runs)
+    # run params are the applied kwargs (+ the sampler's raw space.* point)
+    assert all("numTrees" in r["params"] and "space.maxIter" in r["params"]
+               for r in runs)
     # deterministic sampler: same trial index → same params
     from skiliopay_datapipeline_customer_spark.ml.tuning import _sample
 
@@ -153,7 +162,7 @@ def test_run_tracker_writes_through_to_mlflow_stub(monkeypatch, tmp_path):
     stub.log_params = lambda p: calls.append(("log_params", dict(p)))
     stub.log_metrics = lambda m: calls.append(("log_metrics", dict(m)))
     stub.log_artifact = lambda a: calls.append(("log_artifact", a))
-    stub.end_run = lambda: calls.append(("end_run",))
+    stub.end_run = lambda status="FINISHED": calls.append(("end_run", status))
     monkeypatch.setitem(sys.modules, "mlflow", stub)
 
     tracker = RunTracker(str(tmp_path / "mlf_runs.jsonl"))
@@ -173,7 +182,7 @@ def test_run_tracker_writes_through_to_mlflow_stub(monkeypatch, tmp_path):
         ("log_params", {"maxDepth": 5, "model_type": "gbt"}),
         ("log_metrics", {"roc_auc": 0.97}),
         ("log_artifact", "/tmp/model.bin"),
-        ("end_run",),
+        ("end_run", "FINISHED"),
     ]
     # without the library the JSONL sink still records alone
     monkeypatch.delitem(sys.modules, "mlflow")
@@ -182,6 +191,39 @@ def test_run_tracker_writes_through_to_mlflow_stub(monkeypatch, tmp_path):
     tracker2.log_metrics({"roc_auc": 0.5})
     tracker2.end_run()
     assert tracker2.runs()[0]["metrics"] == {"roc_auc": 0.5}
+
+
+def test_failed_trial_terminates_run_in_both_sinks(monkeypatch, tmp_path):
+    """A trial that raises mid-training must not leave the mlflow run active
+    (which would wedge the next start_run) or drop the JSONL record — the
+    run ends with status=FAILED in both sinks and the error propagates."""
+    import sys
+    import types
+
+    import pytest
+
+    from skiliopay_datapipeline_customer_spark.ml import tuning
+
+    calls: list[tuple] = []
+    stub = types.ModuleType("mlflow")
+    stub.start_run = lambda run_name=None: calls.append(("start_run", run_name))
+    stub.log_params = lambda p: calls.append(("log_params",))
+    stub.log_metrics = lambda m: calls.append(("log_metrics",))
+    stub.end_run = lambda status="FINISHED": calls.append(("end_run", status))
+    monkeypatch.setitem(sys.modules, "mlflow", stub)
+
+    def boom(*a, **k):
+        raise RuntimeError("spark job failed")
+
+    monkeypatch.setattr(tuning, "cross_validate", boom)
+    tracker = tuning.RunTracker(str(tmp_path / "failed_runs.jsonl"))
+    with pytest.raises(RuntimeError, match="spark job failed"):
+        tuning.tune(
+            None, [], "y", key_col="k", n_trials=1, tracker=tracker
+        )
+    (run,) = tracker.runs()
+    assert run["status"] == "FAILED" and run["metrics"] == {}
+    assert calls[-1] == ("end_run", "FAILED")
 
 
 def test_logistic_regression_alternate(spark, sf_dir):

@@ -148,3 +148,55 @@ def test_rolling_7d_hll_tier_tracks_exact_tier(spark, sf_dir):
     assert set(exact) == set(approx) and len(exact) > 10
     for d, n in exact.items():
         assert abs(approx[d] - n) <= max(2, 0.05 * n), (d, n, approx[d])
+
+
+def test_seasonal_anomalies_null_nan_values_drop_not_raise(spark, sf_dir, tmp_path):
+    """A NULL or NaN event value must drop out of anomaly membership (the
+    oracle's NULL-comparison semantics) — NOT masquerade as a decimal(38,0)
+    overflow and abort the query. Runs the registered query on a mutated
+    events table and checks full oracle parity with the same NULL/NaN guard
+    applied to the SQL."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.parity import (
+        compare_frames,
+        duckdb_connection,
+    )
+    from skiliopay_datapipeline_customer_spark.queries import (
+        ORACLES,
+        QUERIES,
+        load_all,
+    )
+
+    load_all()
+    mutated = table(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 97 == 0, F.lit(None).cast("double"))
+        .when(F.col("event_id") % 101 == 0, F.lit(float("nan")))
+        .otherwise(F.col("value")),
+    )
+    mutated.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "_ev"))
+    (part,) = glob.glob(str(tmp_path / "_ev" / "part-*.parquet"))
+    shutil.move(part, tmp_path / "events.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", tmp_path / f"{t}.parquet")
+
+    out = QUERIES["seasonal_value_anomalies"](spark, str(tmp_path)).toPandas()
+    assert (out["event_id"] % 97 != 0).all() and (out["event_id"] % 101 != 0).all()
+    con = duckdb_connection(str(tmp_path))
+    try:
+        guarded = ORACLES["seasonal_value_anomalies"].replace(
+            "CAST(round(value * 100) AS BIGINT)",
+            "CASE WHEN value IS NOT NULL AND NOT isnan(value) "
+            "THEN CAST(round(value * 100) AS BIGINT) END",
+        )
+        assert guarded != ORACLES["seasonal_value_anomalies"]
+        opdf = con.execute(guarded).fetchdf()
+    finally:
+        con.close()
+    assert compare_frames(out, opdf) == []
