@@ -26,9 +26,24 @@ def one_hot_columns(col: str, categories: list[str], prefix: str | None = None) 
     ]
 
 
-def discover_categories(df: DataFrame, col: str) -> list[str]:
-    """Distinct values, sorted — LabelEncoder's class order. One small agg."""
-    rows = df.select(col).distinct().collect()
+def discover_categories(
+    df: DataFrame, col: str, max_categories: int = 10_000
+) -> list[str]:
+    """Distinct values, sorted — LabelEncoder's class order. One small agg.
+
+    Guarded like the similarity exact tier: a vocabulary past
+    ``max_categories`` means the column isn't an enum and the driver-side
+    collect (and the when-chain / dummy-column expansion it feeds) would
+    degenerate — raise loudly and point at the unbounded-cardinality tier
+    instead of quietly building a 10^6-column frame."""
+    rows = df.select(col).distinct().limit(max_categories + 1).collect()
+    if len(rows) > max_categories:
+        raise ValueError(
+            f"discover_categories({col!r}): more than {max_categories} "
+            "distinct values — not an enum column. Pass an explicit "
+            "`categories` list or use functions.encoding.hashed_features "
+            "(the unbounded-cardinality encoder)."
+        )
     return sorted(r[0] for r in rows if r[0] is not None)
 
 

@@ -401,3 +401,21 @@ def test_hashed_features_fixed_width_and_deterministic(spark, sf_dir):
     for r in rows:
         assert sum(abs(r[c]) for c in fh_cols) <= 2
         assert sum(abs(r[c]) for c in fh_cols) >= 0  # collisions may cancel
+
+
+def test_discover_categories_guards_unbounded_vocabulary(spark, sf_dir):
+    """F15/F16 vocabulary discovery is for enum columns: past max_categories
+    it must raise toward hashed_features, not collect the column to the
+    driver and expand a degenerate when-chain."""
+    import pytest
+
+    from skiliopay_datapipeline_customer_spark.functions.encoding import (
+        discover_categories,
+    )
+    from skiliopay_datapipeline_customer_spark.io import table
+
+    cust = table(spark, sf_dir, "customer")
+    cats = discover_categories(cust, "c_mktsegment")
+    assert cats == sorted(cats) and 0 < len(cats) <= 5
+    with pytest.raises(ValueError, match="hashed_features"):
+        discover_categories(cust, "c_custkey", max_categories=10)
