@@ -150,6 +150,13 @@ def minhash_band_buckets(
     (:func:`minhash_lsh_candidates`) and, written to a parquet signature
     store partitioned by band, the incremental ingestion tier
     (:func:`incremental_lsh_candidates`)."""
+    if num_hashes % bands:
+        # a remainder would silently drop the trailing hashes from every
+        # bucket — the effective signature wouldn't be what the caller asked
+        # for (same contract as train_pq_codebooks' dim % m check)
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     return sig.select(
@@ -195,37 +202,52 @@ def minhash_lsh_candidates(
     belong in the EXACT-dedup tier (identical content collides in every
     band), which runs first in the ladder.
     """
+    banded = minhash_band_buckets(df, text_col, id_col, num_hashes, bands, shingle_n)
+    raw, capped = capped_bucket_pairs(banded, id_col, max_bucket_size)
+    pairs = raw.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
+    return materialize(pairs, capped)
+
+
+def capped_bucket_pairs(
+    bb: DataFrame, id_col: str, max_bucket_size: int
+) -> tuple[DataFrame, DataFrame]:
+    """(id, band, bucket) rows → candidate id pairs (``id_a < id_b``), one
+    output row per shared bucket — the self-join core both LSH families
+    (minhash text dedup here, random-plane embedding dedup in
+    ``similarity.lsh_dup_pairs``) build on.
+
+    Bucket-size cap as a count window over the self-join key, not a
+    groupBy+join-back: ONE exchange on (band, bucket) that the self-join
+    then REUSES (the window leaves both cached sides hash-partitioned on
+    exactly the join key, so the sort-merge join adds no new shuffle) — vs
+    three exchanges for the agg + two join sides. Persisted AFTER the
+    window so the upstream signature/projection pipeline + the exchange run
+    once for both sides. Buckets over ``max_bucket_size`` are dropped
+    before the join (degenerate-mass skew guard). Returns
+    ``(pairs, capped)``; the caller releases the persisted banding frame
+    via ``materialize(result, capped)`` once its plan has run.
+    """
     from pyspark.sql import Window
 
-    banded = minhash_band_buckets(df, text_col, id_col, num_hashes, bands, shingle_n)
-    # bucket-size cap as a count window over the self-join key, not a
-    # groupBy+join-back: ONE exchange on (band, bucket) that the self-join
-    # below then REUSES (the window leaves both cached sides hash-partitioned
-    # on exactly the join key, so the sort-merge join adds no new shuffle) —
-    # vs three exchanges for the agg + two join sides. Persist AFTER the
-    # window so the signature pipeline + exchange run once for both sides.
     wb = Window.partitionBy("band", "bucket")
     capped = (
-        banded.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+        bb.withColumn("_bsz", F.count(F.lit(1)).over(wb))
         .filter(F.col("_bsz") <= max_bucket_size)
         .drop("_bsz")
         .persist()
     )
     a = capped.alias("a")
     b = capped.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count("*").alias("n_bands"))
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
     )
-    return materialize(pairs, capped)
+    return pairs, capped
 
 
 def incremental_lsh_candidates(

@@ -53,8 +53,16 @@ def asof_join(
         F.struct(*[F.col(c) for c in right_payload]).alias("_rpay"),
     )
     unioned = l_tag.unionByName(r_tag)
-    # right rows sort before left rows at equal time iff inclusive
-    order = ["_t", "_is_left"] if inclusive else ["_t", F.desc("_is_left")]
+    # right rows sort before left rows at equal time iff inclusive; among
+    # right rows tied on (key, time) the GREATEST payload struct wins —
+    # without the _rpay tiebreak the carried row is partition-placement-
+    # dependent (last() under a ROWS frame sees an arbitrary tie order).
+    # Callers with map-typed (unorderable) payloads must pre-dedup ties.
+    order = (
+        ["_t", "_is_left", "_rpay"]
+        if inclusive
+        else ["_t", F.desc("_is_left"), "_rpay"]
+    )
     w = (
         Window.partitionBy(key)
         .orderBy(*order)
@@ -88,6 +96,10 @@ def salted_join(
     a per-row uniform; using a hash (not rand()) keeps the join deterministic
     and retry-safe (rand() breaks task-retry idempotence mid-shuffle).
     """
+    if how not in ("inner", "left"):
+        # the right side is replicated salt_buckets times: an unmatched
+        # right row would surface once PER REPLICA under right/full outer
+        raise ValueError("salted_join supports how='inner'/'left'")
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     right_rep = right.withColumn("_salt", salts)
     left_salted = left.withColumn(

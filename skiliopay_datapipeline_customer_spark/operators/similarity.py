@@ -352,6 +352,12 @@ def lsh_dup_pairs(
     vs the oracle's fold). Identical plane family (md5-derived literals),
     identical downstream plan.
     """
+    if num_planes % bands:
+        # a remainder would silently shrink the plane family (trailing
+        # planes never projected) vs what the caller asked for
+        raise ValueError(
+            f"num_planes ({num_planes}) must be divisible by bands ({bands})"
+        )
     ppb = num_planes // bands
     dim = _probe_dim(df, vec_col)
     from ..io import fan_out
@@ -382,41 +388,19 @@ def lsh_dup_pairs(
             base.withColumn("_bks", buckets_udf(F.col(vec_col)))
             .select(id_col, F.posexplode("_bks").alias("band", "bucket"))
         )
-    from pyspark.sql import Window
+    from .dedup import capped_bucket_pairs
 
-    # bucket-size cap as a count window over the self-join key: one exchange
-    # on (band, bucket) that the self-join REUSES (both cached sides stay
-    # hash-partitioned on exactly the join key), vs a groupBy + join-back
-    # costing three. Persist AFTER the window so the plane-projection
-    # subtree (planes × dims evaluations per row) + the exchange run once
-    # for both sides (Spark's own MinHashLSH persists the same frame).
-    # IDs ONLY: carrying the vectors through the self-join would shuffle dim
-    # floats per candidate ROW; they re-attach at the verify tier.
-    wb = Window.partitionBy("band", "bucket")
-    capped = (
-        bb.withColumn("_bsz", F.count(F.lit(1)).over(wb))
-        .filter(F.col("_bsz") <= max_bucket_size)
-        .drop("_bsz")
-        .persist()
-    )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    # NO pair-dedup here: a pair colliding in k bands flows to the verify
-    # tier k times (k is ~1 for random data — multi-band collisions are
-    # rare), where the per-pair similarity is deterministic, and the
-    # ONE dedup below runs on the post-filter frame (pairs that passed the
-    # threshold — orders of magnitude smaller than the candidate list).
-    # Deduping candidates first would shuffle the full candidate volume
-    # an extra time to save only the duplicated verify arithmetic.
-    cand = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-    )
+    # shared self-join core (cap window + one reused exchange — see
+    # capped_bucket_pairs). IDs ONLY through the join: carrying the vectors
+    # would shuffle dim floats per candidate ROW; they re-attach at the
+    # verify tier. NO pair-dedup here: a pair colliding in k bands flows to
+    # the verify tier k times (k is ~1 for random data — multi-band
+    # collisions are rare), where the per-pair similarity is deterministic,
+    # and the ONE dedup below runs on the post-filter frame (pairs that
+    # passed the threshold — orders of magnitude smaller than the candidate
+    # list). Deduping candidates first would shuffle the full candidate
+    # volume an extra time to save only the duplicated verify arithmetic.
+    cand, capped = capped_bucket_pairs(bb, id_col, max_bucket_size)
     # verify tier: norms fold ONCE PER DOC here, not per pair — the same
     # left fold over the same list produces the identical double, so oracle
     # bit-compatibility is preserved while the per-pair work drops to the

@@ -336,7 +336,7 @@ def contamination_report(
     aggregates. Grams join as strings here for oracle exactness; at 100 TB
     hash them (xxhash64) to shrink the broadcast and the shuffle keys.
     """
-    from .dedup import materialize, shingles_from_tokens
+    from .dedup import shingles_from_tokens
 
     def grams(df):
         return (
@@ -365,7 +365,11 @@ def contamination_report(
             (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
-    return materialize(report)
+    # lazy on purpose: the report is corpus-row-sized (one row per training
+    # doc) and this pipeline persists no intermediates — an eager
+    # localCheckpoint here would full-compute and pin the whole corpus even
+    # for callers who immediately filter to the contaminated subset
+    return report
 
 
 def chunk_assignments(
@@ -608,7 +612,14 @@ def bpe_train(
     """Train `n_merges` BPE merge rules on the corpus. Returns
     [(rank, left, right)]; stops early when no pair repeats."""
     words = word_frequencies(df, text_col).persist()
-    cached = words
+    # the parent frame must stay cached until an ACTION materializes its
+    # child's persist (persist() is lazy): unpersisting it eagerly would
+    # leave every non-checkpoint round uncached and each pair-count pass
+    # recomputing all merge folds since the last checkpoint. So the parent
+    # is released only after the NEXT round's .first() has filled the
+    # child's cache; eager localCheckpoints materialize in place and free
+    # their parent immediately.
+    parent_pending: object | None = None
     merges: list[tuple[int, str, str]] = []
     for rank in range(n_merges):
         best = (
@@ -616,6 +627,9 @@ def bpe_train(
             .orderBy(F.desc("pair_count"), "l", "r")
             .first()
         )
+        if parent_pending is not None:
+            parent_pending.unpersist()
+            parent_pending = None
         if best is None or best["pair_count"] < 2:
             break
         merges.append((rank, best["l"], best["r"]))
@@ -624,12 +638,14 @@ def bpe_train(
         )
         if (rank + 1) % checkpoint_interval == 0:
             new_words = new_words.localCheckpoint(eager=True)
+            words.unpersist()
         else:
             new_words = new_words.persist()
-        cached.unpersist()
-        cached = new_words
+            parent_pending = words
         words = new_words
-    cached.unpersist()
+    if parent_pending is not None:
+        parent_pending.unpersist()
+    words.unpersist()
     return merges
 
 

@@ -43,6 +43,11 @@ def run_available_now(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode(output_mode)
     )
+    if not query_name and foreach_batch is None and out_dir is None:
+        # the memory sink REQUIRES a query name (it is the in-memory table's
+        # name); synthesize a stable one from the checkpoint rather than
+        # crashing on the bare df+checkpoint call shape
+        query_name = f"mem_{re.sub(r'[^A-Za-z0-9_]', '_', os.path.basename(checkpoint_dir.rstrip('/')))}"
     if query_name:
         writer = writer.queryName(query_name)
     if foreach_batch is not None:
@@ -156,7 +161,16 @@ def upsert_snapshot(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        current = latest_snapshot(spark, target_dir)
+        # one directory listing per micro-batch: the same committed-version
+        # list picks the current snapshot AND the next version number
+        # (listing + _SUCCESS stats against object storage are not free on
+        # a hot foreachBatch path)
+        vs = _versions(target_dir)
+        current = (
+            spark.read.parquet(os.path.join(target_dir, f"v={vs[-1]}"))
+            if vs
+            else None
+        )
         merged = (
             batch_df
             if current is None
@@ -175,7 +189,7 @@ def upsert_snapshot(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        next_v = (_versions(target_dir)[-1] + 1) if _versions(target_dir) else 0
+        next_v = vs[-1] + 1 if vs else 0
         deduped.write.mode("overwrite").parquet(
             os.path.join(target_dir, f"v={next_v}")
         )
@@ -318,14 +332,31 @@ def jdbc_exactly_once_sink(
             # replay into a double-append.
             meta = conn.getMetaData()
             esc = meta.getSearchStringEscape()
+
+            def _pat(s: str) -> str:
+                return s.replace("_", esc + "_").replace("%", esc + "%")
+
+            # a schema-qualified name ('analytics.events_load') must probe
+            # as (schema pattern, table pattern) — getTables matches the
+            # TABLE NAME only against its third argument, so the qualified
+            # string would never match, the DELETE would be skipped on
+            # every delivery, and a replayed batch would double-append.
+            schema_part, _, name_part = table.rpartition(".")
+            schemas = (
+                {schema_part, schema_part.upper(), schema_part.lower()}
+                if schema_part
+                else {None}
+            )
             exists = False
-            for spelling in {table, table.upper(), table.lower()}:
-                pattern = spelling.replace("_", esc + "_").replace(
-                    "%", esc + "%"
-                )
-                rs = meta.getTables(None, None, pattern, None)
-                exists = rs.next()
-                rs.close()
+            for sp in schemas:
+                for spelling in {name_part, name_part.upper(), name_part.lower()}:
+                    rs = meta.getTables(
+                        None, _pat(sp) if sp else None, _pat(spelling), None
+                    )
+                    exists = rs.next()
+                    rs.close()
+                    if exists:
+                        break
                 if exists:
                     break
             if exists:

@@ -120,8 +120,13 @@ def running_user_totals(
         )
 
     return (
-        df.withColumnRenamed(value_col, "value")
-        .withColumnRenamed(user_col, "user_id")
+        # project exactly the two inputs (alias, not rename): a frame that
+        # already has a 'value'/'user_id' column would otherwise end up with
+        # duplicates and kill the stream inside the executor UDF; the
+        # projection also prunes unused columns off the state path
+        df.select(
+            F.col(user_col).alias("user_id"), F.col(value_col).alias("value")
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
@@ -238,8 +243,13 @@ def running_user_totals_tws(
             pass
 
     return (
-        df.withColumnRenamed(value_col, "value")
-        .withColumnRenamed(user_col, "user_id")
+        # project exactly the two inputs (alias, not rename): a frame that
+        # already has a 'value'/'user_id' column would otherwise end up with
+        # duplicates and kill the stream inside the executor UDF; the
+        # projection also prunes unused columns off the state path
+        df.select(
+            F.col(user_col).alias("user_id"), F.col(value_col).alias("value")
+        )
         .groupBy("user_id")
         .transformWithStateInPandas(
             statefulProcessor=_Totals(),

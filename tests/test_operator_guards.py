@@ -1,0 +1,108 @@
+"""Guards and determinism contracts added by the r05 operator audit:
+salted_join outer-join replication guard, LSH banding divisibility,
+as-of tie determinism, streaming sink defaults."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """The right side is replicated salt_buckets times — an unmatched right
+    row would surface once per replica under right/full outer joins."""
+    from skiliopay_datapipeline_customer_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, "VN")], "id int, country string")
+    right = spark.createDataFrame([("VN", 9), ("US", 7)], "country string, x int")
+    for how in ("right", "full", "outer", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, key="country", how=how)
+    # inner/left still work and never multiply rows
+    inner = salted_join(left, right, key="country", salt_buckets=4).collect()
+    assert [(r["id"], r["x"]) for r in inner] == [(1, 9)]
+    lj = salted_join(left, right, key="country", salt_buckets=4, how="left")
+    assert lj.count() == 1
+
+
+def test_banding_rejects_indivisible_hash_family(spark, sf_dir):
+    """num_hashes % bands != 0 silently dropped trailing hashes before the
+    guard; now it raises instead of computing a different signature than
+    the caller asked for."""
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.operators.dedup import (
+        minhash_band_buckets,
+    )
+    from skiliopay_datapipeline_customer_spark.operators.similarity import (
+        lsh_dup_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_band_buckets(docs, num_hashes=32, bands=6)
+    emb = table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_dup_pairs(emb, num_planes=16, bands=6)
+
+
+def test_asof_join_tie_on_right_side_is_deterministic(spark):
+    """Two right rows sharing (key, time): the greatest payload struct wins
+    regardless of partition placement (was last-writer-by-placement)."""
+    from skiliopay_datapipeline_customer_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k int, t long")
+    # same (k, t) twice with different payloads, adversarial partitioning
+    right_a = spark.createDataFrame(
+        [(1, 10, "A"), (1, 10, "B")], "k int, t long, pay string"
+    ).repartition(7)
+    right_b = spark.createDataFrame(
+        [(1, 10, "B"), (1, 10, "A")], "k int, t long, pay string"
+    ).repartition(3)
+    outs = set()
+    for right in (right_a, right_b):
+        out = asof_join(
+            left, right, key="k", left_time="t", right_time="t",
+            right_payload=["pay"],
+        ).collect()
+        outs.add(out[0]["_asof"]["pay"])
+    assert outs == {"B"}  # greatest payload, both layouts
+
+
+def test_run_available_now_defaults_memory_sink_name(spark, tmp_path):
+    """The memory sink requires a query name; the bare df+checkpoint call
+    shape must synthesize one instead of crashing."""
+    from skiliopay_datapipeline_customer_spark.streaming.sinks import (
+        run_available_now,
+    )
+
+    src = str(tmp_path / "in")
+    spark.range(5).select(F.col("id")).write.parquet(src)
+    stream = spark.readStream.schema("id long").parquet(src)
+    run_available_now(stream, str(tmp_path / "ckpt_abc"))
+    got = spark.sql("SELECT count(*) AS n FROM mem_ckpt_abc").first()["n"]
+    assert got == 5
+
+
+def test_jdbc_exactly_once_sink_schema_qualified_table(spark, tmp_path):
+    """A schema-qualified table name must still find the table in the
+    existence probe — getTables matches the bare name only, so the
+    pre-fix code skipped the epoch DELETE forever and a replayed batch
+    double-appended."""
+    from skiliopay_datapipeline_customer_spark.sources.jdbc import read_jdbc
+    from skiliopay_datapipeline_customer_spark.streaming.sinks import (
+        jdbc_exactly_once_sink,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/whq;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    sink = jdbc_exactly_once_sink(url, "ana.events_load", properties=props)
+
+    batch = spark.range(10).select(
+        F.col("id").alias("event_id"), (F.col("id") % 3).alias("user_id")
+    )
+    sink(batch, 0)
+    # replay the same epoch: the DELETE must fire (table now exists under
+    # schema ANA) so the count stays 10, not 20
+    sink(batch, 0)
+    loaded = read_jdbc(spark, url, table="ana.events_load", properties=props)
+    assert loaded.count() == 10
