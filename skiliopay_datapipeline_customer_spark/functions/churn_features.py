@@ -318,10 +318,26 @@ def encode_categoricals(
     # ONE pass collects every category list: per-column distinct().collect()
     # would re-execute the whole upstream lineage (incl. the quintile window
     # sorts) once per column — measured 9× the runtime at 50k rows.
+    # slice caps what ships to the driver (same 10k enum bound as
+    # encoding.discover_categories): a genuinely high-cardinality column
+    # raises toward hashed_features instead of building a 10^6-column select.
+    cap = 10_000
     sets_row = df.agg(
-        *[F.collect_set(c).alias(c) for c in [*ordinal, *nominal]]
+        *[
+            F.slice(F.sort_array(F.collect_set(c)), 1, cap + 1).alias(c)
+            for c in [*ordinal, *nominal]
+        ]
     ).first()
-    categories = {c: sorted(v for v in sets_row[c] if v is not None) for c in [*ordinal, *nominal]}
+    categories = {}
+    for c in [*ordinal, *nominal]:
+        vals = [v for v in sets_row[c] if v is not None]
+        if len(vals) > cap:
+            raise ValueError(
+                f"encode_categoricals({c!r}): more than {cap} distinct "
+                "values — not an enum column; use "
+                "functions.encoding.hashed_features instead"
+            )
+        categories[c] = vals  # sort_array already ordered them
     for c in ordinal:
         mapping = F.array(*[F.lit(v) for v in categories[c]])
         df = df.withColumn(

@@ -70,8 +70,11 @@ def label_encode(
     """
     cats = categories if categories is not None else discover_categories(df, col)
     out = out or f"{col}_encoded"
-    expr = F.lit(None).cast("int")
-    chain = F.when(F.col(col) == cats[0], 0) if cats else expr
+    if not cats:
+        # all-NULL column: no classes, every row encodes to NULL (a bare
+        # lit has no .otherwise, so the chain below needs ≥1 when-branch)
+        return df.withColumn(out, F.lit(None).cast("int"))
+    chain = F.when(F.col(col) == cats[0], 0)
     for i, cat in enumerate(cats[1:], start=1):
         chain = chain.when(F.col(col) == cat, i)
     return df.withColumn(out, chain.otherwise(F.lit(None).cast("int")))

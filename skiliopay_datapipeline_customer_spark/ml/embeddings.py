@@ -101,9 +101,12 @@ def kmeans_cluster_profile(
     )
     top = per_label.groupBy("cluster").agg(
         F.sum("_n").alias("n_vecs"),
-        # max_by over (count, -label): most-frequent label, smallest on ties
-        F.max_by(
-            F.col(label_col), F.struct(F.col("_n"), (-F.col(label_col)).alias("_t"))
+        # min_by over (-count, label): most-frequent label, smallest on
+        # ties — negating the COUNT (not the label) keeps the tiebreak
+        # valid for string labels, where -label would crash under ANSI
+        F.min_by(
+            F.col(label_col),
+            F.struct((-F.col("_n")).alias("_neg"), F.col(label_col).alias("_l")),
         ).alias("majority_label"),
         F.max("_n").alias("_top_n"),
     )

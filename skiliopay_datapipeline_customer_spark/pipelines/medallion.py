@@ -21,7 +21,7 @@ import os
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.quality import QualityReport, run_quality_checks
@@ -42,8 +42,13 @@ def ingest_metadata(
         .withColumn("_processing_version", F.lit(version))
     )
     if order_cols:
-        out = out.withColumn(
-            "_row_number", F.row_number().over(Window.orderBy(*order_cols))
+        # distributed total-order row id — an unpartitioned
+        # Window.orderBy funnels the whole table through ONE task
+        # (operators/ranks.py: "the first thing that dies at 100 TB")
+        from ..operators.ranks import global_rank_distributed
+
+        out = global_rank_distributed(
+            out, [F.col(c) for c in order_cols], rank_col="_row_number"
         )
     return out
 
@@ -72,7 +77,15 @@ def clean_frame(
     stats = out.agg(*stats_exprs).first() if stats_exprs else {}
 
     if numeric_impute:
-        out = out.fillna({c: stats[f"med_{c}"] for c in numeric_impute})
+        # an all-NULL column (or empty frame) has no median — nothing to
+        # impute with; None in a fillna dict is rejected by Spark
+        fills = {
+            c: stats[f"med_{c}"]
+            for c in numeric_impute
+            if stats[f"med_{c}"] is not None
+        }
+        if fills:
+            out = out.fillna(fills)
     for c in categorical_impute or []:
         # mode with pandas tie semantics: highest count, then smallest value
         mode_row = (
@@ -85,6 +98,8 @@ def clean_frame(
         out = out.fillna({c: mode_row[c] if mode_row else "Unknown"})
     for c in clip_cols or []:
         q1, q3 = stats[f"q1_{c}"], stats[f"q3_{c}"]
+        if q1 is None or q3 is None:
+            continue  # degenerate column: no fences to clip against
         lo, hi = q1 - iqr_k * (q3 - q1), q3 + iqr_k * (q3 - q1)
         out = out.withColumn(c, F.greatest(F.least(F.col(c), F.lit(hi)), F.lit(lo)))
     for c, t in (casts or {}).items():

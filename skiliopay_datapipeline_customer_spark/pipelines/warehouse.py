@@ -104,6 +104,13 @@ def build_star_schema(spark: SparkSession, sf_dir: str, base_dir: str) -> dict:
     bounds = fact_orders.agg(
         F.min("date_key").alias("lo"), F.max("date_key").alias("hi")
     ).first()
+    if bounds["lo"] is None:
+        # str(None) would otherwise slice into a bogus DATE'None…' literal
+        # and die with an unrelated parse error deep in build_dim_date
+        raise ValueError(
+            "build_star_schema: fact_orders has no dated rows — cannot "
+            "derive the dim_date range from an empty/all-NULL o_orderdate"
+        )
     lo, hi = str(bounds["lo"]), str(bounds["hi"])
     dim_date = build_dim_date(
         spark, f"{lo[:4]}-{lo[4:6]}-{lo[6:]}", f"{hi[:4]}-{hi[4:6]}-{hi[6:]}"
@@ -170,32 +177,42 @@ def scd2_merge(
             F.lit(True).alias("is_current"),
         )
     closed = current.filter(~F.col("is_current"))
-    open_rows = current.filter(F.col("is_current"))
+    # presence LITERALS, not key nullness, decide which side a joined row
+    # came from: a NULL-keyed open row or update would otherwise match no
+    # branch and silently vanish from the history (the exact hazard
+    # sources/snapshots.py documents). eqNullSafe pairs NULL keys up like
+    # any other key value.
+    open_rows = current.filter(F.col("is_current")).withColumn(
+        "_have_cur", F.lit(True)
+    )
     u = upd.select(
         F.col(key_col).alias("_uk"),
         *[F.col(c).alias(f"_u_{c}") for c in tracked_cols],
+        F.lit(True).alias("_have_upd"),
     )
-    joined = open_rows.join(u, open_rows[key_col] == u["_uk"], "full_outer")
+    joined = open_rows.join(
+        u, open_rows[key_col].eqNullSafe(u["_uk"]), "full_outer"
+    )
+    have_cur = F.col("_have_cur").eqNullSafe(F.lit(True))
+    have_upd = F.col("_have_upd").eqNullSafe(F.lit(True))
     changed = F.lit(False)
     for c in tracked_cols:
         changed = changed | ~F.col(c).eqNullSafe(F.col(f"_u_{c}"))
     # open rows: keep (no update for the key), keep (update identical),
     # or close at batch_ts (update differs)
-    kept_open = joined.filter(F.col(key_col).isNotNull()).select(
+    kept_open = joined.filter(have_cur).select(
         key_col,
         *tracked_cols,
         F.col("valid_from"),
-        F.when(F.col("_uk").isNotNull() & changed, ts)
+        F.when(have_upd & changed, ts)
         .otherwise(F.col("valid_to"))
         .alias("valid_to"),
-        F.when(F.col("_uk").isNotNull() & changed, F.lit(False))
+        F.when(have_upd & changed, F.lit(False))
         .otherwise(F.col("is_current"))
         .alias("is_current"),
     )
     # inserts: brand-new keys + new versions of changed keys
-    inserts = joined.filter(
-        F.col("_uk").isNotNull() & (F.col(key_col).isNull() | changed)
-    ).select(
+    inserts = joined.filter(have_upd & (~have_cur | changed)).select(
         F.col("_uk").alias(key_col),
         *[F.col(f"_u_{c}").alias(c) for c in tracked_cols],
         ts.alias("valid_from"),

@@ -209,14 +209,32 @@ def compact_small_files(
     File count comes from the actual on-disk byte size (not a row guess);
     an optional ``sort_cols`` re-sorts within partitions during the rewrite
     so compaction also restores zone-map locality. The rewrite goes through
-    a temp directory then an atomic-enough rename swap — readers see the
-    old layout or the new one, never a partial mix.
+    a temp directory then a rename swap — readers see the old layout or the
+    new one, never a partial mix. The swap is two renames, not one atomic
+    op: a crash in between leaves the data only under ``._compact_old``,
+    and the next invocation restores it (stale tmp/old artifacts are
+    likewise reclaimed on entry instead of wedging every later run).
 
     Returns {files_before, files_after, bytes}.
     """
     import glob as _glob
     import os
     import shutil
+
+    old = path.rstrip("/") + "._compact_old"
+    tmp = path.rstrip("/") + "._compact_tmp"
+    # crash recovery BEFORE reading anything: a previous run that died
+    # between its two renames leaves the data only under ._compact_old
+    # (restore it), and a run that died before rmtree leaves a stale
+    # ._compact_old beside a healthy table (remove it — os.rename onto a
+    # non-empty dir would otherwise fail every later compaction). A stale
+    # tmp from a crashed write is always safe to discard.
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    elif os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
 
     files = [
         f
@@ -231,9 +249,7 @@ def compact_small_files(
         out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
             *sort_cols
         )
-    tmp = path.rstrip("/") + "._compact_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

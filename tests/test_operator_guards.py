@@ -106,3 +106,99 @@ def test_jdbc_exactly_once_sink_schema_qualified_table(spark, tmp_path):
     sink(batch, 0)
     loaded = read_jdbc(spark, url, table="ana.events_load", properties=props)
     assert loaded.count() == 10
+
+
+def test_scd2_merge_preserves_null_keyed_rows(spark):
+    """Row presence comes from presence literals, not key nullness: a
+    NULL-keyed open row / update must flow through the merge (pre-fix they
+    fell through every branch and vanished from the history)."""
+    from skiliopay_datapipeline_customer_spark.pipelines.warehouse import (
+        scd2_merge,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "user_id int, tier string")
+
+    h = scd2_merge(None, batch([(1, "basic"), (None, "basic")]), "user_id",
+                   ["tier"], batch_ts="2026-01-01 00:00:00")
+    assert h.count() == 2
+    # NULL key updates pair with the NULL-keyed open row like a key value
+    h = scd2_merge(h, batch([(None, "gold")]), "user_id", ["tier"],
+                   batch_ts="2026-02-01 00:00:00")
+    rows = {(r["user_id"], r["tier"], r["is_current"]) for r in h.collect()}
+    assert (None, "basic", False) in rows and (None, "gold", True) in rows
+    assert (1, "basic", True) in rows and h.count() == 3
+
+
+def test_clean_frame_degenerate_columns_pass_through(spark):
+    """All-NULL impute/clip columns (or an empty frame) have no median/
+    quartiles — clean_frame must pass them through, not crash on a None
+    fillna value or None arithmetic."""
+    from skiliopay_datapipeline_customer_spark.pipelines.medallion import (
+        clean_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None, None), (2, None, None)], "id int, x double, y double"
+    )
+    out = clean_frame(df, key_cols=["id"], numeric_impute=["x"], clip_cols=["y"])
+    assert out.count() == 2
+    assert out.filter(F.col("x").isNull() & F.col("y").isNull()).count() == 2
+    empty = clean_frame(df.limit(0), numeric_impute=["x"], clip_cols=["y"])
+    assert empty.count() == 0
+
+
+def test_label_encode_all_null_column(spark):
+    """No discovered classes → an all-NULL encoded column, not an
+    .otherwise()-on-lit crash."""
+    from skiliopay_datapipeline_customer_spark.functions.encoding import (
+        label_encode,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, None)], "id int, seg string")
+    out = label_encode(df, "seg")
+    assert out.filter(F.col("seg_encoded").isNull()).count() == 2
+
+
+def test_compact_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves data only under
+    ._compact_old; the next invocation restores and completes. A stale
+    ._compact_old beside a healthy table is reclaimed, not a wedge."""
+    import os
+    import shutil
+
+    from skiliopay_datapipeline_customer_spark.sources.catalog import (
+        compact_small_files,
+    )
+
+    live = str(tmp_path / "t")
+    spark.range(100).coalesce(4).write.parquet(live)
+    n = spark.read.parquet(live).count()
+    # simulate the mid-swap crash: table renamed away, tmp never promoted
+    os.rename(live, live + "._compact_old")
+    stats = compact_small_files(spark, live, target_file_bytes=10**12)
+    assert spark.read.parquet(live).count() == n and stats["files_after"] >= 1
+    # stale old dir beside a healthy table must not wedge the next run
+    shutil.copytree(live, live + "._compact_old")
+    stats2 = compact_small_files(spark, live, target_file_bytes=10**12)
+    assert spark.read.parquet(live).count() == n and stats2["files_after"] >= 1
+    assert not os.path.exists(live + "._compact_old")
+
+
+def test_kmeans_profile_string_labels(spark):
+    """The majority-label tiebreak must not negate the label column —
+    string labels would ANSI-crash; ties break to the smallest label."""
+    from skiliopay_datapipeline_customer_spark.ml.embeddings import (
+        kmeans_cluster_profile,
+    )
+
+    rows = [(i, [float(i % 2), 1.0 - i % 2], "en" if i % 2 else "fr")
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    prof = kmeans_cluster_profile(
+        df, k=2, id_col="vec_id", vec_col="embedding", label_col="label"
+    ).collect()
+    assert {r["majority_label"] for r in prof} <= {"en", "fr"}
+    assert all(r["purity"] == 1.0 for r in prof)
