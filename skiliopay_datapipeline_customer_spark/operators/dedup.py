@@ -521,6 +521,12 @@ def minhash_band_buckets_md5(
     bit-identical buckets from the same md5 kernel). Bucket = portable hash
     of the band's signature slice serialized as ':'-joined decimal longs
     with the band id as the seed suffix."""
+    if num_hashes % bands:
+        # same contract as the xxhash64 tier: a remainder would silently
+        # drop the trailing hashes from every bucket
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures_md5(df, text_col, id_col, num_hashes, shingle_n)
     return sig.select(

@@ -121,6 +121,11 @@ def outliers(
     conds = {}
     for c in columns:
         q1, q3 = fences_row[f"{c}_q1"], fences_row[f"{c}_q3"]
+        if q1 is None or q3 is None:
+            # all-NULL column / empty frame: no fences, nothing is an
+            # outlier — report 0.0 instead of crashing the composite gate
+            conds[c] = F.lit(False)
+            continue
         iqr = q3 - q1
         conds[c] = (F.col(c) < q1 - k * iqr) | (F.col(c) > q3 + k * iqr)
     row = df.agg(
@@ -128,7 +133,8 @@ def outliers(
         *[F.sum(F.when(cond, 1).otherwise(0)).alias(c) for c, cond in conds.items()],
     ).first()
     n = row["n"] or 1
-    rates = {c: row[c] / n for c in columns}
+    # sum over an EMPTY frame is NULL, not 0 — same degenerate case
+    rates = {c: (row[c] or 0) / n for c in columns}
     avg_rate = sum(rates.values()) / max(len(rates), 1)
     return {
         "outlier_rates": rates,

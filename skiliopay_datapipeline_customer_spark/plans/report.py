@@ -81,9 +81,15 @@ def plan_digest(df: DataFrame) -> dict:
         r"\(\d+\) Window(?:GroupLimit)?\s*(?:\[codegen[^\]]*\])?\n((?:[^\n]*\n){1,4})",
         text,
     )
+    # two unpartitioned shapes: ORDER BY first (spec opens with "col ASC/
+    # DESC") or no ORDER BY at all (spec opens directly with
+    # specifiedwindowframe) — both are the single-task smell
     out["single_partition_window"] = any(
         "windowspecdefinition(" in blk
-        and re.search(r"windowspecdefinition\([^,)]+ (?:ASC|DESC)", blk)
+        and re.search(
+            r"windowspecdefinition\((?:[^,)]+ (?:ASC|DESC)|specifiedwindowframe)",
+            blk,
+        )
         for blk in win_args
     )
     return out

@@ -181,11 +181,15 @@ def mad_outlier_report(spark, sf_dir):
         ev.join(mad, "event_type")
         .groupBy("event_type", "med", "mad")
         .agg(
+            # when/otherwise(0), not a bare boolean cast: a NULL value (or a
+            # group whose values are ALL NULL) must count 0 like the
+            # oracle's CASE...ELSE 0 — summing only NULL casts yields NULL
             F.sum(
-                (
+                F.when(
                     F.abs(F.col("value") - F.col("med"))
-                    > F.lit(4.4478) * F.col("mad")
-                ).cast("int")
+                    > F.lit(4.4478) * F.col("mad"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
             )
             .cast("long")
             .alias("n_outliers"),

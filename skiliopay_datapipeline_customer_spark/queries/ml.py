@@ -59,7 +59,7 @@ def churn_predictions(spark, sf_dir):
     )
     from pyspark.ml.functions import vector_to_array
 
-    return (
+    pred = (
         transform(test)
         .select(
             "c_custkey",
@@ -69,6 +69,13 @@ def churn_predictions(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+    # pin the (eval-split-sized) scores and release the cached dataset —
+    # a caller holding the lazy frame would otherwise leak the split cache
+    # for the whole session, one copy per invocation (risk_tier_counts and
+    # calibration_bins both re-enter here)
+    from ..operators.dedup import materialize
+
+    return materialize(pred, ds)
 
 
 # Embedding-space reduction/clustering (LLM-pipeline family). Both fits are

@@ -476,15 +476,22 @@ def nearest_train_similarity(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     bucketed = emb.withColumn("_b", hash_bucket(F.col("vec_id"), salt="split"))
+    # norms fold ONCE PER DOC before the quadratic stage (same left fold →
+    # identical double → oracle-safe); inlining them in `sim` would re-run
+    # two dim-term sqrt-folds on every eval×train pair
     ev = bucketed.filter(F.col("_b") < 10).select(
-        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("_ev")
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("_ev"),
+        S.norm(S.as_double(F.col("embedding"))).alias("_ne"),
     )
     tr = bucketed.filter(F.col("_b") >= 10).select(
-        F.col("vec_id").alias("train_id"), "embedding"
+        F.col("vec_id").alias("train_id"),
+        "embedding",
+        S.norm(S.as_double(F.col("embedding"))).alias("_nt"),
     )
     sim = F.round(
         S.dot(S.as_double(F.col("_ev")), S.as_double(F.col("embedding")))
-        / (S.norm(S.as_double(F.col("_ev"))) * S.norm(S.as_double(F.col("embedding")))),
+        / (F.col("_ne") * F.col("_nt")),
         6,
     )
     return (

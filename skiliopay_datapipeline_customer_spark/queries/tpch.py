@@ -710,24 +710,29 @@ def ship_delay_priority(spark, sf_dir):
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_e4
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate < TIMESTAMP '1997-04-01'
       GROUP BY l_suppkey
     )
     SELECT s.s_suppkey, s.s_name,
-           round(r.total_revenue, 4) AS total_revenue
+           round(r.rev_e4 / 10000.0, 4) AS total_revenue
     FROM supplier s
     JOIN revenue r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    WHERE r.rev_e4 = (SELECT max(rev_e4) FROM revenue)
     ORDER BY s.s_suppkey
     """,
 )
 def top_revenue_supplier(spark, sf_dir):
-    """Q15 shape: the revenue view + scalar-max selection (suppliers whose
-    quarterly revenue equals the global maximum; equality on an exact
-    integer-weighted double sum is deterministic).
+    """Q15 shape: the revenue view + scalar-max selection. Revenue
+    accumulates in EXACT integer ten-thousandths (cents × discount-points,
+    the revenue_gini cents pattern): a float `sum(price*(1-disc))` is
+    summation-order-sensitive, so two near-tied suppliers could rank
+    differently between engines and the `= max` filter would pick
+    different winner rows; on exact integers the selection is
+    deterministic at any scale.
 
     Scale posture: the quarter filter pushes to the scan; ONE groupBy
     shuffle builds the view, and the scalar max comes from an
@@ -747,17 +752,22 @@ def top_revenue_supplier(spark, sf_dir):
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_revenue()).alias("total_revenue"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("rev_e4")
+        )
     )
     top = revenue.withColumn(
-        "_max_rev", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("_max_rev"))
+        "_max_rev", F.max("rev_e4").over(Window.partitionBy())
+    ).filter(F.col("rev_e4") == F.col("_max_rev"))
     return (
         s.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey",
             "s_name",
-            F.round("total_revenue", 4).alias("total_revenue"),
+            F.round(F.col("rev_e4") / 10000.0, 4).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )

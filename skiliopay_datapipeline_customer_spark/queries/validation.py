@@ -29,12 +29,18 @@ CUSTOMER_SCHEMA = {
     "schema_validation_report",
     oracle="""
     SELECT count(*) AS n_rows,
+           -- optional-column range rules ride inside coalesce(…, FALSE):
+           -- a NULL optional value breaks no rule (the engine's null-safe
+           -- semantics); a bare NOT (NULL < 0) would NULL the AND chain
+           -- and count the row invalid
            CAST(sum(CASE WHEN c_custkey IS NOT NULL AND c_name IS NOT NULL
                      AND c_mktsegment IS NOT NULL
                      AND NOT (c_custkey < 0)
                      AND regexp_matches(c_name, '^Customer#[0-9]+$')
-                     AND NOT (c_nationkey < 0) AND NOT (c_nationkey > 24)
-                     AND NOT (c_acctbal < -1000.0) AND NOT (c_acctbal > 10000.0)
+                     AND NOT coalesce(c_nationkey < 0, FALSE)
+                     AND NOT coalesce(c_nationkey > 24, FALSE)
+                     AND NOT coalesce(c_acctbal < -1000.0, FALSE)
+                     AND NOT coalesce(c_acctbal > 10000.0, FALSE)
                      AND c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE',
                                           'HOUSEHOLD','MACHINERY')
                THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,

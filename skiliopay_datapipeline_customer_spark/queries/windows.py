@@ -25,6 +25,11 @@ from . import query
 # IEEE scalar arithmetic in the oracle. The single-task ntile transcription
 # survives as `rfm_quintiles_parity` (tests-only; identical when n % 5 == 0,
 # which holds for every customer fixture).
+# Oracle boundary: the fixed 0.2/0.4/0.6/0.8 rank edges assume the scored
+# column has ≥ q distinct values; under qcut semantics fewer distinct
+# values dedup the edges (pandas-parity property tests cover that tier),
+# where this SQL transcription would still spread ranks across q buckets.
+# c_acctbal is continuous — the assumption holds at every SF.
 
 
 @query(

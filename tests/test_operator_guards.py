@@ -202,3 +202,63 @@ def test_kmeans_profile_string_labels(spark):
     ).collect()
     assert {r["majority_label"] for r in prof} <= {"en", "fr"}
     assert all(r["purity"] == 1.0 for r in prof)
+
+
+def test_outliers_gate_handles_all_null_columns(spark):
+    """IQR fences are undefined for an all-NULL column / empty frame — the
+    composite quality gate must report a 0.0 rate, not TypeError on
+    None - None."""
+    from skiliopay_datapipeline_customer_spark.plans.quality import outliers
+
+    df = spark.createDataFrame([(1, None), (2, None)], "id int, x double")
+    rep = outliers(df, ["x"])
+    assert rep["outlier_rates"]["x"] == 0.0 and rep["flagged"] == []
+    empty = outliers(df.limit(0), ["x"])
+    assert empty["outlier_rates"]["x"] == 0.0
+
+
+def test_mad_outlier_report_counts_zero_for_all_null_group(spark, monkeypatch):
+    """An event_type whose values are all NULL must report n_outliers=0
+    (the oracle's CASE...ELSE 0), not NULL from summing only NULL casts."""
+    from skiliopay_datapipeline_customer_spark.queries import QUERIES, load_all
+    from skiliopay_datapipeline_customer_spark.queries import analytics as A
+
+    load_all()
+    real_table = A.table
+    nulls = spark.createDataFrame(
+        [("ghost", None), ("ghost", None)], "event_type string, value double"
+    )
+
+    def with_ghost(spark_, sf_dir, name):
+        df = real_table(spark_, sf_dir, name)
+        return df.select("event_type", "value").unionByName(nulls) if name == "events" else df
+
+    monkeypatch.setattr(A, "table", with_ghost)
+    out = {r["event_type"]: r for r in QUERIES["mad_outlier_report"](
+        spark, "/root/testdata/sf0.001").collect()}
+    assert out["ghost"]["n_outliers"] == 0 and out["ghost"]["n"] == 2
+    assert out["ghost"]["med"] is None
+
+
+def test_session_window_boundary_semantics(spark):
+    """Pin Spark's session_window gap boundary: an EXACT 30-minute gap
+    merges (interval end is start+gap, merge on overlap-or-touch); only a
+    strictly greater gap splits — the oracle's lag-SQL uses strict > to
+    match."""
+    import datetime
+
+    from skiliopay_datapipeline_customer_spark.streaming.transforms import (
+        session_stats,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def sessions(delta):
+        df = spark.createDataFrame(
+            [(1, 1, t0), (1, 2, t0 + delta)],
+            "user_id long, event_id long, ts timestamp",
+        )
+        return session_stats(df).count()
+
+    assert sessions(datetime.timedelta(minutes=30)) == 1
+    assert sessions(datetime.timedelta(minutes=30, seconds=1)) == 2
