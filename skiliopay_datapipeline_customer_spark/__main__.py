@@ -69,8 +69,12 @@ def cmd_check(args) -> int:
         print(f"{args.query}: rows-only ({len(pdf)} rows, no oracle)")
         return 0
     con = duckdb_connection(args.sf_dir)
-    problems = compare_frames(pdf, con.execute(ORACLES[args.query]).fetchdf())
-    con.close()
+    try:  # close even when the oracle SQL errors (missing fixture table)
+        problems = compare_frames(
+            pdf, con.execute(ORACLES[args.query]).fetchdf()
+        )
+    finally:
+        con.close()
     if problems:
         print(f"{args.query}: MISMATCH {problems}")
         return 1
@@ -150,7 +154,10 @@ def cmd_freshness(args) -> int:
 
     layers = {}
     for spec in args.layer:
-        name, base_dir, prefix = spec.split(":", 2)
+        # name is colon-free; the PATH may carry colons (s3a://bucket/...),
+        # so split the name off the left and the prefix off the right
+        name, rest = spec.split(":", 1)
+        base_dir, prefix = rest.rsplit(":", 1)
         layers[name] = (base_dir, prefix)
     report = freshness_report(
         _spark(args.cpus), layers, expected_stamp=args.expected

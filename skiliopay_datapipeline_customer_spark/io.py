@@ -86,6 +86,12 @@ def fan_out(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
 
     Use only ahead of order-independent kernels (aggregations, per-row
     maps); round-robin repartition does not preserve row order.
+
+    INPUT CONTRACT — pass a SCAN-SHAPED frame (read + select/filter), not a
+    plan containing an exchange: the ``.rdd`` parallelism probe finalizes
+    the AQE plan, which EXECUTES every shuffle stage in the input once for
+    the probe and again for the real action. Every in-tree call site feeds
+    a raw table select.
     """
     target = min_tasks or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

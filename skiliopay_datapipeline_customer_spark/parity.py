@@ -12,18 +12,10 @@ import math
 import os
 from typing import Any
 
-TABLES = (
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-)
+# ONE table registry: a table added to io.TABLES gets its DuckDB view here
+# automatically (a re-declared literal would silently leave the oracle side
+# without the view)
+from .io import TABLES
 
 
 def duckdb_connection(sf_dir: str):
@@ -112,8 +104,16 @@ def _column_kind(pdf, col: str) -> str:
         return "float"
     if isinstance(v, decimal.Decimal):
         return "decimal"
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
         return "datetime"
+    if isinstance(v, datetime.date):
+        # Spark DateType surfaces as python date, DuckDB DATE as datetime64
+        # — they normalize to DIFFERENT ISO strings ('1994-01-01' vs
+        # '1994-01-01T00:00:00') and the driver hash is representation-
+        # sensitive, so a date column must fail the KIND gate loudly here
+        # (cast one side: return a timestamp from Spark, or CAST the
+        # oracle's DATE to TIMESTAMP) instead of a cryptic value diff
+        return "date"
     if isinstance(v, (list, tuple, np.ndarray)):
         return "list"
     return "str" if isinstance(v, str) else type(v).__name__

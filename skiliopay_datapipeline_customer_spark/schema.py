@@ -34,10 +34,16 @@ _TYPE_MAP = {
 def to_struct_type(schema: dict) -> T.StructType:
     """Declared StructType for spark.read (no inference in the engine)."""
     required = set(schema.get("required", []))
-    fields = [
-        T.StructField(name, _TYPE_MAP[spec.get("type", "string")], name not in required)
-        for name, spec in schema.get("properties", {}).items()
-    ]
+    fields = []
+    for name, spec in schema.get("properties", {}).items():
+        t = spec.get("type", "string")
+        if t not in _TYPE_MAP:
+            # a clear contract error, not a KeyError inside a comprehension
+            raise ValueError(
+                f"to_struct_type: unsupported JSON-schema type {t!r} for "
+                f"column {name!r} (supported: {sorted(_TYPE_MAP)})"
+            )
+        fields.append(T.StructField(name, _TYPE_MAP[t], name not in required))
     return T.StructType(fields)
 
 
@@ -90,11 +96,17 @@ def validation_counts(df: DataFrame, schema: dict) -> DataFrame:
     valid = F.lit(True)
     for _, cond in all_rules:
         valid = valid & ~cond
+    # coalesce: sum over an EMPTY frame is NULL — the report must say 0
+    # valid / 0 violations, not None (the SQL oracle transcription assumes
+    # a non-empty table, which every fixture guarantees)
     aggs = [
         F.count("*").alias("n_rows"),
-        F.sum(valid.cast("int")).alias("n_valid"),
+        F.coalesce(F.sum(valid.cast("int")), F.lit(0)).alias("n_valid"),
     ]
-    aggs += [F.sum(cond.cast("int")).alias(rule) for rule, cond in all_rules]
+    aggs += [
+        F.coalesce(F.sum(cond.cast("int")), F.lit(0)).alias(rule)
+        for rule, cond in all_rules
+    ]
     return df.agg(*aggs)
 
 

@@ -48,4 +48,23 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate returns any PRE-EXISTING session with the builder configs
+    # silently discarded — re-apply the runtime-settable ones so the
+    # documented contract ("single entry to a CONFIGURED session") holds
+    # when a harness/test created the session first. Static confs (master,
+    # maxResultSize, nanosAsLong) cannot change on a live session; io.table
+    # re-forces the read-path ones it depends on.
+    runtime = {
+        "spark.sql.shuffle.partitions": shuffle,
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.session.timeZone": "UTC",
+        **(extra_conf or {}),
+    }
+    for k, v in runtime.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — static conf on a live session
+            pass
+    return spark
