@@ -59,7 +59,11 @@ def test_index_equivalent_layout_row_group_skipping(spark, sf_dir, tmp_path):
         .executedPlan()
         .toString()
     )
-    assert "PushedFilters" not in plan or "o_orderstatus" in plan
+    # the column must appear INSIDE the PushedFilters list — the bare plan
+    # string always contains 'o_orderstatus' via the Filter/scan columns
+    import re
+
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderstatus", plan), plan[:500]
     assert (
         back.filter(F.col("o_orderstatus") == "F").count()
         == orders.filter(F.col("o_orderstatus") == "F").count()

@@ -124,6 +124,8 @@ def test_feature_pipeline_shape_and_invariants(spark):
     # flags from the 0.8-quantile: is_high_value marks >= ~20% (union of 2 flags)
     hv = gold.filter("is_high_value").count()
     assert 0.15 * N < hv < 0.45 * N
+    pre.unpersist()
+    gold.unpersist()  # session-scoped spark — don't leak storage into later tests
 
 
 def test_zscore_normalize_excludes_reference_columns(spark):

@@ -81,6 +81,7 @@ def test_train_eval_importances(spark, sf_dir):
     assert metrics["roc_auc"] > 0.95 and metrics["accuracy"] > 0.9
     imps = feature_importances(model, FEATURE_COLS)
     assert imps[0][0] == "recency_days" and abs(sum(v for _, v in imps) - 1.0) < 1e-6
+    ds.unpersist()  # session-scoped spark — don't leak storage into later tests
 
 
 def test_rf_alternate_and_cv(spark, sf_dir):

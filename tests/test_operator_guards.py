@@ -217,7 +217,9 @@ def test_outliers_gate_handles_all_null_columns(spark):
     assert empty["outlier_rates"]["x"] == 0.0
 
 
-def test_mad_outlier_report_counts_zero_for_all_null_group(spark, monkeypatch):
+def test_mad_outlier_report_counts_zero_for_all_null_group(
+    spark, sf_dir, monkeypatch
+):
     """An event_type whose values are all NULL must report n_outliers=0
     (the oracle's CASE...ELSE 0), not NULL from summing only NULL casts."""
     from skiliopay_datapipeline_customer_spark.queries import QUERIES, load_all
@@ -229,13 +231,13 @@ def test_mad_outlier_report_counts_zero_for_all_null_group(spark, monkeypatch):
         [("ghost", None), ("ghost", None)], "event_type string, value double"
     )
 
-    def with_ghost(spark_, sf_dir, name):
-        df = real_table(spark_, sf_dir, name)
+    def with_ghost(spark_, d, name):
+        df = real_table(spark_, d, name)
         return df.select("event_type", "value").unionByName(nulls) if name == "events" else df
 
     monkeypatch.setattr(A, "table", with_ghost)
     out = {r["event_type"]: r for r in QUERIES["mad_outlier_report"](
-        spark, "/root/testdata/sf0.001").collect()}
+        spark, sf_dir).collect()}
     assert out["ghost"]["n_outliers"] == 0 and out["ghost"]["n"] == 2
     assert out["ghost"]["med"] is None
 

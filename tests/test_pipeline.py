@@ -171,10 +171,11 @@ def test_incremental_silver_processes_only_new_files(spark, sf_dir, tmp_path):
     assert rows[1]["score"] == 10.0 and rows[1]["ts"] == t1  # latest wins
     assert rows[2]["score"] == 2.22  # carried forward untouched
 
-    # nothing new → no-op run, snapshot unchanged
+    # nothing new → no-op run, snapshot unchanged (no fresh version written)
     v_before = sorted(__import__("os").listdir(silver))
     snap = run()
     assert snap.count() == 3
+    assert sorted(__import__("os").listdir(silver)) == v_before
 
 
 def test_rest_stream_to_silver_to_gold_composes(spark, tmp_path):

@@ -63,9 +63,13 @@ def test_write_parquet_partitioned(spark, sf_dir, tmp_path):
     assert not out.endswith(".parquet")  # suffix normalization
     back = spark.read.parquet(out)
     assert back.count() == orders.count()
-    # partition pruning: filter on the partition column scans one directory
+    # partition pruning: the filter must reach the scan as a PARTITION
+    # filter (one directory scanned), not a post-scan Filter node
     pruned = back.filter(F.col("order_year") == 1998)
-    assert "order_year" in pruned._jdf.queryExecution().executedPlan().toString() or True
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*order_year", plan), plan[:500]
     assert pruned.count() == orders.filter(F.year("o_orderdate") == 1998).count()
 
 

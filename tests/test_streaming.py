@@ -108,7 +108,7 @@ def test_watermark_state_expiry_across_batches(spark, tmp_path):
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
 
-    def write_file(rows, name):
+    def write_file(rows):
         spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(in_dir)
@@ -127,8 +127,7 @@ def test_watermark_state_expiry_across_batches(spark, tmp_path):
             (1, t0, 10, "click", 1.0, "{}"),
             (1, t0, 10, "click", 1.0, "{}"),
             (2, t0 + datetime.timedelta(minutes=5), 11, "view", 2.0, "{}"),
-        ],
-        "b1",
+        ]
     )
     run()
     assert spark.read.parquet(out).count() == 2
@@ -140,19 +139,17 @@ def test_watermark_state_expiry_across_batches(spark, tmp_path):
         [
             (1, t0 + datetime.timedelta(minutes=10), 10, "click", 1.0, "{}"),
             (3, t0 + datetime.timedelta(minutes=20), 12, "buy", 3.0, "{}"),
-        ],
-        "b2",
+        ]
     )
     run()
     assert spark.read.parquet(out).count() == 3  # only event 3 added
 
     # batch 3: far-future event advances the watermark hours past event 1's
     # state; a later re-arrival of key 1 then passes through again.
-    write_file([(9, t0 + datetime.timedelta(hours=6), 13, "tick", 0.0, "{}")], "b3")
+    write_file([(9, t0 + datetime.timedelta(hours=6), 13, "tick", 0.0, "{}")])
     run()
     write_file(
-        [(1, t0 + datetime.timedelta(hours=6, minutes=1), 10, "click", 1.0, "{}")],
-        "b4",
+        [(1, t0 + datetime.timedelta(hours=6, minutes=1), 10, "click", 1.0, "{}")]
     )
     run()
     ids = [r["event_id"] for r in spark.read.parquet(out).collect()]
@@ -458,7 +455,13 @@ def test_transform_with_state_matches_batch_totals(spark, sf_dir, tmp_path):
     expected = {
         r["user_id"]: (r["n"], round(r["t"], 4))
         for r in events.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        # NULL-as-0.0, the operator's contract (pdf["value"].fillna(0.0)) —
+        # a bare sum("value") would yield None for an all-NULL user and
+        # encode a different NULL contract than the operator under test
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("t"),
+        )
         .collect()
     }
     assert latest == expected
