@@ -90,9 +90,21 @@ def fan_out(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
     INPUT CONTRACT — pass a SCAN-SHAPED frame (read + select/filter), not a
     plan containing an exchange: the ``.rdd`` parallelism probe finalizes
     the AQE plan, which EXECUTES every shuffle stage in the input once for
-    the probe and again for the real action. Every in-tree call site feeds
-    a raw table select.
+    the probe and again for the real action. The guard below enforces this:
+    a non-scan-shaped input is returned untouched (AQE already balances
+    post-shuffle parallelism) instead of paying the double execution.
     """
+    if min_tasks is None:
+        # auto mode: only scan-shaped plans are probed — AQE already
+        # balances post-shuffle parallelism, and the probe would double-run
+        # the input's shuffle stages. An EXPLICIT min_tasks skips this
+        # guard: the caller opted into the probe cost.
+        shuffle_nodes = (
+            "Join", "Aggregate", "Window", "Sort", "Repartition", "Deduplicate",
+        )
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        if any(tok in logical for tok in shuffle_nodes):
+            return df
     target = min_tasks or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

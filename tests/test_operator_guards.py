@@ -264,3 +264,21 @@ def test_session_window_boundary_semantics(spark):
 
     assert sessions(datetime.timedelta(minutes=30)) == 1
     assert sessions(datetime.timedelta(minutes=30, seconds=1)) == 2
+
+
+def test_fan_out_auto_mode_skips_non_scan_plans(spark, sf_dir):
+    """Auto-mode fan_out must return a shuffle-bearing plan untouched: the
+    .rdd parallelism probe finalizes AQE and would execute the input's
+    shuffle stages once for the probe and again for the real action. An
+    explicit min_tasks opts into the probe."""
+    from skiliopay_datapipeline_customer_spark.io import fan_out, table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    agg = docs.groupBy("doc_id").count()
+    assert fan_out(agg) is agg
+    joined = docs.join(docs.select("doc_id"), "doc_id")
+    assert fan_out(joined) is joined
+    # scans still widen in auto mode
+    assert fan_out(docs).rdd.getNumPartitions() >= min(
+        spark.sparkContext.defaultParallelism, 8
+    )
