@@ -76,6 +76,7 @@ def main() -> None:
     # JIT-warm the shuffle/join/agg codepaths on synthetic rows (JMH-style
     # warmup iteration): the first timed query otherwise pays ~3 s of JVM
     # compilation that belongs to the session, not the operator
+    from pyspark.sql import Window as _W
     from pyspark.sql import functions as _F
 
     _w = spark.range(100_000).select(
@@ -84,6 +85,34 @@ def main() -> None:
     _w.join(_w.groupBy("k").agg(_F.sum("v").alias("s")), "k").groupBy("k").agg(
         _F.avg("s")
     ).write.format("noop").mode("overwrite").save()
+    # same argument for the REST of the shared execution machinery the
+    # headline queries hit first: WindowExec frames, sort/TakeOrdered,
+    # GenerateExec (explode), the interpreted higher-order-function path,
+    # broadcast exchange, dropDuplicates, and the localCheckpoint RDD
+    # machinery are all session-level JVM classes — their first-use
+    # compilation cost lands on whichever query runs first (measured up to
+    # ~5 s swing on the first timed slot) and measures the JVM, not the
+    # operator. One compact plan touches each codepath once, untimed.
+    _g = (
+        _w.withColumn("r", _F.row_number().over(_W.partitionBy("k").orderBy("v")))
+        .withColumn("a", _F.sequence(_F.lit(0), _F.col("v") % 3))
+        .select("k", "v", "r", _F.explode("a").alias("e"))
+        .withColumn(
+            "f",
+            _F.aggregate(
+                _F.transform(_F.sequence(_F.lit(1), _F.lit(4)), lambda x: x.cast("double")),
+                _F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn("h", _F.xxhash64("k", "v"))
+        .join(_F.broadcast(_w.groupBy("k").count()), "k")
+        .dropDuplicates(["k", "r"])
+        .orderBy(_F.desc("h"))
+        .limit(1000)
+    )
+    _g.write.format("noop").mode("overwrite").save()
+    spark.range(10).localCheckpoint(eager=True).count()
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")

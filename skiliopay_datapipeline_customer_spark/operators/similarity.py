@@ -404,24 +404,28 @@ def lsh_dup_pairs(
     # verify tier: norms fold ONCE PER DOC here, not per pair — the same
     # left fold over the same list produces the identical double, so oracle
     # bit-compatibility is preserved while the per-pair work drops to the
-    # dot product. Plain joins (no broadcast hint): the vector frame is
-    # corpus-sized at 100 TB, AQE picks broadcast when it actually fits.
+    # dot product. The float→double cast is ALSO hoisted per doc: casting
+    # is exact, so the fold sees bit-identical doubles, while the per-pair
+    # interpreted work drops two transform passes (candidates ≥ docs in any
+    # dup-bearing corpus; the wider shuffled array — 4 extra bytes/element
+    # on the verify join sides — is the cheaper side of that trade). Plain
+    # joins (no broadcast hint): the vector frame is corpus-sized at
+    # 100 TB, AQE picks broadcast when it actually fits.
     vecs = df.select(
-        F.col(id_col), F.col(vec_col), norm(as_double(F.col(vec_col))).alias("_n")
-    )
+        F.col(id_col), as_double(F.col(vec_col)).alias("_vd")
+    ).withColumn("_n", norm(F.col("_vd")))
     va = vecs.select(
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
+        F.col("_vd").alias("_va"),
         F.col("_n").alias("_na"),
     )
     vb = vecs.select(
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
+        F.col("_vd").alias("_vb"),
         F.col("_n").alias("_nb"),
     )
     sim = F.round(
-        dot(as_double(F.col("_va")), as_double(F.col("_vb")))
-        / (F.col("_na") * F.col("_nb")),
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
         6,
     )
     verified = (
