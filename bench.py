@@ -191,5 +191,77 @@ def _deltas(
     }
 
 
+SCALING_QUERIES = [
+    # the shuffle-heavy shapes whose 100×-scale behavior the design argues
+    # for — the scaling curve is the empirical check of those arguments
+    "flagship_revenue_by_nation",
+    "star_revenue_rollup",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_dups",
+    "simhash_near_pairs",
+    "lsh_dup_pairs",
+    "dedup_clusters",
+    "token_stats",
+    "rfm_quintiles",
+    "topn_per_customer",
+]
+
+SCALING_SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+
+def scaling() -> None:
+    """Data-scaling curve: each heavy query timed at sf0.001 / 0.01 / 0.1
+    (100× data end to end) in ONE session, first-run compile absorbed by a
+    double run at the smallest SF. Prints ONE JSON line.
+
+    The number that matters is ``t_ratio_10x`` = t(sf0.1)/t(sf0.01) against
+    10× the data: a ratio well under 10 means the wall time is still
+    fixed-cost-dominated (scheduling, compile, stage setup) and the data
+    path has headroom; a ratio at or above the data ratio would mean the
+    operator is already data-bound at toy scale — the shape to investigate
+    before any 100 TB claim.
+    """
+    spark = get_spark(app_name="bench-scaling")
+    queries = all_queries()
+    spark.range(1).count()
+    for sf_d in SCALING_SF_DIRS:
+        for name in sorted(os.listdir(sf_d)):
+            if name.endswith(".parquet"):
+                with open(os.path.join(sf_d, name), "rb") as f:
+                    while f.read(1 << 24):
+                        pass
+    out: dict[str, dict] = {}
+    for name in SCALING_QUERIES:
+        fn = queries[name]
+        rec: dict[str, float] = {}
+        for i, sf_d in enumerate(SCALING_SF_DIRS):
+            sf_key = os.path.basename(sf_d).replace("sf", "")
+            if i == 0:
+                force(fn(spark, sf_d))  # absorb codegen/JIT, untimed
+            t0 = time.perf_counter()
+            force(fn(spark, sf_d))
+            rec[sf_key] = round(time.perf_counter() - t0, 3)
+        rec["t_ratio_10x"] = round(rec["0.1"] / rec["0.01"], 3) if rec["0.01"] else None
+        out[name] = rec
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_curve",
+                "unit": "sec",
+                "sfs": [0.001, 0.01, 0.1],
+                "data_ratio_last_step": 10,
+                "queries": out,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv[1:]:
+        scaling()
+    else:
+        main()
