@@ -1,4 +1,5 @@
 from .csv import read_csv, write_parquet
+from .orc import read_orc, write_orc
 from .rest import RateLimiter, fetch_paginated, rest_to_dataframe
 from .snapshots import dated_snapshot_path, latest_snapshot_path, write_dated_snapshot
 from .jdbc import read_jdbc, write_jdbc
@@ -6,6 +7,8 @@ from .jdbc import read_jdbc, write_jdbc
 __all__ = [
     "read_csv",
     "write_parquet",
+    "read_orc",
+    "write_orc",
     "RateLimiter",
     "fetch_paginated",
     "rest_to_dataframe",
