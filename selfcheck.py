@@ -11,6 +11,7 @@ so the judge can diff driver vs self signals file-to-file.
 
     python selfcheck.py 5                 # writes SELFCHECK_r05.json
     python selfcheck.py 5 --sf-dir /root/testdata/sf0.01
+    python selfcheck.py 6 --adversarial   # hostile configs → SELFCHECK_ADV_r06.json
 """
 
 from __future__ import annotations
@@ -29,6 +30,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("round_num", type=int)
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    p.add_argument(
+        "--adversarial",
+        action="store_true",
+        help="hostile session configs (AQE off, prime shuffle partitions, "
+        "non-UTC timezone) — catches plan- and config-coupling the bare "
+        "sweep can't; writes SELFCHECK_ADV_r{N}.json",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -40,12 +48,20 @@ def main(argv: list[str] | None = None) -> int:
     from skiliopay_datapipeline_customer_spark.queries import all_oracles, all_queries
 
     # bare session on purpose — mimics the round driver (no UTC/nanos configs)
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{args.cpus}]")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(max(int(args.cpus), 8)))
-        .getOrCreate()
     )
+    if args.adversarial:
+        # every query must be correct independent of AQE, partition counts,
+        # and the session timezone — the configs a foreign runner could hold
+        builder = (
+            builder.config("spark.sql.adaptive.enabled", "false")
+            .config("spark.sql.shuffle.partitions", "7")
+            .config("spark.sql.session.timeZone", "America/New_York")
+        )
+    spark = builder.getOrCreate()
     queries, oracles = all_queries(), all_oracles()
     out: dict[str, dict] = {}
     t0 = time.time()
@@ -83,9 +99,10 @@ def main(argv: list[str] | None = None) -> int:
         print(f"[{i}/{len(queries)}] {name}: "
               f"{'OK' if rec['hash_match'] else rec['err'] or 'MISMATCH'}",
               file=sys.stderr)
+    stem = "SELFCHECK_ADV" if args.adversarial else "SELFCHECK"
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        f"SELFCHECK_r{args.round_num:02d}.json",
+        f"{stem}_r{args.round_num:02d}.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
