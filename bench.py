@@ -128,6 +128,17 @@ def main() -> None:
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
+    # second pass, same session: per-query codegen/JIT now cached, so this
+    # measures the data path alone. The headline `value` stays the COLD
+    # total (what a fresh session pays, comparable across rounds); the warm
+    # block is the apples-to-apples number against the reference's
+    # warm-process baseline and is ~10 s less noisy on this VM.
+    warm: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        warm[name] = round(time.perf_counter() - t0, 3)
     print(
         json.dumps(
             {
@@ -135,6 +146,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warm_total": round(sum(warm.values()), 3),
+                "queries_warm": warm,
                 "sf": sf_val,
                 "deltas": _deltas(timings, sf=sf_val),
             }
