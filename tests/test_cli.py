@@ -164,3 +164,17 @@ def test_bench_deltas_flag_regressions_vs_latest_record(tmp_path):
     # records at a different SF never compare (scale ≠ regression)
     assert _deltas(dict(prev["queries"]), root=root, sf=0.1)["vs_round"] == 7
     assert _deltas(dict(prev["queries"]), root=root, sf=0.01)["vs_round"] is None
+
+
+def test_bench_query_lists_resolve_in_registry():
+    """Every name bench.py times — headline set and scaling set — must be a
+    declared registry query: a rename that misses bench would otherwise
+    crash the driver's per-round BENCH run (KeyError at timing, after the
+    expensive warmup)."""
+    from bench import HEADLINE, SCALING_QUERIES
+
+    from skiliopay_datapipeline_customer_spark.queries import all_queries
+
+    names = set(all_queries())
+    assert set(HEADLINE) <= names, sorted(set(HEADLINE) - names)
+    assert set(SCALING_QUERIES) <= names, sorted(set(SCALING_QUERIES) - names)
