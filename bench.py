@@ -50,7 +50,7 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
+def main(only: list[str] | None = None) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -59,6 +59,17 @@ def main() -> None:
         sf_val = sf
     spark = get_spark(app_name="bench")
     queries = all_queries()
+    headline = HEADLINE
+    if only:
+        unknown = sorted(set(only) - set(queries))
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        # ad-hoc subset timing (iterating on ONE operator without paying the
+        # full 22-query run); the driver's official record always runs the
+        # full headline set, so deltas stay apples-to-apples
+        headline = [n for n in HEADLINE if n in set(only)] + [
+            n for n in only if n not in set(HEADLINE)
+        ]
     timings: dict[str, float] = {}
     # warm the JVM/session with one untimed tiny action, and the Python
     # worker pool + Arrow channel with one untimed tiny pandas_udf action —
@@ -122,7 +133,7 @@ def main() -> None:
     spark.range(8).select(_warm("id")).write.format("noop").mode(
         "overwrite"
     ).save()
-    for name in HEADLINE:
+    for name in headline:
         fn = queries[name]
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
@@ -134,7 +145,7 @@ def main() -> None:
     # block is the apples-to-apples number against the reference's
     # warm-process baseline and is ~10 s less noisy on this VM.
     warm: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = queries[name]
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
@@ -274,7 +285,15 @@ def scaling() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv[1:]:
+    argv = sys.argv[1:]
+    if "--scaling" in argv:
         scaling()
     else:
-        main()
+        only: list[str] | None = None
+        if "--queries" in argv:
+            only = [
+                q
+                for q in argv[argv.index("--queries") + 1].split(",")
+                if q
+            ]
+        main(only=only)
