@@ -611,3 +611,44 @@ def test_connected_components_tiers_agree(spark):
         ).collect()
     }
     assert fast == dist and len(fast) > 0
+
+
+def test_rotation_reacts_to_correctness_history(tmp_path, monkeypatch):
+    """The verification window must move with the audit trail: a green
+    driver row rotates a query out of the needs-a-row pool, a FAILED row
+    does not (it rotates straight back in after the fix), and the weaker
+    rows-only contract check (err="no_oracle") counts as that query's
+    verification. Hermetic: REPO_ROOT patched to a synthetic artifact dir
+    so the repo's real CORRECTNESS history never leaks in."""
+    import json as _json
+
+    from skiliopay_datapipeline_customer_spark import artifacts
+    from skiliopay_datapipeline_customer_spark import queries as q
+
+    q.load_all()
+    monkeypatch.setattr(artifacts, "REPO_ROOT", str(tmp_path))
+    base = q._rotated(list(q.QUERIES))
+    a, b, c = [n for n in base if n not in q._FORCE][:3]
+
+    # green oracle row for `a` → drops behind the never-verified pool
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        _json.dumps({a: {"err": None, "hash_match": True}})
+    )
+    order = q._rotated(list(q.QUERIES))
+    assert order.index(a) > order.index(b)
+
+    # a FAILED row for `b` is NOT verification — `b` stays in the pool
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        _json.dumps({b: {"err": "AnalysisException: boom", "hash_match": None}})
+    )
+    order = q._rotated(list(q.QUERIES))
+    assert order.index(b) < order.index(a)
+
+    # rows-only contract check rotates out like a green row...
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        _json.dumps({c: {"err": "no_oracle", "rows_match": None}})
+    )
+    order = q._rotated(list(q.QUERIES))
+    assert order.index(c) > order.index(b)
+    # ...and verified queries order oldest-green-first behind the pool
+    assert order.index(a) < order.index(c)
