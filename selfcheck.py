@@ -37,6 +37,13 @@ def main(argv: list[str] | None = None) -> int:
         "non-UTC timezone) — catches plan- and config-coupling the bare "
         "sweep can't; writes SELFCHECK_ADV_r{N}.json",
     )
+    p.add_argument(
+        "--stem",
+        default=None,
+        help="artifact filename stem override (default SELFCHECK / "
+        "SELFCHECK_ADV) — e.g. SELFCHECK_SF01 for a non-default --sf-dir "
+        "sweep, so it never overwrites the canonical sf0.01 record",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -99,7 +106,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"[{i}/{len(queries)}] {name}: "
               f"{'OK' if rec['hash_match'] else rec['err'] or 'MISMATCH'}",
               file=sys.stderr)
-    stem = "SELFCHECK_ADV" if args.adversarial else "SELFCHECK"
+    stem = args.stem or ("SELFCHECK_ADV" if args.adversarial else "SELFCHECK")
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         f"{stem}_r{args.round_num:02d}.json",
