@@ -46,6 +46,11 @@ HEADLINE = [
 ]
 
 
+# the driver's stdout capture keeps ~2000 chars; leave headroom for the
+# trailing newline + any stray progress-bar bytes sharing the tail
+_DRIVER_TAIL_BUDGET = 1900
+
+
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -139,6 +144,7 @@ def main(only: list[str] | None = None) -> None:
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
+    subset = bool(only) and set(headline) != set(HEADLINE)
     # second pass, same session: per-query codegen/JIT now cached, so this
     # measures the data path alone. The headline `value` stays the COLD
     # total (what a fresh session pays, comparable across rounds); the warm
@@ -150,20 +156,61 @@ def main(only: list[str] | None = None) -> None:
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         warm[name] = round(time.perf_counter() - t0, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "warm_total": round(sum(warm.values()), 3),
-                "queries_warm": warm,
-                "sf": sf_val,
-                "deltas": _deltas(timings, sf=sf_val),
-            }
-        )
-    )
+    out = {
+        # a subset run is marked unmistakably: different metric name + an
+        # explicit "subset" field, and _deltas() refuses to treat a partial
+        # record as a comparison base — so an ad-hoc subset JSON saved as
+        # BENCH_r{N}.json can't poison future delta history
+        "metric": (
+            "headline_queries_subset_time"
+            if subset
+            else "headline_queries_total_time"
+        ),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "warm_total": round(sum(warm.values()), 3),
+        "queries_warm": warm,
+        "sf": sf_val,
+        "deltas": _deltas(timings, sf=sf_val),
+    }
+    if subset:
+        out["subset"] = headline
+    # The round driver captures only the LAST 2000 CHARS of stdout and
+    # parses the JSON line out of that tail: the r06 line grew to 2063
+    # chars (warm block + full ratios map) and the round record degraded
+    # to an unparseable tail — BENCH_r06.json has parsed=None and the
+    # delta history silently stretched back to r04. Two defenses:
+    # 1. the FULL record is persisted to BENCH_FULL.json (committed per
+    #    round; the judge and _deltas can read everything there);
+    # 2. the printed line degrades stepwise until it fits the capture
+    #    window — first the ratios map shrinks to outliers only (the
+    #    flagged list already carries the signal), then the per-query
+    #    warm block drops (warm_total stays).
+    if not subset:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+            ),
+            "w",
+        ) as f:
+            json.dump(out, f, indent=2)
+    line = json.dumps(out)
+    if len(line) > _DRIVER_TAIL_BUDGET:
+        slim = dict(out)
+        slim["deltas"] = dict(out["deltas"])
+        slim["deltas"]["ratios"] = {
+            n: r
+            for n, r in out["deltas"].get("ratios", {}).items()
+            if not 0.8 <= r <= 1.25
+        }
+        slim["deltas"]["ratios_note"] = "outliers only; full map in BENCH_FULL.json"
+        line = json.dumps(slim)
+        if len(line) > _DRIVER_TAIL_BUDGET:
+            slim.pop("queries_warm", None)
+            slim["queries_warm_note"] = "see BENCH_FULL.json"
+            line = json.dumps(slim)
+    print(line)
 
 
 def _deltas(
@@ -187,8 +234,13 @@ def _deltas(
     prev_round, prev = latest_round_artifact(
         "BENCH",
         root,
+        # a valid comparison base covers the FULL headline set at the same
+        # SF — a subset record (or a future record with queries removed)
+        # would make total_ratio compare apples to a strict subset
         require=lambda d: isinstance(d.get("queries"), dict)
-        and (sf is None or d.get("sf") == sf),
+        and (sf is None or d.get("sf") == sf)
+        and not d.get("subset")
+        and all(name in d["queries"] for name in HEADLINE),
     )
     if prev is None:
         return {"vs_round": None, "ratios": {}, "flagged": []}
@@ -230,10 +282,11 @@ SCALING_QUERIES = [
     "topn_per_customer",
 ]
 
+# derived from the same testdata root convention the rest of bench.py
+# honors — a different data root is a clear failure, not a silent break
+_TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
 SCALING_SF_DIRS = [
-    "/root/testdata/sf0.001",
-    "/root/testdata/sf0.01",
-    "/root/testdata/sf0.1",
+    os.path.join(_TESTDATA_ROOT, f"sf{s}") for s in ("0.001", "0.01", "0.1")
 ]
 
 
@@ -249,6 +302,12 @@ def scaling() -> None:
     operator is already data-bound at toy scale — the shape to investigate
     before any 100 TB claim.
     """
+    missing = [d for d in SCALING_SF_DIRS if not os.path.isdir(d)]
+    if missing:
+        raise SystemExit(
+            f"scaling needs all three SF dirs; missing: {missing} "
+            "(set SPARK_GRAFT_TESTDATA_ROOT to your data root)"
+        )
     spark = get_spark(app_name="bench-scaling")
     queries = all_queries()
     spark.range(1).count()

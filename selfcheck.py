@@ -44,7 +44,20 @@ def main(argv: list[str] | None = None) -> int:
         "SELFCHECK_ADV) — e.g. SELFCHECK_SF01 for a non-default --sf-dir "
         "sweep, so it never overwrites the canonical sf0.01 record",
     )
+    p.add_argument(
+        "--skip-oracle",
+        default="",
+        help="comma-separated query names whose DUCKDB ORACLE is skipped "
+        "(the Spark side still runs and records its row count). For the "
+        "sf0.1 sweep: the all-pairs shingle-Jaccard oracle family takes "
+        "~9.5 min/query in DuckDB there (SCALE.md — the engine side takes "
+        "~3 s; the asymmetry is the point of the candidate architecture), "
+        "so those oracles are skipped rather than skipping the sweep. "
+        "Recorded as err='oracle_skipped(cost)' — visibly weaker rows, "
+        "never silently green.",
+    )
     args = p.parse_args(argv)
+    skip_oracle = {s for s in args.skip_oracle.split(",") if s}
 
     from pyspark.sql import SparkSession
 
@@ -84,7 +97,9 @@ def main(argv: list[str] | None = None) -> int:
         try:
             pdf = fn(spark, args.sf_dir).toPandas()
             rec["spark_rows"] = len(pdf)
-            if name not in oracles:
+            if name in skip_oracle:
+                rec["err"] = "oracle_skipped(cost)"
+            elif name not in oracles:
                 rec["err"] = "no_oracle"
             else:
                 con = duckdb_connection(args.sf_dir)
@@ -118,8 +133,9 @@ def main(argv: list[str] | None = None) -> int:
     # None, and must land in failures, not inflate oracle coverage.
     n_oracle = sum(1 for r in out.values() if r["oracle_rows"] is not None)
     n_green = sum(1 for r in out.values() if r["hash_match"])
+    soft = (None, "no_oracle", "oracle_skipped(cost)")
     failures = [k for k, r in out.items()
-                if r["err"] not in (None, "no_oracle") or
+                if r["err"] not in soft or
                 (r["err"] is None and not r["hash_match"])]
     print(json.dumps({
         "written": path,
@@ -127,6 +143,9 @@ def main(argv: list[str] | None = None) -> int:
         "oracle_checked": n_oracle,
         "hash_green": n_green,
         "rows_only": sum(1 for r in out.values() if r["err"] == "no_oracle"),
+        "oracle_skipped": sorted(
+            k for k, r in out.items() if r["err"] == "oracle_skipped(cost)"
+        ),
         "failures": failures,
         "secs": round(time.time() - t0, 1),
     }))

@@ -564,6 +564,28 @@ def minhash_band_buckets_md5(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def minhash_lsh_candidates_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Full-corpus LSH candidate pairs from the PORTABLE md5 banding tier —
+    same plan shape as :func:`minhash_lsh_candidates` (banding → capped
+    bucket self-join → per-pair band count), same md5 kernel as the
+    incremental tier, so the whole pipeline is oracle-checkable in DuckDB.
+    Returns (id_a, id_b, n_bands)."""
+    banded = minhash_band_buckets_md5(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    raw, capped = capped_bucket_pairs(banded, id_col, max_bucket_size)
+    pairs = raw.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
+    return materialize(pairs, capped)
+
+
 def simhash_signatures_md5(
     df: DataFrame,
     text_col: str = "text",

@@ -69,6 +69,18 @@ def plan_digest(df: DataFrame) -> dict:
     out["pushed_filters"] = len(
         [m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", text) if m.strip()]
     )
+    # directory-pruning twin of pushed_filters: scans whose PartitionFilters
+    # list is non-empty (partition-column predicates that skip whole
+    # directories instead of reading + filtering). Ignores the implicit
+    # isnotnull entries Spark adds alongside a real predicate — an
+    # isnotnull-only list means no caller-written pruning happened.
+    out["partition_filters"] = len(
+        [
+            m
+            for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", text)
+            if re.sub(r"isnotnull\([^)]*\)|dynamicpruning#\d+|[,\s]", "", m)
+        ]
+    )
     out["has_cartesian"] = bool(
         re.search(r"CartesianProduct|BroadcastNestedLoopJoin", text)
     )

@@ -124,6 +124,11 @@ _FORCE = {
     # round-4 late change: gained a literal-plane oracle + moved to 6 planes
     # (prior rows-only record verified the old 8-plane output)
     "lsh_ann_topk": 4,
+    # r07 oracle upgrades — the prior green rows verified the weaker
+    # rows-only contract (and, for minhash_lsh_candidates, the old xxhash64
+    # tier's output); re-verify under the full hash check
+    "minhash_lsh_candidates": 6,
+    "order_trend_pandas": 6,
 }
 
 _PRIORITY = [
@@ -312,6 +317,12 @@ _PRIORITY = [
     "basket_part_pairs",
     # rows-only tail (weaker contract rows — take slots last)
     "rolling_7d_active_users_hll",
+    # r07 oracle upgrades — queued BEHIND the 61 never-driver-verified
+    # oracle queries (the r4 verdict's simulated r07 window must stay
+    # intact); they take r08 slots together with the 11-query remainder
+    "minhash_lsh_candidates",
+    "lsh_dup_pairs_fast",
+    "order_trend_pandas",
 ]
 
 

@@ -61,15 +61,82 @@ def ngram_jaccard_dups(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-# MinHash+LSH candidate pairs — xxhash64-based, not expressible in the DuckDB
-# oracle: driver records rows-only. This is the 100 TB near-dedup path.
+# MinHash+LSH candidate pairs. The declared query runs the PORTABLE md5
+# banding tier (r07 oracle upgrade: same banding → capped bucket self-join →
+# per-pair band count plan as the xxhash64 tier, but every hash is
+# reproducible in DuckDB, so the full candidate derivation is hash-checked).
+# The xxhash64 production tier (operators/dedup.py::minhash_lsh_candidates,
+# one string hash + fixed-width long mixes instead of k md5s) keeps its
+# pytest coverage and stays the recommended 100 TB entry point; the two
+# tiers share capped_bucket_pairs, so the oracle exercises the shared
+# self-join combinator end to end.
+
+_LSH_HASHES, _LSH_MH_BANDS = 8, 4
 
 
-@query("minhash_lsh_candidates")
-def minhash_lsh_candidates(spark, sf_dir):
-    return D.minhash_lsh_candidates(table(spark, sf_dir, "documents")).orderBy(
-        "id_a", "id_b"
+def _md5_banding_ctes(num_hashes: int, bands: int) -> str:
+    """Shared oracle prefix: 3-gram shingles → md5 minhash signatures →
+    (doc_id, band, bucket) rows → bucket-size cap table (`ok`). Mirrors
+    operators/dedup.py::minhash_band_buckets_md5 + the capped_bucket_pairs
+    size window, term for term."""
+    rows = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min(CAST('0x' || substr(md5(sh || '#{j}'), 1, 15) AS BIGINT)) AS mh_{j}"
+        for j in range(num_hashes)
     )
+    band_sel = []
+    for b in range(bands):
+        cols = " || ':' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_sel.append(
+            f"SELECT doc_id, {b} AS band, CAST('0x' || substr(md5({cols} "
+            f"|| ':{b}'), 1, 15) AS BIGINT) AS bucket FROM sig"
+        )
+    bands_sql = "\n      UNION ALL ".join(band_sel)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, len(t) - 2),
+               i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]))) AS sh
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bb AS (
+      {bands_sql}
+    ),
+    sizes AS (SELECT band, bucket, count(*) AS c FROM bb GROUP BY band, bucket),
+    ok AS (SELECT band, bucket FROM sizes WHERE c <= 1000)"""
+
+
+def _minhash_lsh_oracle() -> str:
+    return (
+        _md5_banding_ctes(_LSH_HASHES, _LSH_MH_BANDS)
+        + """,
+    cb AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.band
+      FROM cb a JOIN cb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_bands
+    FROM p GROUP BY id_a, id_b ORDER BY id_a, id_b
+    """
+    )
+
+
+@query("minhash_lsh_candidates", oracle=_minhash_lsh_oracle())
+def minhash_lsh_candidates(spark, sf_dir):
+    return D.minhash_lsh_candidates_md5(
+        table(spark, sf_dir, "documents"),
+        num_hashes=_LSH_HASHES,
+        bands=_LSH_MH_BANDS,
+    ).orderBy("id_a", "id_b")
 
 
 # SimHash 64-bit fingerprints (rows-only: xxhash64-based).
@@ -317,39 +384,9 @@ _INCR_HASHES, _INCR_BANDS = 8, 4
 
 
 def _incremental_dedup_oracle() -> str:
-    rows = _INCR_HASHES // _INCR_BANDS
-    mins = ",\n             ".join(
-        f"min(CAST('0x' || substr(md5(sh || '#{j}'), 1, 15) AS BIGINT)) AS mh_{j}"
-        for j in range(_INCR_HASHES)
-    )
-    band_sel = []
-    for b in range(_INCR_BANDS):
-        cols = " || ':' || ".join(
-            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
-        )
-        band_sel.append(
-            f"SELECT doc_id, {b} AS band, CAST('0x' || substr(md5({cols} "
-            f"|| ':{b}'), 1, 15) AS BIGINT) AS bucket FROM sig"
-        )
-    bands_sql = "\n      UNION ALL ".join(band_sel)
-    return f"""
-    WITH sh AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(
-               range(0, len(t) - 2),
-               i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]))) AS sh
-      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-            FROM documents)
-    ),
-    sig AS (
-      SELECT doc_id,
-             {mins}
-      FROM sh GROUP BY doc_id
-    ),
-    bb AS (
-      {bands_sql}
-    ),
-    sizes AS (SELECT band, bucket, count(*) AS c FROM bb GROUP BY band, bucket),
-    ok AS (SELECT band, bucket FROM sizes WHERE c <= 1000),
+    return (
+        _md5_banding_ctes(_INCR_HASHES, _INCR_BANDS)
+        + """,
     newb AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)
              WHERE doc_id % 2 = 1),
     allb AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
@@ -362,6 +399,7 @@ def _incremental_dedup_oracle() -> str:
     SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_bands
     FROM p GROUP BY id_a, id_b ORDER BY id_a, id_b
     """
+    )
 
 
 @query("incremental_dedup_candidates", oracle=_incremental_dedup_oracle())

@@ -251,12 +251,26 @@ def order_trend_slope(spark, sf_dir):
 
 
 # Grouped-map tier demo (§2.12 sanctioned UDF ladder): per-customer pandas
-# batch computing the same least-squares slope with numpy — rows-only (Python
-# float summation order differs from SQL engines; the native twin above
-# carries the oracle).
+# batch computing the same least-squares slope with numpy. r07 oracle
+# upgrade: shares the native twin's oracle — the slope is rounded to 4
+# decimals on both sides, which absorbs the numpy-vs-SQL float summation
+# order (hash-verified identical at sf0.001/sf0.01 on the fixed driver
+# corpora; per-group n is small, so the accumulated error is ~1e-10
+# relative, far inside the rounding grid).
 
 
-@query("order_trend_pandas")
+@query(
+    "order_trend_pandas",
+    oracle="""
+    SELECT o_custkey,
+           round(regr_slope(o_totalprice, epoch(o_orderdate) / 86400.0), 4)
+             AS price_trend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 3
+    ORDER BY o_custkey
+    """,
+)
 def order_trend_pandas(spark, sf_dir):
     import pandas as pd
 

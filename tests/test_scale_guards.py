@@ -652,3 +652,71 @@ def test_rotation_reacts_to_correctness_history(tmp_path, monkeypatch):
     assert order.index(c) > order.index(b)
     # ...and verified queries order oldest-green-first behind the pool
     assert order.index(a) < order.index(c)
+
+
+def _needs_row(q, name: str, last: dict[str, int]) -> bool:
+    lv = last.get(name, -1)
+    return lv < 0 or (name in q._FORCE and lv <= q._FORCE[name])
+
+
+def test_rotation_hands_off_remaining_pool_to_next_window(
+    tmp_path, monkeypatch
+):
+    """The r4-verdict handoff contract: once THIS round's 50-slot window
+    goes green, every remaining never-driver-verified ORACLE query must
+    land inside the NEXT round's window (post-r07 state: the 11-query
+    oracle remainder plus the r07 oracle upgrades — 14 names — all take
+    r08 slots). Built from the repo's real CORRECTNESS history plus a
+    synthetic next-round artifact, so the assertion tracks the live pool
+    as rounds land instead of rotting against a hard-coded list."""
+    import glob as _glob
+    import json as _json
+    import shutil as _shutil
+
+    from skiliopay_datapipeline_customer_spark import artifacts
+    from skiliopay_datapipeline_customer_spark import queries as q
+
+    q.load_all()
+    real = sorted(_glob.glob(str(artifacts.REPO_ROOT) + "/CORRECTNESS_r*.json"))
+    rounds = []
+    for p in real:
+        _shutil.copy(p, tmp_path)
+        rounds.append(int(p.rsplit("_r", 1)[1].split(".")[0]))
+    monkeypatch.setattr(artifacts, "REPO_ROOT", str(tmp_path))
+
+    window = q._rotated(list(q.QUERIES))[:50]
+    oracles = set(q.ORACLES)
+    # synthetic "this round": every window slot verified (oracle rows for
+    # oracle queries, the weaker rows-only contract rows otherwise)
+    nxt = max(rounds, default=0) + 1
+    (tmp_path / f"CORRECTNESS_r{nxt:02d}.json").write_text(
+        _json.dumps(
+            {
+                n: (
+                    {"err": None, "hash_match": True}
+                    if n in oracles
+                    else {"err": "no_oracle", "rows_match": None}
+                )
+                for n in window
+            }
+        )
+    )
+    last = q._last_verified()
+    remaining = [
+        n for n in q.QUERIES if n in oracles and _needs_row(q, n, last)
+    ]
+    # the pool must have shrunk below one window — the whole point of the
+    # rotation is that the sweep FINISHES
+    assert len(remaining) <= 50, (
+        f"{len(remaining)} never-verified oracle queries can't fit one "
+        "window; the sweep would not finish next round"
+    )
+    next_window = q._rotated(list(q.QUERIES))[:50]
+    missed = [n for n in remaining if n not in next_window]
+    assert not missed, f"oracle queries denied a next-window slot: {missed}"
+    # pin today's expectation: the r07 upgrades ride along with the remainder
+    for name in ("minhash_lsh_candidates", "lsh_dup_pairs_fast",
+                 "order_trend_pandas"):
+        lv = q._last_verified().get(name, -1)
+        if lv < 0 or (name in q._FORCE and lv <= q._FORCE[name]):
+            assert name in next_window
