@@ -248,6 +248,39 @@ def test_incremental_lsh_matches_full_corpus_run(spark, sf_dir, tmp_path):
     )
 
 
+def test_md5_tier_full_corpus_matches_incremental(spark, sf_dir):
+    """Same equivalence contract on the PORTABLE md5 tier (the r7
+    oracle-checked declared query): the full-corpus run of
+    `minhash_lsh_candidates_md5` restricted to pairs touching an odd doc
+    must equal the incremental run of the odd half against the even half's
+    band buckets — proving the new full-corpus function and the
+    store-backed ingestion tier share one candidate semantics."""
+    from pyspark.sql import functions as F
+
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.operators.dedup import (
+        incremental_bucket_candidates,
+        minhash_band_buckets_md5,
+        minhash_lsh_candidates_md5,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    store = minhash_band_buckets_md5(old, num_hashes=8, bands=4)
+    nb = minhash_band_buckets_md5(new, num_hashes=8, bands=4)
+    pairs, _ = incremental_bucket_candidates(nb, store)
+    got = {(r.id_a, r.id_b): r.n_bands for r in pairs.collect()}
+
+    full = minhash_lsh_candidates_md5(docs, num_hashes=8, bands=4)
+    want = {
+        (r.id_a, r.id_b): r.n_bands
+        for r in full.collect()
+        if r.id_a % 2 == 1 or r.id_b % 2 == 1
+    }
+    assert got == want and len(got) > 0
+
+
 def test_group_capped_sample_caps_and_keeps_small_groups(spark):
     from skiliopay_datapipeline_customer_spark.operators.sampling import (
         group_capped_sample,
