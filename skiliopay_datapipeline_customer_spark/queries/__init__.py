@@ -129,6 +129,10 @@ _FORCE = {
     # tier's output); re-verify under the full hash check
     "minhash_lsh_candidates": 6,
     "order_trend_pandas": 6,
+    # r07 fix: gmv/aov moved to exact decimal accumulation (the double sum
+    # broke the 4-dp rounding grid at sf0.1) — prior green row verified the
+    # float-sum output
+    "global_kpis": 6,
 }
 
 _PRIORITY = [
@@ -323,6 +327,7 @@ _PRIORITY = [
     "minhash_lsh_candidates",
     "lsh_dup_pairs_fast",
     "order_trend_pandas",
+    "global_kpis",
 ]
 
 

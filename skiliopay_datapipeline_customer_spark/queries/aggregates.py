@@ -49,24 +49,36 @@ def segment_risk_rate(spark, sf_dir):
 # A2 global KPI aggregate (src/dashboard/data_loader.py:239-258).
 
 
+# gmv/aov accumulate on DECIMAL(18,2) — prices are 2-dp-exact by
+# construction (verified losslessly castable across all SFs), so the sum is
+# integer-exact and ORDER-INDEPENDENT, then ONE cast to double before the
+# display rounding. A double sum rounded to 4 dp broke at sf0.1: ~150k
+# values of ~1e5 magnitude put Spark-vs-DuckDB summation-order noise
+# (~1e-3 absolute on a ~3.8e10 total) above the rounding grid — caught by
+# the r7 SELFCHECK_SF01 sweep, invisible at the driver's sf0.01.
+
+
 @query(
     "global_kpis",
     oracle="""
     SELECT count(*) AS n_orders,
            count(DISTINCT o_custkey) AS n_customers,
-           round(sum(o_totalprice), 4) AS gmv,
-           round(avg(o_totalprice), 6) AS aov,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS gmv,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS aov,
            round(min(o_totalprice), 4) AS min_price,
            round(max(o_totalprice), 4) AS max_price
     FROM orders
     """,
 )
 def global_kpis(spark, sf_dir):
+    dec_sum = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
     return table(spark, sf_dir, "orders").agg(
         F.count("*").alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        F.round(F.sum("o_totalprice"), 4).alias("gmv"),
-        F.round(F.avg("o_totalprice"), 6).alias("aov"),
+        F.round(dec_sum, 4).alias("gmv"),
+        F.round(dec_sum / F.count("*"), 6).alias("aov"),
         F.round(F.min("o_totalprice"), 4).alias("min_price"),
         F.round(F.max("o_totalprice"), 4).alias("max_price"),
     )
