@@ -234,13 +234,18 @@ def _deltas(
     prev_round, prev = latest_round_artifact(
         "BENCH",
         root,
-        # a valid comparison base covers the FULL headline set at the same
-        # SF — a subset record (or a future record with queries removed)
-        # would make total_ratio compare apples to a strict subset
+        # a valid comparison base must be a genuine full-headline record at
+        # the same SF: explicit subset markers are rejected, and so is any
+        # record covering <75% of the current headline set (an unmarked
+        # ad-hoc subset saved as BENCH_r{N}.json would otherwise make
+        # total_ratio compare apples to a sliver). 75%, not 100%, so
+        # ADDING a headline query later doesn't orphan the whole history.
         require=lambda d: isinstance(d.get("queries"), dict)
         and (sf is None or d.get("sf") == sf)
         and not d.get("subset")
-        and all(name in d["queries"] for name in HEADLINE),
+        and d.get("metric") != "headline_queries_subset_time"
+        and len(set(d["queries"]) & set(HEADLINE))
+        >= max(1, (3 * len(HEADLINE)) // 4),
     )
     if prev is None:
         return {"vs_round": None, "ratios": {}, "flagged": []}

@@ -136,12 +136,17 @@ def test_bench_deltas_flag_regressions_vs_latest_record(tmp_path):
     round history."""
     import json
 
-    from bench import _deltas
+    from bench import HEADLINE, _deltas
 
+    # real headline names: the base-record filter requires ≥75% coverage of
+    # the CURRENT headline set (rejects unmarked ad-hoc subsets)
+    heavy, mid, fast = HEADLINE[0], HEADLINE[1], HEADLINE[2]
+    qs = {n: 1.0 for n in HEADLINE}
+    qs[heavy], qs[mid], qs[fast] = 4.0, 1.0, 0.2
     prev = {
         "metric": "headline_queries_total_time",
-        "value": 10.0,
-        "queries": {"heavy": 4.0, "mid": 1.0, "fast": 0.2},
+        "value": round(sum(qs.values()), 3),
+        "queries": qs,
         "sf": 0.1,
     }
     (tmp_path / "BENCH_r7.json").write_text(json.dumps({"parsed": prev}))
@@ -149,21 +154,52 @@ def test_bench_deltas_flag_regressions_vs_latest_record(tmp_path):
     (tmp_path / "BENCH_r9.json").write_text('{"no_queries": true}')  # filtered
     root = str(tmp_path)
 
-    same = _deltas(dict(prev["queries"]), root=root)
+    same = _deltas(dict(qs), root=root)
     assert same["vs_round"] == 7 and same["flagged"] == []
-    assert same["prev_total"] == 10.0 and same["total_ratio"] == 0.52
+    assert same["prev_total"] == prev["value"] and same["total_ratio"] == 1.0
     # a 2x regression on a measurable query flags; new queries don't crash
-    bumped = {**prev["queries"], "heavy": 8.0, "brand_new": 1.0}
+    bumped = {**qs, heavy: 8.0, "brand_new": 1.0}
     d = _deltas(bumped, root=root)
-    assert d["flagged"] == ["heavy"] and "brand_new" not in d["ratios"]
+    assert d["flagged"] == [heavy] and "brand_new" not in d["ratios"]
     # sub-half-second noise never flags (3x on a 0.2s query)
-    assert _deltas({**prev["queries"], "fast": 0.45}, root=root)["flagged"] == []
+    assert _deltas({**qs, fast: 0.45}, root=root)["flagged"] == []
     # no usable record → empty deltas
     empty = _deltas({"q": 1.0}, root=str(tmp_path / "nowhere"))
     assert empty == {"vs_round": None, "ratios": {}, "flagged": []}
     # records at a different SF never compare (scale ≠ regression)
-    assert _deltas(dict(prev["queries"]), root=root, sf=0.1)["vs_round"] == 7
-    assert _deltas(dict(prev["queries"]), root=root, sf=0.01)["vs_round"] is None
+    assert _deltas(dict(qs), root=root, sf=0.1)["vs_round"] == 7
+    assert _deltas(dict(qs), root=root, sf=0.01)["vs_round"] is None
+    # a LATER marked subset record is rejected as a base (the advisor's
+    # delta-poisoning scenario) — comparison stays pinned to r7
+    (tmp_path / "BENCH_r8.json").write_text(
+        json.dumps(
+            {
+                "parsed": {
+                    "metric": "headline_queries_subset_time",
+                    "value": 2.0,
+                    "queries": {heavy: 2.0},
+                    "sf": 0.1,
+                    "subset": [heavy],
+                }
+            }
+        )
+    )
+    assert _deltas(dict(qs), root=root)["vs_round"] == 7
+    # ...and so is a later UNMARKED record covering only a sliver of the
+    # headline set (legacy ad-hoc save)
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps(
+            {
+                "parsed": {
+                    "metric": "headline_queries_total_time",
+                    "value": 1.0,
+                    "queries": {heavy: 1.0, mid: 1.0},
+                    "sf": 0.1,
+                }
+            }
+        )
+    )
+    assert _deltas(dict(qs), root=root)["vs_round"] == 7
 
 
 def test_bench_query_lists_resolve_in_registry():
