@@ -139,7 +139,11 @@ def minhash_lsh_candidates(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-# SimHash 64-bit fingerprints (rows-only: xxhash64-based).
+# SimHash 64-bit fingerprints — rows-only BY DESIGN (PLANS.md r7 note):
+# xxhash64 is not reproducible in DuckDB SQL, and converting this query to
+# md5 would duplicate the already-oracle-checked simhash_md5_fingerprints
+# below byte for byte. This row documents the faster production hash; the
+# md5 twin carries the hash check for the identical pipeline shape.
 
 
 @query("simhash_fingerprints")
@@ -149,7 +153,8 @@ def simhash_fingerprints(spark, sf_dir):
 
 # Portable-hash verification twins: md5-derived hashes exist in DuckDB too,
 # so minhash/simhash signatures get FULL oracle checks (the xxhash64
-# variants above stay rows-only as the faster production tier).
+# simhash above stays rows-only as the faster production tier; the minhash
+# candidates query switched to the md5 tier outright in r7).
 
 
 @query(

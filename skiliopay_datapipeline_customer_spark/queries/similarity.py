@@ -199,8 +199,10 @@ def embedding_dup_pairs(spark, sf_dir):
 # cosine oracles above) — so the full band→bucket→cap→self-join→verify
 # pipeline is hash-checked, not rows-only. The numpy BLAS kernel (which may
 # reorder the projection sum, flipping a sign that lands exactly on a
-# hyperplane) stays as the rows-only production tier below; the pytest suite
-# asserts its recall ≥ 0.9 against the exact all-pairs tier.
+# hyperplane) is the production tier below (`lsh_dup_pairs_fast`); since r7
+# it carries the SAME oracle — see the caveat at its @query — and the
+# pytest suite additionally asserts recall ≥ 0.9 against the exact
+# all-pairs tier.
 
 _LSH_PLANES = 16
 _LSH_BANDS = 4
