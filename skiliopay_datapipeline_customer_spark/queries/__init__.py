@@ -133,6 +133,9 @@ _FORCE = {
     # broke the 4-dp rounding grid at sf0.1) — prior green row verified the
     # float-sum output
     "global_kpis": 6,
+    # r07 scale-proofing: money sums moved to decimal accumulation (52-ulp
+    # headroom at sf0.1, single digits at sf1 — same class as global_kpis)
+    "pricing_summary": 6,
 }
 
 _PRIORITY = [
@@ -145,7 +148,6 @@ _PRIORITY = [
     "lsh_dup_pairs",
     # flagship + the join/relational suite
     "flagship_revenue_by_nation",
-    "pricing_summary",
     "point_lookup",
     "range_enum_filter",
     "deterministic_sample",
@@ -328,6 +330,10 @@ _PRIORITY = [
     "lsh_dup_pairs_fast",
     "order_trend_pandas",
     "global_kpis",
+    # moved here from the flagship/joins block when its money sums switched
+    # to decimal accumulation (_FORCE=6): as a pool member again it must
+    # queue BEHIND the never-verified window, not at its old front slot
+    "pricing_summary",
 ]
 
 

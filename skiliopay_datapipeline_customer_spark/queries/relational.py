@@ -71,16 +71,34 @@ def flagship_revenue_by_nation(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# The money sums accumulate on DECIMAL (TPC-H's own column types — the
+# testdata stores 2-dp-exact doubles, losslessly castable; products of 2-dp
+# decimals are exact at scale 4/6): integer-exact, ORDER-INDEPENDENT sums,
+# one cast to double before the display rounding. The double-sum form had
+# only ~52 ulps of headroom against the 4-dp grid at sf0.1 (group totals
+# ~4.4e9; measured cross-engine partial-sum deltas reach ~33 ulps when
+# session parallelism differs — the exact mechanism that broke global_kpis)
+# and would drop to single digits at sf1. sum_qty/avg_qty stay double:
+# l_quantity is integer-valued, so those sums are exact in ANY order.
+
+
 @query(
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 4) AS sum_qty,
-           round(sum(l_extendedprice), 4) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 4)
+             AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE), 4)
+             AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l_discount AS DECIMAL(4,2))
+                          * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE), 4)
+             AS sum_charge,
            round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 6) AS avg_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_price,
            round(avg(l_discount), 6) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
@@ -91,17 +109,24 @@ def flagship_revenue_by_nation(spark, sf_dir):
 )
 def pricing_summary(spark, sf_dir):
     l = table(spark, sf_dir, "lineitem")  # noqa: E741
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price_dec = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_fac = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    tax_fac = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    base_sum = F.sum(price_dec).cast("double")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(base_sum, 4).alias("sum_base_price"),
+            F.round(F.sum(price_dec * disc_fac).cast("double"), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(price_dec * disc_fac * tax_fac).cast("double"), 4
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(base_sum / F.count("*"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
