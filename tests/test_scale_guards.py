@@ -44,6 +44,18 @@ def test_minhash_lsh_cap_no_change_on_normal_corpus(spark, sf_dir):
     assert a == b
 
 
+def test_minhash_md5_tier_bucket_cap_bounds_degenerate_corpus(spark):
+    """The r7 oracle-checked md5 tier shares capped_bucket_pairs with the
+    xxhash64 tier — same degenerate-mass guard: a corpus of identical docs
+    is dropped entirely under the cap (exact dedup owns it), quadratic
+    without."""
+    docs = _identical_docs(spark, 120)
+    capped = D.minhash_lsh_candidates_md5(docs, max_bucket_size=100)
+    assert capped.count() == 0
+    uncapped = D.minhash_lsh_candidates_md5(docs, max_bucket_size=10_000)
+    assert uncapped.count() == 120 * 119 // 2
+
+
 def test_cosine_dup_pairs_row_cap_enforced(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="lsh_dup_pairs"):
