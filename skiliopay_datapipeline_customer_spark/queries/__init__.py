@@ -136,6 +136,9 @@ _FORCE = {
     # r07 scale-proofing: money sums moved to decimal accumulation (52-ulp
     # headroom at sf0.1, single digits at sf1 — same class as global_kpis)
     "pricing_summary": 6,
+    # r07 scale-proofing: grand-total grouping set summed the whole orders
+    # table on double (655 ulps headroom, ~40 at sf1)
+    "grouping_sets_revenue": 6,
 }
 
 _PRIORITY = [
@@ -180,7 +183,6 @@ _PRIORITY = [
     "customer_order_distribution",
     "large_quantity_orders",
     "wealthy_inactive_customers",
-    "grouping_sets_revenue",
     "small_quantity_revenue",
     "significant_parts",
     "schema_validation_report",
@@ -334,6 +336,8 @@ _PRIORITY = [
     # to decimal accumulation (_FORCE=6): as a pool member again it must
     # queue BEHIND the never-verified window, not at its old front slot
     "pricing_summary",
+    # same move for the grouping-sets grand total (_FORCE=6)
+    "grouping_sets_revenue",
 ]
 
 

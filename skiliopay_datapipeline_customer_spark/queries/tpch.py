@@ -143,12 +143,19 @@ def wealthy_inactive_customers(spark, sf_dir):
     )
 
 
+# revenue accumulates on DECIMAL(12,2) (r7 float-sum audit, SCALE.md): the
+# grand-total grouping set sums the WHOLE orders table, and a double sum
+# had 655 ulps of 2-dp-grid headroom at sf0.1 (~40 at sf1) — below the
+# 800-ulp keep-on-double threshold.
+
+
 @query(
     "grouping_sets_revenue",
     oracle="""
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
-           round(sum(o_totalprice), 2) AS revenue
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS revenue
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     ORDER BY status, priority
@@ -162,7 +169,8 @@ def grouping_sets_revenue(spark, sf_dir):
         """
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
-               round(sum(o_totalprice), 2) AS revenue
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+                 AS revenue
         FROM _orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY status, priority
