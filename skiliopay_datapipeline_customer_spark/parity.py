@@ -130,6 +130,19 @@ def compare_frames(spark_pdf, oracle_pdf) -> list[str]:
         return problems
     for col in sorted(spark_pdf.columns):
         ks, ko = _column_kind(spark_pdf, col), _column_kind(oracle_pdf, col)
+        # Driver contract: its canonicalizer sorts the pandas frame by all
+        # columns, and sort_values raises TypeError on list/dict cells — so
+        # even a BOTH-SIDES-list result (which the value diff below would
+        # happily pass) is a guaranteed driver error. Reject it here so the
+        # class can never recur (the r7 bpe_encoded_docs lesson): project
+        # array_join(...) / to_json(...) in the declared query instead.
+        for side, kind in (("spark", ks), ("oracle", ko)):
+            if kind in ("list", "dict"):
+                problems.append(
+                    f"{side} column {col!r} is {kind}-typed: the driver's "
+                    "canonicalizer cannot sort list/map cells — join or "
+                    "serialize it in the declared query and oracle"
+                )
         if "empty" in (ks, ko):
             continue
         if ks != ko:

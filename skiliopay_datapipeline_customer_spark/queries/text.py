@@ -727,7 +727,8 @@ def _bpe_encoded_oracle(n_merges: int = 16) -> str:
         "WITH " + ",\n    ".join(cte)
         + """
     SELECT d.doc_id,
-           coalesce(a.tokens, CAST([] AS VARCHAR[])) AS tokens,
+           array_to_string(coalesce(a.tokens, CAST([] AS VARCHAR[])), ' ')
+             AS tokens,
            CAST(coalesce(len(a.tokens), 0) AS INTEGER) AS n_tokens
     FROM documents d LEFT JOIN agg a USING (doc_id)
     ORDER BY d.doc_id"""
@@ -736,9 +737,23 @@ def _bpe_encoded_oracle(n_merges: int = 16) -> str:
 
 @query("bpe_encoded_docs", oracle=_bpe_encoded_oracle(16))
 def bpe_encoded_docs(spark, sf_dir):
+    # The declared query projects tokens as a space-joined string: the
+    # driver's pandas canonicalizer sort_values() raises on list cells
+    # (unhashable type), so no declared oracle query may return an
+    # array/map column (enforced in parity.compare_frames). Tokens are
+    # subwords of whitespace-split words, so ' ' is collision-free. The
+    # operator itself keeps the array<string> return for library users.
     docs = table(spark, sf_dir, "documents")
     merges = T.bpe_train(docs, n_merges=16)
-    return T.bpe_encode(docs, merges).orderBy("doc_id")
+    return (
+        T.bpe_encode(docs, merges)
+        .select(
+            "doc_id",
+            F.array_join("tokens", " ").alias("tokens"),
+            "n_tokens",
+        )
+        .orderBy("doc_id")
+    )
 
 
 # UDTF surface: chunk TEXT via a SQL-visible Python table function in a

@@ -22,3 +22,23 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_compare_frames_rejects_list_columns():
+    """Driver contract: its canonicalizer sort_values() raises TypeError on
+    list/map cells, so no declared oracle query may return one — even when
+    BOTH sides agree (the r7 ``bpe_encoded_docs`` failure mode: selfcheck
+    green at three SFs, driver errored). compare_frames must reject the
+    column outright; with it enforced there, ``test_oracle_parity`` above
+    asserts the contract registry-wide on every oracle query's real output.
+    """
+    import pandas as pd
+
+    from skiliopay_datapipeline_customer_spark.parity import compare_frames
+
+    pdf = pd.DataFrame({"a": [1, 2], "toks": [["x"], ["y", "z"]]})
+    problems = compare_frames(pdf, pdf.copy())
+    assert any("list" in p and "toks" in p for p in problems)
+    # the fixed projection (joined string) passes clean
+    ok = pd.DataFrame({"a": [1, 2], "toks": ["x", "y z"]})
+    assert compare_frames(ok, ok.copy()) == []
