@@ -195,6 +195,14 @@ def main(only: list[str] | None = None) -> None:
             "w",
         ) as f:
             json.dump(out, f, indent=2)
+    print(_fit_line(out))
+
+
+def _fit_line(out: dict) -> str:
+    """Render the record as ONE JSON line that survives the driver's
+    2000-char stdout tail, degrading stepwise: full record → outlier-only
+    ratios → drop the per-query warm block (warm_total stays). The full
+    record always lives in BENCH_FULL.json."""
     line = json.dumps(out)
     if len(line) > _DRIVER_TAIL_BUDGET:
         slim = dict(out)
@@ -210,7 +218,7 @@ def main(only: list[str] | None = None) -> None:
             slim.pop("queries_warm", None)
             slim["queries_warm_note"] = "see BENCH_FULL.json"
             line = json.dumps(slim)
-    print(line)
+    return line
 
 
 def _deltas(
@@ -259,12 +267,19 @@ def _deltas(
         for name, r in ratios.items()
         if r > 1.5 and max(timings[name], prev["queries"][name]) > 0.5
     )
+    # the 75% coverage rule cuts both ways: when the CURRENT run is a
+    # subset (--queries), its total is a sliver of the full-headline base
+    # record and total_ratio would print misleadingly small — per-query
+    # ratios stay meaningful, the total comparison doesn't
+    current_is_subset = (
+        len(set(timings) & set(HEADLINE)) < max(1, (3 * len(HEADLINE)) // 4)
+    )
     return {
         "vs_round": prev_round,
-        "prev_total": prev.get("value"),
+        "prev_total": None if current_is_subset else prev.get("value"),
         "total_ratio": (
             round(sum(timings.values()) / prev["value"], 3)
-            if prev.get("value")
+            if prev.get("value") and not current_is_subset
             else None
         ),
         "ratios": ratios,

@@ -35,6 +35,37 @@ _NODES = {
 }
 
 
+def _strip_dpp_expressions(filters: str) -> str:
+    """Remove every ``dynamicpruningexpression(...)`` entry (balanced-paren —
+    the subquery render nests parens, so a regex stops too early) from a
+    PartitionFilters list. DPP entries are runtime pruning Spark inserts on
+    its own; only caller-written partition predicates should count."""
+    marker = "dynamicpruningexpression("
+    while True:
+        j = filters.find(marker)
+        if j < 0:
+            return filters
+        depth, k = 1, j + len(marker)
+        while k < len(filters) and depth:
+            if filters[k] == "(":
+                depth += 1
+            elif filters[k] == ")":
+                depth -= 1
+            k += 1
+        filters = filters[:j] + filters[k:]
+
+
+def _has_caller_partition_filter(filters: str) -> bool:
+    """True when a PartitionFilters list holds a caller-written predicate —
+    after dropping the implicit isnotnull entries Spark adds alongside any
+    real predicate and the dynamicpruningexpression(...) / dynamicpruning#N
+    entries dynamic partition pruning inserts at runtime."""
+    stripped = _strip_dpp_expressions(filters)
+    return bool(
+        re.sub(r"isnotnull\([^)]*\)|dynamicpruning#\d+|[,\s]", "", stripped)
+    )
+
+
 def plan_digest(df: DataFrame) -> dict:
     """Structured summary of the optimized physical plan.
 
@@ -72,13 +103,13 @@ def plan_digest(df: DataFrame) -> dict:
     # directory-pruning twin of pushed_filters: scans whose PartitionFilters
     # list is non-empty (partition-column predicates that skip whole
     # directories instead of reading + filtering). Ignores the implicit
-    # isnotnull entries Spark adds alongside a real predicate — an
-    # isnotnull-only list means no caller-written pruning happened.
+    # isnotnull entries Spark adds alongside a real predicate and DPP
+    # entries — an isnotnull/DPP-only list means no caller-written pruning.
     out["partition_filters"] = len(
         [
             m
             for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", text)
-            if re.sub(r"isnotnull\([^)]*\)|dynamicpruning#\d+|[,\s]", "", m)
+            if _has_caller_partition_filter(m)
         ]
     )
     out["has_cartesian"] = bool(

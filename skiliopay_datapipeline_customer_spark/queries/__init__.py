@@ -139,6 +139,15 @@ _FORCE = {
     # r07 scale-proofing: grand-total grouping set summed the whole orders
     # table on double (655 ulps headroom, ~40 at sf1)
     "grouping_sets_revenue": 6,
+    # r08 scale-proofing: revenue sum moved to DECIMAL(12,2) accumulation
+    # (839 ulps headroom at sf0.1, ~105 projected at sf1 — under 4x the
+    # measured ~33-ulp cross-engine band); prior green rows verified the
+    # double-sum output
+    "flagship_revenue_by_nation": 7,
+    # r08 fix: constant-x groups now yield NULL (regr_slope semantics), not
+    # 0.0 — the prior contract diverged from the shared oracle on any corpus
+    # with an all-same-date customer
+    "order_trend_pandas": 7,
 }
 
 _PRIORITY = [

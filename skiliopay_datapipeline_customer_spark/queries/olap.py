@@ -290,9 +290,12 @@ def order_trend_pandas(spark, sf_dir):
         y = pdf["y"].to_numpy()
         xm, ym = x.mean(), y.mean()
         denom = ((x - xm) ** 2).mean()
-        s = float(((x - xm) * (y - ym)).mean() / denom) if denom else 0.0
+        # var(x)==0 (all orders on one date): regr_slope is NULL, not 0 —
+        # emit None so the Arrow column carries a real null, matching both
+        # the oracle and the native twin (Spark double division by zero)
+        s = round(float(((x - xm) * (y - ym)).mean() / denom), 4) if denom else None
         return pd.DataFrame(
-            {"o_custkey": [int(pdf["o_custkey"].iloc[0])], "price_trend": [round(s, 4)]}
+            {"o_custkey": [int(pdf["o_custkey"].iloc[0])], "price_trend": [s]}
         )
 
     return (

@@ -29,7 +29,9 @@ from . import query
     oracle="""
     SELECT n.n_name AS nation,
            count(*) AS n_items,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE),
+                 4) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -58,9 +60,18 @@ def flagship_revenue_by_nation(spark, sf_dir):
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            ),
+            # DECIMAL(12,2) accumulation (the pricing_summary pattern):
+            # the double-sum form had 839 ulps of rounding-grid headroom at
+            # sf0.1 and ~105 projected at sf1 — under 4× the measured ~33-ulp
+            # cross-engine partial-sum band. Decimal sums are integer-exact
+            # and order-independent, so the result is identical at sf1000.
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
         )
         .orderBy(F.desc("revenue"))
     )

@@ -200,6 +200,54 @@ def test_bench_deltas_flag_regressions_vs_latest_record(tmp_path):
         )
     )
     assert _deltas(dict(qs), root=root)["vs_round"] == 7
+    # a subset CURRENT run keeps per-query ratios but nulls the total
+    # comparison — subset-total / full-base-total is a misleading sliver
+    sub = _deltas({heavy: 4.0, mid: 1.0}, root=root)
+    assert sub["vs_round"] == 7 and sub["ratios"] == {heavy: 1.0, mid: 1.0}
+    assert sub["total_ratio"] is None and sub["prev_total"] is None
+
+
+def test_bench_line_survives_driver_stdout_tail():
+    """The round driver keeps only the LAST 2000 chars of bench stdout; a
+    record that renders >1900 chars must degrade (outlier-only ratios, then
+    no warm block) until the printed line parses out of that tail. r06's
+    record was silently unparseable for a full round — regression-proof the
+    class with a synthetic oversized record round-tripped through the
+    truncation."""
+    import json
+
+    from bench import _DRIVER_TAIL_BUDGET, _fit_line
+
+    qs = {f"query_with_a_long_name_{i:03d}": 1.234 for i in range(40)}
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": 49.36,
+        "unit": "sec",
+        "queries": qs,
+        "warm_total": 40.0,
+        "queries_warm": dict(qs),
+        "sf": 0.1,
+        "deltas": {
+            "vs_round": 7,
+            "prev_total": 50.0,
+            "total_ratio": 0.987,
+            # all ratios in-band → the slim step drops the whole map
+            "ratios": {n: 1.001 for n in qs},
+            "flagged": [],
+        },
+    }
+    assert len(json.dumps(out)) > 2000  # the r06 failure precondition
+    line = _fit_line(out)
+    assert len(line) <= _DRIVER_TAIL_BUDGET
+    # simulate the driver: arbitrary log noise before the line, keep the
+    # 2000-char tail, parse the last line out of it
+    tail = ("spark log noise\n" * 300 + line)[-2000:]
+    parsed = json.loads(tail[tail.rindex("\n") + 1 :] if "\n" in tail else tail)
+    assert parsed["value"] == 49.36 and parsed["warm_total"] == 40.0
+    assert parsed["deltas"]["vs_round"] == 7
+    # a small record passes through verbatim
+    small = {"metric": "m", "value": 1.0, "queries": {}, "deltas": {"ratios": {}}}
+    assert json.loads(_fit_line(small)) == small
 
 
 def test_bench_query_lists_resolve_in_registry():

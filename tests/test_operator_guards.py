@@ -282,3 +282,43 @@ def test_fan_out_auto_mode_skips_non_scan_plans(spark, sf_dir):
     assert fan_out(docs).rdd.getNumPartitions() >= min(
         spark.sparkContext.defaultParallelism, 8
     )
+
+
+def test_order_trend_pandas_constant_date_yields_null(spark, tmp_path):
+    """A customer whose n>=3 orders all share one date has var(x)==0: the
+    slope is NULL (regr_slope semantics), not 0.0 — the driver corpora never
+    exercise this, so plant the degenerate group and hash the planted table
+    against the real oracle (the r8 ADVICE latent-mismatch case)."""
+    import datetime
+
+    from skiliopay_datapipeline_customer_spark.parity import run_parity
+    from skiliopay_datapipeline_customer_spark.queries import olap
+
+    import pandas as pd
+
+    d0 = datetime.datetime(2026, 1, 1)
+    rows = [(1, 100.0, d0), (1, 200.0, d0), (1, 300.0, d0)] + [
+        (2, 100.0 + 10 * i, d0 + datetime.timedelta(days=i)) for i in range(3)
+    ]
+    # single parquet FILE (not a Spark part-file directory) so the DuckDB
+    # oracle view reads the same path; microsecond timestamps — pandas'
+    # default TIMESTAMP(NANOS) reads as BIGINT under the nanosAsLong config
+    pd.DataFrame(
+        rows, columns=["o_custkey", "o_totalprice", "o_orderdate"]
+    ).to_parquet(str(tmp_path / "orders.parquet"), coerce_timestamps="us")
+
+    out = {
+        r["o_custkey"]: r["price_trend"]
+        for r in olap.order_trend_pandas(spark, str(tmp_path)).collect()
+    }
+    assert out[1] is None  # constant x → NULL, never 0.0
+    assert out[2] == 10.0  # +10/day
+    from skiliopay_datapipeline_customer_spark.queries import ORACLES
+
+    assert not run_parity(
+        spark,
+        str(tmp_path),
+        "order_trend_pandas",
+        olap.order_trend_pandas,
+        ORACLES["order_trend_pandas"],
+    )

@@ -607,6 +607,31 @@ def test_plan_digest_reports_shapes_and_smells(spark, sf_dir):
     assert plan_digest(ev.limit(3).crossJoin(ev.limit(2)))["has_cartesian"]
 
 
+def test_partition_filter_strip_excludes_dpp_only_lists():
+    """A PartitionFilters list holding ONLY dynamic-partition-pruning noise
+    (isnotnull + dynamicpruningexpression(...) — nested parens included)
+    must not count as caller-written pruning; a real predicate next to the
+    DPP entry still does."""
+    from skiliopay_datapipeline_customer_spark.plans.report import (
+        _has_caller_partition_filter,
+    )
+
+    dpp_only = (
+        "isnotnull(o_orderpriority#7), "
+        "dynamicpruningexpression(o_orderpriority#7 IN dynamicpruning#42 "
+        "[id=#12, subquery(exists(x#3))])"
+    )
+    assert not _has_caller_partition_filter(dpp_only)
+    assert not _has_caller_partition_filter(
+        "dynamicpruningexpression(cast(p#1 as int) IN subquery#9)"
+    )
+    assert _has_caller_partition_filter(
+        dpp_only + ", (o_orderpriority#7 = 1-URGENT)"
+    )
+    assert not _has_caller_partition_filter("isnotnull(p#1)")
+    assert _has_caller_partition_filter("(p#1 = 3)")
+
+
 def test_connected_components_tiers_agree(spark):
     """Small-graph union-find tier == distributed propagation on the same
     graph (labels are min reachable id either way)."""
