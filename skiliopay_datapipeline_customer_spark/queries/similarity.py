@@ -279,10 +279,15 @@ def lsh_dup_pairs(spark, sf_dir):
 # caps, and exact-cosine verify with the expr tier above, so the SAME oracle
 # applies. The theoretical divergence (BLAS reorders the projection sum; a
 # projection landing within float error of 0 could bucket differently) is a
-# candidate-set concern only — on the fixed driver corpora both kernels are
-# run-to-run deterministic and hash-verified identical at sf0.001/sf0.01, so
-# the oracle is a hard check here while the comment stays the honest caveat
-# for arbitrary data.
+# candidate-set concern only — and on the driver corpora it is now a
+# MEASURED impossibility, not a hope: min |projection| across every
+# (vector, plane) pair is 3.8e-6 (sf0.1) / 1.3e-4 (sf0.01) / 6.9e-6
+# (sf0.001), i.e. 10^8-10^10 x the worst-case dim*eps summation-reorder
+# error (~8e-15), so no BLAS/threading change can flip a bucket sign here.
+# tests/test_similarity_extra.py::
+# test_lsh_fast_blas_tier_matches_expr_tier_with_measured_margin re-asserts
+# both the frame equality and that margin before every driver sweep; on
+# arbitrary NEW data the caveat stands.
 
 
 @query("lsh_dup_pairs_fast", oracle=_lsh_dup_pairs_oracle())

@@ -150,6 +150,43 @@ def test_rolling_7d_hll_tier_tracks_exact_tier(spark, sf_dir):
         assert abs(approx[d] - n) <= max(2, 0.05 * n), (d, n, approx[d])
 
 
+def test_profile_sketches_track_exact_profile(spark, sf_dir):
+    """The sketch profiler's estimates land within their estimators'
+    tolerance of the exact per-flag profile (measured r8: parts ≤0.95%,
+    suppliers ≤3.0%, median ≤0.021%, total ≤1.27% at sf0.01/sf0.1). A
+    DuckDB hash oracle is impossible here — DuckDB's approx_count_distinct
+    / approx_quantile are different estimators than Spark's DataSketches
+    HLL / QuantileSummaries — so the tolerance band IS the contract."""
+    from pyspark.sql import functions as F
+
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.queries import QUERIES, load_all
+
+    load_all()
+    ps = {
+        r["l_returnflag"]: r
+        for r in QUERIES["profile_sketches"](spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_suppkey").alias("supps"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    total = li.agg(F.countDistinct("l_partkey")).collect()[0][0]
+    assert set(ps) == set(exact) and len(ps) >= 3
+    for f, e in exact.items():
+        assert abs(ps[f]["parts_approx"] - e["parts"]) <= max(2, 0.03 * e["parts"])
+        assert abs(ps[f]["suppliers_approx"] - e["supps"]) <= max(2, 0.06 * e["supps"])
+        assert abs(ps[f]["median_price_approx"] - e["med"]) <= 0.002 * e["med"]
+        assert abs(ps[f]["parts_total_approx"] - total) <= max(2, 0.03 * total)
+
+
 def test_seasonal_anomalies_null_nan_values_drop_not_raise(spark, sf_dir, tmp_path):
     """A NULL or NaN event value must drop out of anomaly membership (the
     oracle's NULL-comparison semantics) — NOT masquerade as a decimal(38,0)

@@ -204,3 +204,50 @@ def test_lsh_dup_pairs_one_row_per_pair_with_duplicate_ids(spark):
     out = S.lsh_dup_pairs(df, threshold=-1.0, max_bucket_size=100).collect()
     pairs = [(r.id_a, r.id_b) for r in out]
     assert len(pairs) == len(set(pairs)) > 0
+
+
+def test_lsh_fast_blas_tier_matches_expr_tier_with_measured_margin(spark, sf_dir):
+    """ADVICE r8: lsh_dup_pairs_fast carries a hard hash oracle over a BLAS
+    kernel that could in theory bucket differently when a projection lands
+    within float error of a hyperplane. Two defenses, both asserted here so
+    a numpy/BLAS/threading change fails pytest BEFORE the driver sweep:
+
+    1. the BLAS tier's full output frame equals the expr tier's (the frame
+       the DuckDB oracle replicates bit-for-bit) on the driver corpus;
+    2. the smallest |projection| across every (vector, plane) pair is
+       orders of magnitude above the worst-case summation-reorder error
+       (dim * eps * max|term-product|), so NO sign can flip on this corpus
+       regardless of BLAS accumulation order — the caveat is a measured
+       margin, not a hope.
+    """
+    import numpy as np
+
+    from skiliopay_datapipeline_customer_spark.io import table
+    from skiliopay_datapipeline_customer_spark.queries import QUERIES, load_all
+    from skiliopay_datapipeline_customer_spark.operators import similarity as S
+
+    load_all()
+    fast = [
+        tuple(r)
+        for r in QUERIES["lsh_dup_pairs_fast"](spark, sf_dir).collect()
+    ]
+    expr = [tuple(r) for r in QUERIES["lsh_dup_pairs"](spark, sf_dir).collect()]
+    assert fast == expr and len(fast) > 0
+
+    emb = np.array(
+        [
+            r["embedding"]
+            for r in table(spark, sf_dir, "embeddings").collect()
+        ],
+        dtype=np.float64,
+    )
+    planes = np.array(S.make_planes(16, emb.shape[1]), dtype=np.float64)
+    proj = emb @ planes.T
+    min_margin = float(np.abs(proj).min())
+    # worst-case reorder error of a dim-term dot product
+    worst_err = (
+        emb.shape[1]
+        * np.finfo(np.float64).eps
+        * float(np.max(np.abs(emb)) * np.max(np.abs(planes)))
+    )
+    assert min_margin > 1e4 * worst_err, (min_margin, worst_err)
