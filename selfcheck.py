@@ -56,8 +56,17 @@ def main(argv: list[str] | None = None) -> int:
         "Recorded as err='oracle_skipped(cost)' — visibly weaker rows, "
         "never silently green.",
     )
+    p.add_argument(
+        "--only",
+        default="",
+        help="comma-separated query names: sweep ONLY these (e.g. the "
+        "8 all-pairs-oracle queries at sf0.1 as their own long-running "
+        "record — pair with a distinct --stem so the canonical full-sweep "
+        "artifact is never overwritten by a partial one)",
+    )
     args = p.parse_args(argv)
     skip_oracle = {s for s in args.skip_oracle.split(",") if s}
+    only = {s for s in args.only.split(",") if s}
 
     from pyspark.sql import SparkSession
 
@@ -83,6 +92,11 @@ def main(argv: list[str] | None = None) -> int:
         )
     spark = builder.getOrCreate()
     queries, oracles = all_queries(), all_oracles()
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            raise SystemExit(f"unknown --only queries: {sorted(unknown)}")
+        queries = {n: f for n, f in queries.items() if n in only}
     out: dict[str, dict] = {}
     t0 = time.time()
     for i, (name, fn) in enumerate(queries.items(), 1):
