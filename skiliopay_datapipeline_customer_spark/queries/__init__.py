@@ -347,6 +347,10 @@ _PRIORITY = [
     "pricing_summary",
     # same move for the grouping-sets grand total (_FORCE=6)
     "grouping_sets_revenue",
+    # new in r8 — queue behind every re-stamp so the planned window holds;
+    # 23 spare slots comfortably absorb them
+    "minhash_jaccard_estimates",
+    "ngram_novelty_scores",
 ]
 
 

@@ -139,6 +139,171 @@ def minhash_lsh_candidates(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+# Estimator calibration for the minhash tier (new r8): for every LSH
+# candidate pair, the MinHash Jaccard ESTIMATE (matching hashes / k) next
+# to the EXACT 3-gram-shingle Jaccard and the absolute error — the number
+# that tells an operator whether k hashes are enough for their dedup
+# threshold before they commit a 100 TB run to it. Computation stays
+# candidate-bounded: signatures and shingle sets join onto the (small,
+# capped) pair list, never all-pairs. No rounding anywhere: est is an exact
+# multiple of 1/k, exact Jaccard divides two integers — IEEE-identical in
+# both engines.
+
+
+def _minhash_jaccard_oracle() -> str:
+    eq = " + ".join(
+        f"CAST(sa.mh_{j} = sb.mh_{j} AS INT)" for j in range(_LSH_HASHES)
+    )
+    return (
+        _md5_banding_ctes(_LSH_HASHES, _LSH_MH_BANDS)
+        + f""",
+    cb AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
+    nb AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_bands
+      FROM cb a JOIN cb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    sets AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM sh GROUP BY doc_id)
+    SELECT id_a, id_b, n_bands, est_jaccard, exact_jaccard,
+           abs(est_jaccard - exact_jaccard) AS abs_err
+    FROM (
+      SELECT nb.id_a, nb.id_b, nb.n_bands,
+             ({eq}) / {float(_LSH_HASHES)} AS est_jaccard,
+             CAST(len(list_intersect(xa.s, xb.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(xa.s, xb.s))) AS exact_jaccard
+      FROM nb
+      JOIN sig sa ON sa.doc_id = nb.id_a
+      JOIN sig sb ON sb.doc_id = nb.id_b
+      JOIN sets xa ON xa.doc_id = nb.id_a
+      JOIN sets xb ON xb.doc_id = nb.id_b
+    )
+    ORDER BY id_a, id_b
+    """
+    )
+
+
+@query("minhash_jaccard_estimates", oracle=_minhash_jaccard_oracle())
+def minhash_jaccard_estimates(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_candidates_md5(
+        docs, num_hashes=_LSH_HASHES, bands=_LSH_MH_BANDS
+    )
+    sig = D.minhash_signatures_md5(
+        docs, num_hashes=_LSH_HASHES, shingle_n=3
+    )
+    sets = docs.select(
+        "doc_id", D.tokens(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id",
+        F.array_distinct(D.shingles_from_tokens(F.col("_toks"), 3)).alias("s"),
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(_LSH_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(_LSH_HASHES)],
+    )
+    xa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    xb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    matches = sum(
+        (F.col(f"a_{j}") == F.col(f"b_{j}")).cast("int")
+        for j in range(_LSH_HASHES)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(xa, "id_a")
+        .join(xb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_bands",
+            (matches / F.lit(float(_LSH_HASHES))).alias("est_jaccard"),
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("exact_jaccard"),
+        )
+        .withColumn(
+            "abs_err", F.abs(F.col("est_jaccard") - F.col("exact_jaccard"))
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# Shingle novelty (new r8): per-doc share of 3-gram shingles that appear in
+# NO other document — the memorization/boilerplate inverse signal a corpus
+# builder reads next to the dup-pair list (low novelty = template mass even
+# when no pair clears the dup threshold). Document frequency comes from one
+# count-window over the exploded distinct-shingle frame (the ngram_jaccard
+# house pattern: one exchange on the shingle, no vocab join-back), then one
+# doc_id aggregation. Ratio is row-level integer division — unrounded.
+
+
+@query(
+    "ngram_novelty_scores",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, len(t) - 2),
+               i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]))) AS g
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents)
+    ),
+    freq AS (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM sh),
+    per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel_shingles
+      FROM freq GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(p.novel_shingles, 0) AS BIGINT) AS novel_shingles,
+           CAST(p.novel_shingles AS DOUBLE) / p.n_shingles AS novelty
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def ngram_novelty_scores(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", D.tokens(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(D.shingles_from_tokens(F.col("_toks"), 3))
+        ).alias("g"),
+    )
+    freq = sh.withColumn("df", F.count("*").over(Window.partitionBy("g")))
+    per = freq.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum((F.col("df") == 1).cast("int")).cast("long").alias("novel_shingles"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0).cast("long")).alias("n_shingles"),
+            F.coalesce("novel_shingles", F.lit(0).cast("long")).alias(
+                "novel_shingles"
+            ),
+            (F.col("novel_shingles").cast("double") / F.col("n_shingles")).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # SimHash 64-bit fingerprints — rows-only BY DESIGN (PLANS.md r7 note):
 # xxhash64 is not reproducible in DuckDB SQL, and converting this query to
 # md5 would duplicate the already-oracle-checked simhash_md5_fingerprints
