@@ -86,12 +86,19 @@ def churn_predictions(spark, sf_dir):
 
 @query("pca_projected_embeddings")
 def pca_projected_embeddings(spark, sf_dir):
+    # The driver canonicalizes even rows-only outputs with a pandas
+    # sort_values(), which raises TypeError on list cells (the r7/r8
+    # bpe/pca failure class) — so the DECLARED query flattens the k=8
+    # projection to scalar pc_0..pc_7 doubles. Library users who want the
+    # array keep ml.embeddings.pca_project.
     from ..io import table
     from ..ml.embeddings import pca_project
 
     emb = table(spark, sf_dir, "embeddings")
     projected, _ = pca_project(emb, k=8)
-    return projected.orderBy("vec_id")
+    return projected.select(
+        "vec_id", *[F.col("pca")[i].alias(f"pc_{i}") for i in range(8)]
+    ).orderBy("vec_id")
 
 
 @query("kmeans_cluster_profile")

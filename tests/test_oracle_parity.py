@@ -24,6 +24,31 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_container_columns_in_any_declared_query(spark, sf_dir, name):
+    """Driver contract, registry-wide: the driver canonicalizes EVERY
+    declared query's output (rows-only included) with a pandas
+    sort_values(), which raises TypeError on list/dict cells. The r7 fix
+    asserted this only for oracle queries, and the rows-only
+    ``pca_projected_embeddings`` slipped through in r8 — so assert it on
+    the schema of every declared query, oracle or not. Schema-only (no
+    execution): ArrayType/MapType/StructType in any output field is a
+    contract violation regardless of row values.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = QUERIES[name](spark, sf_dir).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: container-typed output columns {bad} would crash the "
+        "driver canonicalizer — flatten to scalar columns or a joined string"
+    )
+
+
 def test_compare_frames_rejects_list_columns():
     """Driver contract: its canonicalizer sort_values() raises TypeError on
     list/map cells, so no declared oracle query may return one — even when
