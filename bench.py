@@ -204,6 +204,13 @@ def _fit_line(out: dict) -> str:
     ratios → drop the per-query warm block (warm_total stays). The full
     record always lives in BENCH_FULL.json."""
     line = json.dumps(out)
+    # subset runs never write BENCH_FULL.json (the dump is full-run-only),
+    # so their degradation notes must not point at a stale prior record
+    full_ref = (
+        "full map not persisted (subset run)"
+        if "subset" in out
+        else "full map in BENCH_FULL.json"
+    )
     if len(line) > _DRIVER_TAIL_BUDGET:
         slim = dict(out)
         slim["deltas"] = dict(out["deltas"])
@@ -212,11 +219,17 @@ def _fit_line(out: dict) -> str:
             for n, r in out["deltas"].get("ratios", {}).items()
             if not 0.8 <= r <= 1.25
         }
-        slim["deltas"]["ratios_note"] = "outliers only; full map in BENCH_FULL.json"
+        slim["deltas"]["ratios_note"] = f"outliers only; {full_ref}"
         line = json.dumps(slim)
         if len(line) > _DRIVER_TAIL_BUDGET:
             slim.pop("queries_warm", None)
-            slim["queries_warm_note"] = "see BENCH_FULL.json"
+            slim["queries_warm_note"] = full_ref
+            line = json.dumps(slim)
+        if len(line) > _DRIVER_TAIL_BUDGET and "subset" in slim:
+            # the subset name list duplicates the queries map's keys and the
+            # metric name already marks the record as a subset for _deltas —
+            # degrade it to a count rather than lose the whole line
+            slim["subset"] = f"{len(out['subset'])} queries (see queries map)"
             line = json.dumps(slim)
     return line
 

@@ -68,13 +68,33 @@ def main(argv: list[str] | None = None) -> int:
     skip_oracle = {s for s in args.skip_oracle.split(",") if s}
     only = {s for s in args.only.split(",") if s}
 
+    from skiliopay_datapipeline_customer_spark.queries import all_oracles, all_queries
+
+    queries, oracles = all_queries(), all_oracles()
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            raise SystemExit(f"unknown --only queries: {sorted(unknown)}")
+        # a partial sweep must never masquerade as the canonical full-sweep
+        # record: without an explicit non-canonical --stem, an 8-query run
+        # would silently overwrite SELFCHECK_r{N}.json in a shape
+        # indistinguishable from a full sweep (the same subset-poisons-
+        # history class bench.py marks with its subset flag). Checked
+        # BEFORE the SparkSession exists.
+        if args.stem in (None, "SELFCHECK", "SELFCHECK_ADV"):
+            raise SystemExit(
+                "--only is a partial sweep: pass a distinct --stem "
+                "(not SELFCHECK/SELFCHECK_ADV) so the canonical record "
+                "is never overwritten"
+            )
+        queries = {n: f for n, f in queries.items() if n in only}
+
     from pyspark.sql import SparkSession
 
     from skiliopay_datapipeline_customer_spark.parity import (
         compare_frames,
         duckdb_connection,
     )
-    from skiliopay_datapipeline_customer_spark.queries import all_oracles, all_queries
 
     # bare session on purpose — mimics the round driver (no UTC/nanos configs)
     builder = (
@@ -91,12 +111,6 @@ def main(argv: list[str] | None = None) -> int:
             .config("spark.sql.session.timeZone", "America/New_York")
         )
     spark = builder.getOrCreate()
-    queries, oracles = all_queries(), all_oracles()
-    if only:
-        unknown = only - set(queries)
-        if unknown:
-            raise SystemExit(f"unknown --only queries: {sorted(unknown)}")
-        queries = {n: f for n, f in queries.items() if n in only}
     out: dict[str, dict] = {}
     t0 = time.time()
     for i, (name, fn) in enumerate(queries.items(), 1):
@@ -160,6 +174,7 @@ def main(argv: list[str] | None = None) -> int:
         "oracle_skipped": sorted(
             k for k, r in out.items() if r["err"] == "oracle_skipped(cost)"
         ),
+        "only": sorted(only) if only else None,
         "failures": failures,
         "secs": round(time.time() - t0, 1),
     }))

@@ -55,6 +55,29 @@ def _strip_dpp_expressions(filters: str) -> str:
         filters = filters[:j] + filters[k:]
 
 
+def _bracket_payloads(text: str, label: str) -> list[str]:
+    """All ``label: [ ... ]`` payloads from explain text, captured with
+    BRACKET BALANCING — a plain ``\\[([^\\]]*)\\]`` regex stops at the first
+    ``]``, and DPP entries render nested brackets
+    (``dynamicpruningexpression(... [id=#12, ...])``), which would truncate
+    a caller-written predicate listed after the DPP entry out of the
+    captured group."""
+    out: list[str] = []
+    marker = f"{label}: ["
+    i = text.find(marker)
+    while i >= 0:
+        depth, j = 1, i + len(marker)
+        while j < len(text) and depth:
+            if text[j] == "[":
+                depth += 1
+            elif text[j] == "]":
+                depth -= 1
+            j += 1
+        out.append(text[i + len(marker) : j - 1])
+        i = text.find(marker, j)
+    return out
+
+
 def _has_caller_partition_filter(filters: str) -> bool:
     """True when a PartitionFilters list holds a caller-written predicate —
     after dropping the implicit isnotnull entries Spark adds alongside any
@@ -98,7 +121,7 @@ def plan_digest(df: DataFrame) -> dict:
         ss.conf.set("spark.sql.adaptive.enabled", prev)
     out["whole_stage_codegen"] = len(set(re.findall(r"\*\((\d+)\)", simple)))
     out["pushed_filters"] = len(
-        [m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", text) if m.strip()]
+        [m for m in _bracket_payloads(text, "PushedFilters") if m.strip()]
     )
     # directory-pruning twin of pushed_filters: scans whose PartitionFilters
     # list is non-empty (partition-column predicates that skip whole
@@ -108,7 +131,7 @@ def plan_digest(df: DataFrame) -> dict:
     out["partition_filters"] = len(
         [
             m
-            for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", text)
+            for m in _bracket_payloads(text, "PartitionFilters")
             if _has_caller_partition_filter(m)
         ]
     )

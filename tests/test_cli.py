@@ -248,6 +248,34 @@ def test_bench_line_survives_driver_stdout_tail():
     # a small record passes through verbatim
     small = {"metric": "m", "value": 1.0, "queries": {}, "deltas": {"ratios": {}}}
     assert json.loads(_fit_line(small)) == small
+    # a SUBSET record never wrote BENCH_FULL.json, so its degradation notes
+    # must not point readers at a stale prior round's full record
+    sub = dict(out, metric="headline_queries_subset_time", subset=sorted(qs))
+    sub_line = _fit_line(sub)
+    assert len(sub_line) <= _DRIVER_TAIL_BUDGET
+    assert "BENCH_FULL.json" not in sub_line
+    assert "not persisted (subset run)" in sub_line
+
+
+def test_selfcheck_only_requires_distinct_stem(tmp_path):
+    """--only is a partial sweep: without a distinct --stem it would
+    silently overwrite the canonical full-sweep SELFCHECK_r{N}.json with a
+    record indistinguishable in shape — must exit before starting Spark."""
+    import pytest
+
+    import selfcheck
+
+    for argv in (
+        ["9", "--only", "pricing_summary"],
+        ["9", "--only", "pricing_summary", "--stem", "SELFCHECK"],
+        ["9", "--only", "pricing_summary", "--adversarial",
+         "--stem", "SELFCHECK_ADV"],
+    ):
+        with pytest.raises(SystemExit, match="distinct --stem"):
+            selfcheck.main(argv)
+    # unknown names still rejected first
+    with pytest.raises(SystemExit, match="unknown --only"):
+        selfcheck.main(["9", "--only", "no_such_query", "--stem", "X"])
 
 
 def test_bench_query_lists_resolve_in_registry():

@@ -632,6 +632,41 @@ def test_partition_filter_strip_excludes_dpp_only_lists():
     assert _has_caller_partition_filter("(p#1 = 3)")
 
 
+def test_partition_filter_capture_survives_bracketed_dpp_entries():
+    """Plan-TEXT extraction (not just the stripped-string helper): the DPP
+    render nests ``]`` inside the PartitionFilters list
+    (``[id=#12, subquery(...)]``), so a first-``]``-terminated regex capture
+    truncates away a caller predicate listed AFTER the DPP entry. The
+    bracket-balanced capture must keep it."""
+    from skiliopay_datapipeline_customer_spark.plans.report import (
+        _bracket_payloads,
+        _has_caller_partition_filter,
+    )
+
+    plan_text = (
+        "(3) Scan parquet\n"
+        "Output [2]: [o_orderkey#1, o_orderpriority#7]\n"
+        "PartitionFilters: [isnotnull(o_orderpriority#7), "
+        "dynamicpruningexpression(o_orderpriority#7 IN dynamicpruning#42 "
+        "[id=#12, subquery(exists(x#3))]), (o_orderpriority#7 = 1-URGENT)]\n"
+        "PushedFilters: [IsNotNull(o_orderkey)]\n"
+    )
+    payloads = _bracket_payloads(plan_text, "PartitionFilters")
+    assert len(payloads) == 1
+    # the caller predicate after the bracketed DPP entry survives capture...
+    assert "(o_orderpriority#7 = 1-URGENT)" in payloads[0]
+    # ...and the composed check counts it as caller-written pruning
+    assert _has_caller_partition_filter(payloads[0])
+    # a DPP-only list captured the same way still does not count
+    dpp_only_text = plan_text.replace(", (o_orderpriority#7 = 1-URGENT)", "")
+    (payload,) = _bracket_payloads(dpp_only_text, "PartitionFilters")
+    assert not _has_caller_partition_filter(payload)
+    # PushedFilters capture unaffected
+    assert _bracket_payloads(plan_text, "PushedFilters") == [
+        "IsNotNull(o_orderkey)"
+    ]
+
+
 def test_connected_components_tiers_agree(spark):
     """Small-graph union-find tier == distributed propagation on the same
     graph (labels are min reachable id either way)."""
