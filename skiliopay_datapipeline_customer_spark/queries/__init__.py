@@ -90,7 +90,6 @@ _FORCE = {
     "click_attribution_window": 3,
     "incremental_dedup_candidates": 4,  # r05: moved to oracle-checked md5 banding tier
     "shipping_priority": 3,
-    "forecast_revenue_change": 3,
     "returned_item_losses": 3,
     "promo_revenue_share": 3,
     "discounted_brand_revenue": 3,
@@ -148,6 +147,15 @@ _FORCE = {
     # 0.0 — the prior contract diverged from the shared oracle on any corpus
     # with an all-same-date customer
     "order_trend_pandas": 7,
+    # r09 scale-proofing: money sums moved to DECIMAL accumulation (the
+    # next two at-risk double-sum sites past sf1 per SCALE.md — ~164 and
+    # ~839 ulps of headroom at sf10/sf1 respectively); prior green rows
+    # verified the double-sum output
+    "small_quantity_revenue": 8,
+    "forecast_revenue_change": 8,
+    # r09 fix: pca_projected_embeddings now emits scalar pc_0..pc_7 (the
+    # array column crashed the driver canonicalizer in r08)
+    "pca_projected_embeddings": 8,
 }
 
 _PRIORITY = [

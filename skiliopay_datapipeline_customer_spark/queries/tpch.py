@@ -181,7 +181,8 @@ def grouping_sets_revenue(spark, sf_dir):
 @query(
     "small_quantity_revenue",
     oracle="""
-    SELECT round(sum(l.l_extendedprice), 2) AS total_price_small_qty,
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS total_price_small_qty,
            count(*) AS n_items
     FROM lineitem l
     JOIN (
@@ -195,7 +196,10 @@ def small_quantity_revenue(spark, sf_dir):
     """Q17 shape: correlated per-key average subquery → keyed aggregate
     joined back on the same key (one shuffle each side, co-partitioned).
     The threshold is 0.2·avg of integral quantities — identical IEEE ops in
-    both engines, so the filter is deterministic."""
+    both engines, so the filter is deterministic. The money sum accumulates
+    DECIMAL(12,2) (SCALE.md: the double form had ~1 311 ulps of 2-dp-grid
+    headroom at sf1 but only ~164 at sf10 — exact at any SF as decimal;
+    reference money semantics are DECIMAL(10,2) DDL, init.sql:21-44)."""
     lineitem = table(spark, sf_dir, "lineitem")
     thresholds = lineitem.groupBy("l_partkey").agg(
         (0.2 * F.avg("l_quantity")).alias("qty_threshold")
@@ -204,7 +208,12 @@ def small_quantity_revenue(spark, sf_dir):
         lineitem.join(thresholds, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price_small_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_price_small_qty"),
             F.count("*").alias("n_items"),
         )
     )
@@ -288,7 +297,9 @@ def shipping_priority(spark, sf_dir):
 @query(
     "forecast_revenue_change",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE), 4)
+             AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -298,7 +309,11 @@ def shipping_priority(spark, sf_dir):
 )
 def forecast_revenue_change(spark, sf_dir):
     """Q6 shape: pure scan-side predicates (all pushed into the parquet
-    reader) + one global agg — the canonical data-skipping query."""
+    reader) + one global agg — the canonical data-skipping query. The
+    revenue sum accumulates DECIMAL(12,2)×DECIMAL(4,2) products (exact at
+    scale 4): SCALE.md projected only ~839 ulps of 4-dp-grid headroom at
+    sf1 for the double form — the same at-risk class as the flagship;
+    reference money semantics are DECIMAL(10,2) DDL, init.sql:21-44."""
     l = table(spark, sf_dir, "lineitem")  # noqa: E741
     return l.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -307,9 +322,13 @@ def forecast_revenue_change(spark, sf_dir):
         & (F.col("l_discount") <= 0.06)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-            "revenue"
-        )
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            ).cast("double"),
+            4,
+        ).alias("revenue")
     )
 
 
