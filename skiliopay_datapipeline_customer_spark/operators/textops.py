@@ -396,6 +396,11 @@ def chunk_assignments(
     stride = chunk_tokens - overlap
     if stride <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
+    # NULL text must contribute NO chunks: without the filter, greatest()
+    # and least() SKIP null operands, so a NULL doc leaked one phantom row
+    # (n_tokens NULL, chunk_len = chunk_tokens) instead of disappearing.
+    # The synthetic corpus has no NULL texts, so oracle rows are unchanged.
+    df = df.filter(F.col(text_col).isNotNull())
     n = F.size(tokens(F.col(text_col)))
     starts = F.sequence(
         F.lit(0), F.greatest(n - 1 - overlap, F.lit(0)), F.lit(stride)
