@@ -1,6 +1,7 @@
 from .medallion import MedallionPipeline, clean_frame, ingest_metadata
 from .cache import CheckpointCache
 from .dag import Dag, DagRun, Task
+from .runlog import StageLogger
 
 __all__ = [
     "MedallionPipeline",
@@ -10,4 +11,5 @@ __all__ = [
     "Dag",
     "DagRun",
     "Task",
+    "StageLogger",
 ]

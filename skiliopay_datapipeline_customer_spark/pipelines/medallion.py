@@ -119,6 +119,11 @@ class MedallionPipeline:
     clean_kwargs: dict = field(default_factory=dict)
     quality_kwargs: dict | None = None
     partition_by: list[str] | None = None
+    # batch-stage structured logging (pipelines/runlog.py — the reference's
+    # PipelineLogger twin): None disables; a StageLogger records one
+    # processing_start/complete JSON pair per layer with rows in/out, wall
+    # seconds, and the quality score on the layer the gate ran against
+    stage_logger: "object | None" = None
 
     def _write(self, df: DataFrame, layer: str) -> tuple[str, int]:
         """Write one layer; the row count rides the write action via
@@ -142,26 +147,59 @@ class MedallionPipeline:
     ) -> dict:
         """Returns {layer: path, quality: QualityReport, rows: {layer: n}}."""
         result: dict = {"rows": {}}
+        log = self.stage_logger
 
+        if log:
+            log.stage_start("bronze")
         bronze = ingest_metadata(source, source_name)
         result["bronze"], result["rows"]["bronze"] = self._write(bronze, "bronze")
         bronze = spark.read.parquet(result["bronze"])
+        if log:
+            log.stage_complete(
+                "bronze",
+                result["rows"]["bronze"],
+                source=source_name,
+                path=result["bronze"],
+            )
 
         report: QualityReport | None = None
         if self.quality_kwargs is not None:
             report = run_quality_checks(bronze, **self.quality_kwargs)
             result["quality"] = report
             if not report.passed:  # V10 gate: fail the run like the DAG does
+                if log:
+                    log.error(
+                        "quality_gate",
+                        f"overall {report.overall:.3f} < 0.8",
+                        stage="bronze",
+                    )
                 raise ValueError(
                     f"quality gate failed: {report.overall:.3f} < 0.8"
                 )
 
+        if log:
+            log.stage_start("silver", input_rows=result["rows"]["bronze"])
         silver = clean_frame(bronze, **self.clean_kwargs)
         result["silver"], result["rows"]["silver"] = self._write(silver, "silver")
         silver = spark.read.parquet(result["silver"])
+        if log:
+            log.stage_complete(
+                "silver",
+                result["rows"]["silver"],
+                path=result["silver"],
+                quality_score=(
+                    round(report.overall, 4) if report is not None else None
+                ),
+            )
 
+        if log:
+            log.stage_start("gold", input_rows=result["rows"]["silver"])
         gold = silver
         for t in self.feature_transforms:
             gold = t(gold)
         result["gold"], result["rows"]["gold"] = self._write(gold, "gold")
+        if log:
+            log.stage_complete(
+                "gold", result["rows"]["gold"], path=result["gold"]
+            )
         return result

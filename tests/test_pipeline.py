@@ -68,6 +68,83 @@ def test_medallion_end_to_end(spark, sf_dir, tmp_path):
     assert "_ingestion_timestamp" in bronze.columns
 
 
+def test_medallion_stage_logging_records_bronze_to_gold(spark, sf_dir, tmp_path):
+    """Batch-stage logging twin of the reference's PipelineLogger
+    (logging_config.py:88-132) + rotating-JSON handler (273-303): a
+    bronze→gold run emits one processing_start/complete pair per layer
+    with stage, rows in/out, wall seconds, and the quality score; the
+    on-disk log is one parseable JSON object per line."""
+    import json
+
+    from skiliopay_datapipeline_customer_spark.pipelines.runlog import StageLogger
+
+    def gold_features(df):
+        return df.groupBy("o_custkey").agg(F.count("*").alias("frequency"))
+
+    log_path = str(tmp_path / "pipeline.log")
+    slog = StageLogger(name="test_medallion_run", log_path=log_path)
+    pipe = MedallionPipeline(
+        base_dir=str(tmp_path / "layers"),
+        feature_transforms=[gold_features],
+        clean_kwargs={"key_cols": ["o_orderkey"]},
+        quality_kwargs={"key_columns": ["o_orderkey"]},
+        stage_logger=slog,
+    )
+    src = table(spark, sf_dir, "orders")
+    result = pipe.run(spark, src, source_name="orders.parquet")
+
+    completes = {
+        r["stage"]: r
+        for r in slog.records
+        if r.get("operation") == "processing_complete"
+    }
+    starts = [r["stage"] for r in slog.records if r.get("operation") == "processing_start"]
+    assert starts == ["bronze", "silver", "gold"]
+    assert set(completes) == {"bronze", "silver", "gold"}
+    # rows in/out chain layer to layer and match the run result
+    assert completes["bronze"]["output_rows"] == result["rows"]["bronze"]
+    assert completes["silver"]["input_rows"] == result["rows"]["bronze"]
+    assert completes["silver"]["output_rows"] == result["rows"]["silver"]
+    assert completes["gold"]["input_rows"] == result["rows"]["silver"]
+    assert completes["gold"]["output_rows"] == result["rows"]["gold"]
+    # the gate's quality score rides the silver record; wall time recorded
+    assert completes["silver"]["quality_score"] == round(
+        result["quality"].overall, 4
+    )
+    for rec in completes.values():
+        assert rec["duration_seconds"] >= 0
+    # on-disk file: one JSON object per line, reference field layout
+    with open(log_path) as f:
+        lines = [json.loads(line) for line in f if line.strip()]
+    assert len(lines) == len(slog.records) == 6
+    assert all(
+        {"timestamp", "level", "logger", "message", "operation"} <= set(ln)
+        for ln in lines
+    )
+    assert lines[0]["logger"] == "test_medallion_run"
+    assert lines[-1]["stage"] == "gold"
+
+
+def test_medallion_stage_logging_gate_failure_emits_error(spark, tmp_path):
+    """The V10 gate failure path logs a structured error record (the
+    reference's log_error shape) before raising."""
+    from skiliopay_datapipeline_customer_spark.pipelines.runlog import StageLogger
+
+    bad = spark.createDataFrame([(1, None), (1, None), (1, None)], "k long, v double")
+    slog = StageLogger(name="test_medallion_gate")
+    pipe = MedallionPipeline(
+        base_dir=str(tmp_path),
+        quality_kwargs={"key_columns": ["k"], "completeness_columns": ["v"]},
+        stage_logger=slog,
+    )
+    with pytest.raises(ValueError, match="quality gate"):
+        pipe.run(spark, bad)
+    errors = [r for r in slog.records if r.get("operation") == "quality_gate"]
+    assert len(errors) == 1 and "< 0.8" in errors[0]["error"]
+    # no silver/gold records after the gate fired
+    assert not any(r.get("stage") in ("silver", "gold") for r in slog.records)
+
+
 def test_medallion_quality_gate_raises(spark, tmp_path):
     bad = spark.createDataFrame([(1, None), (1, None), (1, None)], "k long, v double")
     pipe = MedallionPipeline(
