@@ -626,6 +626,91 @@ def simhash_signatures_md5(
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
+def _star_components(
+    edges: DataFrame,
+    max_iters: int,
+) -> tuple[DataFrame, int]:
+    """Distributed two-phase star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond": alternating LARGE-STAR /
+    SMALL-STAR edge rewrites) — converges in O(log² n) rounds regardless
+    of graph DIAMETER, where min-label propagation needs O(diameter)
+    rounds and dies on path-shaped components.
+
+    large-star: every node hooks its strictly-larger neighbors to the
+    minimum of its closed neighborhood. small-star: every node hooks its
+    smaller-or-equal neighbors (and itself) to that minimum. Both rewrites
+    only ever LOWER an edge's small endpoint, so the edge set converges
+    monotonically to disjoint stars centered on each component's minimum
+    id. Returns ``(star_edges, leftover)`` where star_edges is
+    (node, cluster) for every non-root node and leftover is the change
+    count at loop exit (0 = converged). The star_edges frame holds a
+    persist/checkpoint pin — callers release it via ``materialize``.
+
+    Each round is two groupBy-min + join passes over the edge list (same
+    shuffle key both phases); convergence is an exact set comparison
+    (two anti-joins) on the pair-sized edge frame; lineage is truncated by
+    an eager localCheckpoint EVERY round (see the in-loop comment).
+    """
+    cur = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    leftover = 0
+    for it in range(max_iters):
+        # ---- large-star: emit (v, min(N(u) ∪ {u})) for each v > u ----
+        sym = cur.select("u", "v").union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        closed_min = F.least(F.col("_mn"), F.col("u"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"), closed_min.alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: hook u and its ≤-neighbors to the closed min ----
+        smins = large.groupBy("u").agg(F.min("v").alias("_mn"))
+        nxt = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
+            .union(smins.select("u", F.col("_mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # checkpoint EVERY round, not on an interval: one star round
+        # references ``cur`` ~12× (symmetrize ×2, neighborhood-min join,
+        # small-star join + union), so the un-truncated logical plan grows
+        # ~12^rounds — the analyzer OOMs the driver by round 4 on a
+        # 63-EDGE graph. persist() caches data but not the plan; eager
+        # localCheckpoint replaces the plan with the materialized RDD, and
+        # the frame is pair-sized, so the per-round cost is negligible.
+        nxt = nxt.localCheckpoint(eager=True)
+        # exact convergence: the edge SET is unchanged (both-ways anti-join
+        # on the deduplicated pair-sized frames)
+        leftover = (
+            nxt.join(cur, ["u", "v"], "left_anti")
+            .union(cur.join(nxt, ["u", "v"], "left_anti"))
+            .count()
+        )
+        cur.unpersist()
+        cur = nxt
+        if leftover == 0:
+            break
+    return (
+        cur.select(F.col("u").alias("node"), F.col("v").alias("cluster")),
+        leftover,
+        cur,
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -634,6 +719,7 @@ def connected_components(
     checkpoint_interval: int = 5,
     strict: bool = True,
     small_graph_threshold: int = 100_000,
+    method: str = "propagation",
 ) -> DataFrame:
     """Dedup cluster assignment: connected components over an undirected
     near-dup pair list via MIN-LABEL PROPAGATION — each round every node
@@ -652,7 +738,16 @@ def connected_components(
     If the loop exits with ``changed > 0`` the labels are NOT a fixpoint
     (some component's diameter exceeds max_iters): ``strict=True`` (default)
     raises; ``strict=False`` warns and returns the partial labels.
+
+    ``method="star"`` switches the distributed tier to two-phase star
+    contraction (:func:`_star_components`): O(log² n) rounds independent of
+    diameter — the variant for path/chain-shaped components whose diameter
+    exceeds any reasonable ``max_iters`` (near-dup graphs are dense and
+    tiny-diameter, so propagation stays the default). Same output contract:
+    (node, cluster = min reachable id), identical on any graph.
     """
+    if method not in ("propagation", "star"):
+        raise ValueError(f"unknown method {method!r}: propagation|star")
     # NULL ids carry no adjacency (a null never equals anything, matching
     # SQL join semantics) and would crash the driver union-find's sorted();
     # drop them up front so both tiers see the same edge set. Persisted
@@ -703,6 +798,30 @@ def connected_components(
         edges.unpersist()
         # Arrow-path createDataFrame; an empty frame still needs the schema
         return spark.createDataFrame(out, "node long, cluster long")
+    if method == "star":
+        star_edges, leftover, pinned = _star_components(edges, max_iters)
+        if leftover > 0:
+            msg = (
+                f"star contraction did not converge in {max_iters} rounds "
+                f"({leftover} edges still changing) — raise max_iters "
+                "(rounds needed ~ log² of the largest component)"
+            )
+            if strict:
+                pinned.unpersist()
+                edges.unpersist()
+                raise RuntimeError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        # stars carry only non-root nodes; roots and self-loop-only nodes
+        # label themselves
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        result = nodes.join(star_edges, "node", "left").select(
+            "node", F.coalesce("cluster", F.col("node")).alias("cluster")
+        )
+        return materialize(result, edges, pinned)
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
@@ -751,7 +870,8 @@ def connected_components(
             f"connected_components did not converge in {max_iters} rounds "
             f"({changed} labels still changing): some component's diameter "
             "exceeds max_iters; raise max_iters (rounds needed ~ graph "
-            "diameter) or switch to a star-contraction variant"
+            "diameter) or switch to method='star' (star contraction, "
+            "O(log² n) rounds regardless of diameter)"
         )
         if strict:
             cached.unpersist()

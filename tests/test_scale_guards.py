@@ -685,6 +685,61 @@ def test_connected_components_tiers_agree(spark):
     assert fast == dist and len(fast) > 0
 
 
+def test_star_contraction_converges_on_high_diameter_chain(spark):
+    """The pathological graph for min-label propagation: a 300-node path
+    (diameter 299 ≫ max_iters 25). Propagation's strict tier raises with
+    the star-contraction recommendation; method='star' converges in
+    O(log² n) rounds on the SAME budget and labels every node with the
+    component minimum. small_graph_threshold=0 forces both distributed
+    tiers (the driver union-find would otherwise absorb the graph)."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(299)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="method='star'"):
+        D.connected_components(
+            pairs, small_graph_threshold=0, max_iters=25, strict=True
+        )
+    labels = {
+        r["node"]: r["cluster"]
+        for r in D.connected_components(
+            pairs, small_graph_threshold=0, max_iters=25, method="star"
+        ).collect()
+    }
+    assert labels == {i: 0 for i in range(300)}
+
+
+def test_star_contraction_agrees_with_union_find(spark):
+    """method='star' == driver union-find on a mixed graph: several
+    components, a cycle, duplicate + reversed edges, self-loops, and an
+    isolated self-loop-only node (must label itself)."""
+    edges = (
+        [(i, i + 1) for i in range(0, 40, 2)]
+        + [(1, 3), (100, 101), (101, 102), (102, 100)]  # cycle
+        + [(3, 1), (1, 3)]  # reversed + duplicate
+        + [(200, 200)]  # self-loop-only node
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {
+        r["node"]: r["cluster"] for r in D.connected_components(pairs).collect()
+    }
+    star = {
+        r["node"]: r["cluster"]
+        for r in D.connected_components(
+            pairs, small_graph_threshold=0, method="star"
+        ).collect()
+    }
+    assert star == fast and star[200] == 200 and star[102] == 100
+
+
+def test_connected_components_rejects_unknown_method(spark):
+    import pytest
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="propagation|star"):
+        D.connected_components(pairs, method="bogus")
+
+
 def test_rotation_reacts_to_correctness_history(tmp_path, monkeypatch):
     """The verification window must move with the audit trail: a green
     driver row rotates a query out of the needs-a-row pool, a FAILED row
