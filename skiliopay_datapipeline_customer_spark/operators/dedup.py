@@ -889,6 +889,7 @@ def survivors(
     id_b: str = "id_b",
     max_iters: int = 25,
     strict: bool = True,
+    method: str = "propagation",
 ) -> DataFrame:
     """The corpus AFTER near-dedup: every document except non-canonical
     near-dup cluster members (keep-min-id policy — the cluster label IS the
@@ -902,7 +903,12 @@ def survivors(
     corpus) and the anti-join shuffles on the id key once.
     """
     labels = connected_components(
-        pairs, id_a=id_a, id_b=id_b, max_iters=max_iters, strict=strict
+        pairs,
+        id_a=id_a,
+        id_b=id_b,
+        max_iters=max_iters,
+        strict=strict,
+        method=method,
     )
     losers = labels.filter(F.col("node") != F.col("cluster")).select(
         F.col("node").alias(id_col)

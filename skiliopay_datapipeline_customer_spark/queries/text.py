@@ -583,6 +583,44 @@ def doc_chunk_assignments(spark, sf_dir):
     ).orderBy("doc_id", "chunk_id")
 
 
+@query(
+    "doc_chunks_udtf",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             unnest(generate_series(0, greatest(n_tokens - 1 - 4, 0), 12))
+               AS chunk_start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY chunk_start)
+                - 1 AS BIGINT) AS chunk_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(least(16, n_tokens - chunk_start) AS BIGINT) AS chunk_len
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_chunks_udtf(spark, sf_dir):
+    """The §2.12 Python UDTF tier under the driver's full hash gate: the
+    lateral-join table function (operators/udtf_ops.py) shares
+    doc_chunk_assignments' oracle because the tiers are exact twins (the
+    twin-equality pytest in tests/test_udtf.py is the licensing contract;
+    this query makes the driver verify the UDTF output itself)."""
+    from ..operators.udtf_ops import chunk_assignments_udtf
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_assignments_udtf(
+        docs, chunk_tokens=16, overlap=4
+    ).orderBy("doc_id", "chunk_id")
+
+
 # Distributed BPE training surface. The per-round kernel (adjacent symbol-
 # pair counts over the word-frequency working set) is oracle-checked, and so
 # is the full 16-round merge LOOP: the rounds are UNROLLED into generated
