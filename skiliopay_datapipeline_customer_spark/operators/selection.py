@@ -1,0 +1,450 @@
+"""Data-selection operators — the curation layer of an LLM training-data
+pipeline that sits between cleaning/dedup and packing: statistical-LM
+quality scoring (CCNet), lightweight quality classification (the fastText
+stand-in), importance resampling (DSIR), and Bloom-prefiltered exact
+decontamination.
+
+Reference provenance: the reference repo has no training-data curation
+stage (its scope ends at churn features, src/processing/etl_pipeline.py);
+these operators extend the engine toward the 100 TB corpus-pipeline
+north star the brief names, built on published recipes:
+
+- CCNet (Wenzek et al. 2020): LM-perplexity quality buckets per language.
+- GPT-3 appendix A (Brown et al. 2020): a linear quality classifier over
+  hashed features separating curated from raw text.
+- DSIR (Xie et al. 2023): importance weights from hashed n-gram bucket
+  frequencies, target vs raw distributions.
+- Lee et al. 2021 / PaLM §7: exact n-gram decontamination — here with a
+  Bloom-filter map-side prefilter so the corpus side never shuffles on
+  its own size.
+
+Every frame that must agree with the DuckDB oracle uses the portable md5
+hash kernel (``operators/dedup.py::portable_hash60``) so bucket ids are
+bit-identical across engines.
+
+Scale posture (100 TB): trained model frames (bigram counts, class-token
+tables, bucket histograms, Bloom bitsets) are vocab/model-sized and
+broadcast; the corpus side is always map-side explode + broadcast join +
+one per-doc aggregate shuffle. Nothing collects to the driver except
+model-sized objects behind explicit caps that raise instead of OOM.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash64, shingles_from_tokens, tokens
+
+# ---------------------------------------------------------------------------
+# Bigram language model — the smallest LM that distinguishes fluent word
+# ORDER from a fluent word BAG (the unigram model's blind spot). Add-one
+# smoothed conditional p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V).
+# ---------------------------------------------------------------------------
+
+
+def bigram_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, gram, w1) — one row per bigram OCCURRENCE (multinomial counts).
+
+    The bigram array is built inside one projection (zip_with over two
+    shifted slices) — no posexplode self-join; docs with <2 tokens emit
+    nothing.
+    """
+    t = F.col("_toks")
+    n = F.size(t)
+    grams = F.zip_with(
+        F.slice(t, F.lit(1), n - F.lit(1)),
+        F.slice(t, F.lit(2), n - F.lit(1)),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(n >= 2)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+    )
+
+
+def bigram_lm_doc_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc mean add-one-smoothed bigram log-probability.
+
+    Plan: explode bigrams once (map-side), derive the two count frames
+    (shuffle on gram / on w1 — both partial-aggregated, both vocab²-sized
+    at most, i.e. model-sized next to the corpus), broadcast them back,
+    one per-doc aggregate. The corpus shuffles once, on ``id_col``.
+    Smoothing denominator V = full unigram vocab size (1-row broadcast).
+    """
+    big = bigram_rows(df, text_col, id_col)
+    c2 = big.groupBy("gram").agg(F.count(F.lit(1)).cast("double").alias("n2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("n1"))
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("vsz"))
+    )
+    return (
+        big.join(F.broadcast(c2), "gram")
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("vsz"))))
+                / F.count(F.lit(1))
+            ).alias("mean_bigram_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes text classifier — trained and applied entirely as
+# DataFrame algebra (the model IS two small frames), the distributed
+# stand-in for the fastText quality classifier of the GPT-3/Gopher
+# pipelines. Add-one smoothing over the train vocab.
+# ---------------------------------------------------------------------------
+
+
+def nb_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """Fit multinomial NB: returns model frames (all broadcast-sized).
+
+    ``class_tok``: (label, tok, n) occurrence counts;
+    ``class_stats``: (label, tok_total, log_prior);
+    ``vocab_size``: 1-row V.
+    One explode + two partial-aggregated shuffles on vocab-sized keys —
+    the classic map-side-combine shape; never a per-doc state.
+    """
+    toks = df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    class_tok = toks.groupBy("label", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    n_docs = df.count()
+    class_stats = (
+        df.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            class_tok.groupBy("label").agg(F.sum("n").alias("tok_total")),
+            "label",
+        )
+        .select(
+            "label",
+            "tok_total",
+            F.log(F.col("n_docs").cast("double") / float(n_docs)).alias(
+                "log_prior"
+            ),
+        )
+    )
+    vocab_size = toks.agg(F.countDistinct("tok").cast("double").alias("vsz"))
+    return {
+        "class_tok": class_tok,
+        "class_stats": class_stats,
+        "vocab_size": vocab_size,
+    }
+
+
+def nb_score(
+    df: DataFrame,
+    model: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Score docs against every class; emit per-doc argmax prediction.
+
+    (doc tokens × classes) left-joins the class-token counts so unseen
+    (class, tok) pairs fall to the smoothing floor. Scores round before
+    the argmax so the cross-engine FP summation-order jitter (~1e-12)
+    cannot flip near-ties; remaining exact ties break on class name.
+    Shape: one explode, broadcast model joins, one (doc, class) partial
+    aggregate, one per-doc window on a grouped frame |docs|×|classes|.
+    """
+    labels = model["class_stats"].select("label", "tok_total", "log_prior")
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    scored = (
+        toks.crossJoin(F.broadcast(labels))
+        .join(F.broadcast(model["class_tok"]), ["label", "tok"], "left")
+        .crossJoin(F.broadcast(model["vocab_size"]))
+        .groupBy(id_col, "label", "log_prior")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("n"), F.lit(0.0)) + 1.0)
+                    / (F.col("tok_total") + F.col("vsz"))
+                )
+            ).alias("loglik")
+        )
+        .select(
+            F.col(id_col),
+            F.col("label"),
+            F.round(F.col("log_prior") + F.col("loglik"), round_digits).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("label").alias("predicted"), "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights — hashed n-gram bucket features; weight(doc) =
+# Σ_grams log(p_target(bucket) / p_raw(bucket)), add-one smoothed over B
+# buckets. Bucket hash = portable md5 kernel so the oracle reproduces it.
+# ---------------------------------------------------------------------------
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred,
+    n_buckets: int = 1024,
+    shingle_n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_grams, dsir_weight) — importance of each doc toward the
+    target slice defined by ``target_pred`` (a boolean Column over df).
+
+    Both histograms are B-row broadcast frames; the corpus side is one
+    map-side explode + hash and one per-doc aggregate. At 100 TB the
+    target histogram would train on a sample — the math only needs
+    bucket FREQUENCIES, so a uniform sample is unbiased.
+    """
+    grams = (
+        df.select(
+            F.col(id_col),
+            tokens(F.col(text_col)).alias("_toks"),
+            target_pred.alias("_is_target"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_is_target"),
+            F.explode(
+                shingles_from_tokens(F.col("_toks"), shingle_n)
+            ).alias("gram"),
+        )
+        .withColumn(
+            "bucket", portable_hash64(F.col("gram"), 0) % F.lit(n_buckets)
+        )
+    )
+    hist = grams.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0))
+        .cast("double")
+        .alias("n_t"),
+        F.count(F.lit(1)).cast("double").alias("n_r"),
+    )
+    totals = hist.agg(
+        F.sum("n_t").alias("tot_t"), F.sum("n_r").alias("tot_r")
+    )
+    b = float(n_buckets)
+    ratio = (
+        hist.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.log(
+                ((F.col("n_t") + 1.0) / (F.col("tot_t") + b))
+                / ((F.col("n_r") + 1.0) / (F.col("tot_r") + b))
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("log_ratio").alias("dsir_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered exact decontamination. The Bloom bitset admits no false
+# negatives, so prefilter + exact verify on the surviving candidates is
+# EXACTLY the n-gram anti-join — the oracle is the exact SQL — while the
+# corpus-side shuffle shrinks from every gram to the candidate hits.
+# ---------------------------------------------------------------------------
+
+
+class BroadcastBloom:
+    """Plain-numpy Bloom filter, picklable for Spark broadcast.
+
+    Double hashing from one md5 digest per item (Kirsch–Mitzenmacher):
+    h_i = h1 + i*h2 mod m. m is rounded to a power of two so the modulo
+    is a mask. Built driver-side from a model-sized item list (benchmark
+    suites; capped, raises instead of OOM).
+    """
+
+    def __init__(self, items: list[str], bits_per_item: int = 16, k: int = 7):
+        m = 1 << max(8, int(len(items) * bits_per_item).bit_length())
+        self.mask = m - 1
+        self.k = k
+        self.bits = np.zeros(m // 8, dtype=np.uint8)
+        for it in items:
+            for pos in self._positions(it):
+                self.bits[pos >> 3] |= np.uint8(1 << (pos & 7))
+
+    def _positions(self, item: str) -> list[int]:
+        d = hashlib.md5(item.encode("utf-8")).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        return [(h1 + i * h2) & self.mask for i in range(self.k)]
+
+    def might_contain(self, item: str) -> bool:
+        return all(
+            self.bits[p >> 3] & (1 << (p & 7)) for p in self._positions(item)
+        )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_benchmark_grams: int = 2_000_000,
+) -> DataFrame:
+    """Drop every doc sharing an n-gram with the benchmark — exact result,
+    Bloom-prefiltered scan.
+
+    1. benchmark grams distinct-collect (capped — benchmarks are
+       model-sized next to a corpus; raises past the cap instead of
+       OOMing the driver) → Bloom bitset → ``sc.broadcast``.
+    2. corpus grams test the bitset in an Arrow-batched ``mapInPandas``
+       (the sanctioned Python tier) — false positives possible, false
+       negatives impossible.
+    3. surviving candidates exact-verify against the (broadcast)
+       benchmark gram frame; hits anti-join the corpus.
+
+    At 100 TB step 2 is the win: the per-executor membership test
+    replaces a corpus-wide shuffle-join against the benchmark; only the
+    candidate trickle (true hits + Bloom false positives ≈ |hits| +
+    corpus_grams × fp_rate) reaches the exact join.
+    """
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        ).select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("_toks"), n))
+            ).alias("gram"),
+        )
+
+    bench_grams = grams_of(benchmark).select("gram").distinct()
+    capped = bench_grams.limit(max_benchmark_grams + 1).collect()
+    if len(capped) > max_benchmark_grams:
+        raise ValueError(
+            f"benchmark gram set exceeds max_benchmark_grams="
+            f"{max_benchmark_grams}; sample the benchmark or raise the cap"
+        )
+    bloom = BroadcastBloom([r["gram"] for r in capped])
+    # Broadcast PLAIN state, not the instance: the round driver imports this
+    # package by path from an arbitrary cwd, so executor python workers
+    # cannot unpickle a class referenced by module path. The closure below
+    # is fully self-contained (cloudpickle ships it by value).
+    bc = docs.sparkSession.sparkContext.broadcast(
+        (bloom.bits, bloom.mask, bloom.k)
+    )
+
+    corpus_grams = grams_of(docs)
+
+    def prefilter(batches: Iterator) -> Iterator:
+        import hashlib as _hashlib
+
+        bits, mask, k = bc.value
+
+        def might_contain(item: str) -> bool:
+            # mirrors BroadcastBloom._positions — keep in sync (the
+            # equality-vs-exact pytest fails loudly on any divergence:
+            # build uses the class, test uses this closure)
+            d = _hashlib.md5(item.encode("utf-8")).digest()
+            h1 = int.from_bytes(d[:8], "little")
+            h2 = int.from_bytes(d[8:], "little") | 1
+            for i in range(k):
+                pos = (h1 + i * h2) & mask
+                if not bits[pos >> 3] & (1 << (pos & 7)):
+                    return False
+            return True
+
+        for pdf in batches:
+            hit = pdf["gram"].map(might_contain)
+            out = pdf[hit.to_numpy(dtype=bool)]
+            if len(out):
+                yield out
+
+    candidates = corpus_grams.mapInPandas(prefilter, corpus_grams.schema)
+    dirty = (
+        candidates.join(F.broadcast(bench_grams), "gram")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(dirty, id_col, "left_anti")
+
+
+def quality_buckets(
+    scores: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """CCNet head/middle/tail split: ntile over the ROUNDED score within
+    each group (rounding first so FP summation-order jitter can't reorder
+    near-ties across engines; doc id breaks exact ties)."""
+    rounded = F.round(F.col(score_col), round_digits)
+    w = Window.partitionBy(group_col).orderBy(rounded.desc(), F.col(id_col))
+    names = {1: "head", n_buckets: "tail"}
+    bucket = F.ntile(n_buckets).over(w)
+    label = bucket.cast("int")
+    expr = F.when(label == 1, F.lit(names[1])).otherwise(
+        F.when(label == n_buckets, F.lit(names[n_buckets])).otherwise(
+            F.lit("middle")
+        )
+    )
+    return scores.select(
+        F.col(id_col),
+        F.col(group_col),
+        rounded.alias(score_col),
+        expr.alias("quality_bucket"),
+    )
+
+
+def doc_perplexity(mean_logprob_col) -> "F.Column":
+    """exp(−mean logprob) — the conventional report unit for LM scores."""
+    col = (
+        F.col(mean_logprob_col)
+        if isinstance(mean_logprob_col, str)
+        else mean_logprob_col
+    )
+    return F.exp(-col)
+
+
+__all__ = [
+    "BroadcastBloom",
+    "bigram_lm_doc_scores",
+    "bigram_rows",
+    "bloom_decontaminate",
+    "dsir_weights",
+    "doc_perplexity",
+    "nb_score",
+    "nb_train",
+    "quality_buckets",
+]

@@ -43,6 +43,7 @@ def load_all() -> None:
         olap,
         quality,
         relational,
+        selection,
         similarity,
         temporal,
         text,

@@ -1,0 +1,335 @@
+"""Data-selection queries — the curation stage of an LLM training-data
+pipeline (quality LMs, quality classifiers, importance resampling,
+Bloom-prefiltered decontamination) over the documents table.
+
+All five queries are oracle-checked: model frames (bigram counts, NB
+class-token tables, DSIR bucket histograms, the benchmark gram set) are
+deterministic DataFrame algebra, and every hash that must agree across
+engines uses the portable md5 kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..operators import selection as S
+from . import query
+
+# ---------------------------------------------------------------------------
+# Bigram-LM doc scoring — the CCNet perplexity proxy one order up from
+# unigram_doc_logprob: add-one-smoothed p(w2|w1) trained on the corpus
+# itself, per-doc mean log-probability. Gibberish word ORDER now scores
+# low even when the word BAG is fluent.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bigram_doc_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM toks
+    ),
+    bigw AS (
+      SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1 FROM big
+    ),
+    c2 AS (SELECT gram, CAST(count(*) AS DOUBLE) AS n2 FROM bigw GROUP BY gram),
+    c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS n1 FROM bigw GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsz
+          FROM (SELECT unnest(t) AS tok FROM toks))
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(ln((c.n2 + 1) / (c1.n1 + v.vsz))) / count(*), 4)
+             AS mean_bigram_logprob
+    FROM bigw b
+    JOIN c2 c ON b.gram = c.gram
+    JOIN c1 ON b.w1 = c1.w1
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def bigram_doc_logprob(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    scores = S.bigram_lm_doc_scores(docs)
+    return scores.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("mean_bigram_logprob", 4).alias("mean_bigram_logprob"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CCNet quality buckets — per-language head/middle/tail tertiles of the
+# bigram-LM score (Wenzek et al. 2020 keep head+middle, drop tail). The
+# split orders by the ROUNDED score (doc id tiebreak) so cross-engine FP
+# summation jitter cannot reorder near-ties. At 100 TB the global-per-lang
+# ntile becomes approx-percentile thresholds (two scan passes) — the
+# rfm_quintiles_distributed pattern; the exact window here is the
+# oracle-checkable tier.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ccnet_quality_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM toks
+    ),
+    bigw AS (
+      SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1 FROM big
+    ),
+    c2 AS (SELECT gram, CAST(count(*) AS DOUBLE) AS n2 FROM bigw GROUP BY gram),
+    c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS n1 FROM bigw GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsz
+          FROM (SELECT unnest(t) AS tok FROM toks)),
+    scores AS (
+      SELECT b.doc_id,
+             round(sum(ln((c.n2 + 1) / (c1.n1 + v.vsz))) / count(*), 4)
+               AS mean_bigram_logprob
+      FROM bigw b
+      JOIN c2 c ON b.gram = c.gram
+      JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN v
+      GROUP BY b.doc_id
+    ),
+    bucketed AS (
+      SELECT s.doc_id, d.lang, s.mean_bigram_logprob,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.mean_bigram_logprob DESC, s.doc_id)
+               AS b
+      FROM scores s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, mean_bigram_logprob,
+           CASE b WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+                  ELSE 'middle' END AS quality_bucket
+    FROM bucketed
+    ORDER BY doc_id
+    """,
+)
+def ccnet_quality_buckets(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    scores = S.bigram_lm_doc_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return S.quality_buckets(
+        scores, "mean_bigram_logprob", "lang", n_buckets=3, round_digits=4
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes source classifier — the distributed quality-classifier
+# stand-in (GPT-3 appendix A trains a linear classifier separating curated
+# from raw text; the multinomial-NB twin is pure DataFrame algebra, so the
+# "model" is two broadcast-sized frames). Train on even doc ids, score the
+# odd ones; argmax over ROUNDED class scores with class-name tiebreak.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nb_source_classifier",
+    oracle="""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    test AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    ttok AS (
+      SELECT source AS label, doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM train
+    ),
+    class_tok AS (
+      SELECT label, tok, CAST(count(*) AS DOUBLE) AS n
+      FROM ttok GROUP BY label, tok
+    ),
+    class_stats AS (
+      SELECT d.label, ct.tok_total, ln(d.n_docs / t.total_docs) AS log_prior
+      FROM (SELECT source AS label, CAST(count(*) AS DOUBLE) AS n_docs
+            FROM train GROUP BY source) d
+      JOIN (SELECT label, sum(n) AS tok_total FROM class_tok GROUP BY label) ct
+        USING (label)
+      CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS total_docs FROM train) t
+    ),
+    v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsz FROM ttok),
+    stok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM test
+    ),
+    scores AS (
+      SELECT s.doc_id, cs.label,
+             round(cs.log_prior
+                   + sum(ln((coalesce(ct.n, 0) + 1)
+                            / (cs.tok_total + v.vsz))), 6) AS score
+      FROM stok s
+      CROSS JOIN class_stats cs
+      LEFT JOIN class_tok ct ON ct.label = cs.label AND ct.tok = s.tok
+      CROSS JOIN v
+      GROUP BY s.doc_id, cs.label, cs.log_prior
+    ),
+    pred AS (
+      SELECT doc_id, label AS predicted, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, label) AS rn
+      FROM scores
+    )
+    SELECT t.doc_id, t.source AS actual, p.predicted, p.score,
+           CAST(CASE WHEN t.source = p.predicted THEN 1 ELSE 0 END AS INT)
+             AS correct
+    FROM test t JOIN pred p ON p.doc_id = t.doc_id AND p.rn = 1
+    ORDER BY t.doc_id
+    """,
+)
+def nb_source_classifier(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    model = S.nb_train(train, label_col="source")
+    pred = S.nb_score(test, model, round_digits=6)
+    return (
+        test.select("doc_id", F.col("source").alias("actual"))
+        .join(pred, "doc_id")
+        .select(
+            "doc_id",
+            "actual",
+            "predicted",
+            "score",
+            F.when(F.col("actual") == F.col("predicted"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights — hashed-bigram bucket frequencies, target
+# (lang='en') vs raw (everything), add-one smoothed log-ratio summed per
+# doc (Xie et al. 2023). Deciles over the rounded weight mark the
+# resampling tiers a curator keeps. Bucket hash = portable md5 kernel, so
+# DuckDB reproduces the buckets bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dsir_importance_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             unnest(list_transform(range(0, len(t) - 1),
+                                   i -> t[i+1] || ' ' || t[i+2])) AS gram
+      FROM toks
+    ),
+    gb AS (
+      SELECT doc_id, is_t,
+             CAST('0x' || substr(md5(gram || '#0'), 1, 15) AS BIGINT) % 1024
+               AS bucket
+      FROM g
+    ),
+    hist AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE) AS n_t,
+             CAST(count(*) AS DOUBLE) AS n_r
+      FROM gb GROUP BY bucket
+    ),
+    tot AS (SELECT sum(n_t) AS tot_t, sum(n_r) AS tot_r FROM hist),
+    ratio AS (
+      SELECT bucket,
+             ln(((n_t + 1) / (tot_t + 1024))
+                / ((n_r + 1) / (tot_r + 1024))) AS log_ratio
+      FROM hist CROSS JOIN tot
+    ),
+    w AS (
+      SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             round(sum(r.log_ratio), 4) AS dsir_weight
+      FROM gb JOIN ratio r USING (bucket)
+      GROUP BY gb.doc_id
+    )
+    SELECT w.doc_id, d.lang, w.n_grams, w.dsir_weight,
+           CAST(ntile(10) OVER (ORDER BY w.dsir_weight DESC, w.doc_id)
+                AS INT) AS decile
+    FROM w JOIN documents d USING (doc_id)
+    ORDER BY w.doc_id
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    weights = S.dsir_weights(
+        docs, target_pred=F.col("lang") == "en", n_buckets=1024, shingle_n=2
+    )
+    rounded = weights.select(
+        "doc_id",
+        "n_grams",
+        F.round("dsir_weight", 4).alias("dsir_weight"),
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    # Exact global decile tier (oracle-checkable); at 100 TB swap for
+    # approx-percentile thresholds — two scans, no single-task window.
+    w = Window.orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
+    return (
+        rounded.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .select("doc_id", "lang", "n_grams", "dsir_weight", "decile")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered exact decontamination — identical RESULT to the exact
+# 5-gram anti-join (the oracle), but the corpus side tests a broadcast
+# Bloom bitset map-side (Arrow-batched mapInPandas) and only the candidate
+# trickle reaches the exact verify join. Benchmark = doc_id < 15 here;
+# corpus = the rest.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bloom_decontaminated_corpus",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(0, len(t) - 4),
+               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                    t[i+4] || ' ' || t[i+5]))) AS gram
+      FROM t
+    ),
+    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 15),
+    dirty AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram)
+      WHERE g.doc_id >= 15
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id >= 15 AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+    ORDER BY d.doc_id
+    """,
+)
+def bloom_decontaminated_corpus(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 15)
+    benchmark = docs.filter(F.col("doc_id") < 15)
+    return (
+        S.bloom_decontaminate(corpus, benchmark, n=5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,156 @@
+"""Planted-structure tests for the data-selection operators
+(operators/selection.py): bigram LM, NB classifier, DSIR weights,
+Bloom-prefiltered decontamination, CCNet quality buckets.
+
+Each test plants a signal the operator must recover — not just a shape
+check — mirroring the suite's pattern for dedup/similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skiliopay_datapipeline_customer_spark.operators import selection as S
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_bigram_lm_prefers_fluent_word_order(spark):
+    # Same word BAG, different ORDER: the repeated "a b" pattern dominates
+    # the bigram table, so the doc that scrambles the order scores lower —
+    # the exact signal a unigram model cannot see.
+    fluent = "a b " * 20
+    rows = [(i, fluent.strip(), "en", "s") for i in range(9)]
+    rows.append((9, ("a a b b " * 10).strip(), "en", "s"))
+    scores = S.bigram_lm_doc_scores(_docs(spark, rows)).collect()
+    by_id = {r["doc_id"]: r["mean_bigram_logprob"] for r in scores}
+    assert len(by_id) == 10
+    fluent_score = by_id[0]
+    scrambled_score = by_id[9]
+    assert fluent_score > scrambled_score
+
+
+def test_bigram_rows_skips_short_docs(spark):
+    rows = [(0, "solo", "en", "s"), (1, "two tokens", "en", "s")]
+    got = S.bigram_rows(_docs(spark, rows)).collect()
+    assert [(r["doc_id"], r["gram"], r["w1"]) for r in got] == [
+        (1, "two tokens", "two")
+    ]
+
+
+def test_nb_classifier_separates_planted_classes(spark):
+    # Class A docs draw from {apple, pear}, class B from {bolt, nut};
+    # test docs from each vocabulary must classify to their class.
+    train = _docs(
+        spark,
+        [(i, "apple pear apple", "en", "A") for i in range(0, 10)]
+        + [(i, "bolt nut bolt nut", "en", "B") for i in range(10, 20)],
+    )
+    test = _docs(
+        spark,
+        [(100, "apple apple pear", "en", "A"), (101, "nut bolt nut", "en", "B")],
+    )
+    model = S.nb_train(train, label_col="source")
+    pred = {r["doc_id"]: r["predicted"] for r in S.nb_score(test, model).collect()}
+    assert pred == {100: "A", 101: "B"}
+
+
+def test_nb_score_handles_oov_tokens(spark):
+    # A token never seen in training must fall to the smoothing floor for
+    # every class (not crash, not NULL out the score).
+    train = _docs(spark, [(0, "aa aa", "en", "A"), (1, "bb bb", "en", "B")])
+    test = _docs(spark, [(2, "aa zz", "en", "A")])
+    model = S.nb_train(train, label_col="source")
+    rows = S.nb_score(test, model).collect()
+    assert len(rows) == 1 and rows[0]["predicted"] == "A"
+    assert rows[0]["score"] is not None
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    # Target slice repeats the "tea tea" bigram; one raw doc mimics it,
+    # one is pure noise. The mimic must carry the larger importance weight.
+    rows = (
+        [(i, "tea tea tea tea tea", "en", "s") for i in range(8)]
+        + [(100, "tea tea tea tea", "xx", "s"), (101, "rock dust rock dust", "xx", "s")]
+    )
+    w = S.dsir_weights(_docs(spark, rows), target_pred=F.col("lang") == "en")
+    by_id = {r["doc_id"]: r["dsir_weight"] for r in w.collect()}
+    assert by_id[100] > by_id[101]
+
+
+def test_broadcast_bloom_has_no_false_negatives():
+    items = [f"gram-{i}" for i in range(1000)]
+    bloom = S.BroadcastBloom(items)
+    assert all(bloom.might_contain(it) for it in items)
+    # fp rate sane at 16 bits/item, k=7 (theory ~1e-3; allow slack)
+    fps = sum(bloom.might_contain(f"other-{i}") for i in range(2000))
+    assert fps < 60
+
+
+def test_bloom_decontaminate_matches_exact_anti_join(spark):
+    from skiliopay_datapipeline_customer_spark.operators.dedup import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    base = "w%d w%d w%d w%d w%d w%d"
+    rows = [(i, base % (i, i + 1, i + 2, i + 3, i + 4, i + 5), "en", "s") for i in range(30)]
+    # doc 20 copies benchmark doc 2's text verbatim -> must drop
+    rows[20] = (20, rows[2][1], "en", "s")
+    docs = _docs(spark, rows)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    benchmark = docs.filter(F.col("doc_id") < 10)
+
+    got = sorted(
+        r["doc_id"]
+        for r in S.bloom_decontaminate(corpus, benchmark, n=5).collect()
+    )
+
+    def grams(df):
+        return df.select(
+            "doc_id", tokens(F.col("text")).alias("_t")
+        ).select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_from_tokens(F.col("_t"), 5))).alias("gram"),
+        )
+
+    dirty = (
+        grams(corpus)
+        .join(grams(benchmark).select("gram").distinct(), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    want = sorted(
+        r["doc_id"] for r in corpus.join(dirty, "doc_id", "left_anti").collect()
+    )
+    assert got == want
+    assert 20 not in got and 25 in got
+
+
+def test_bloom_decontaminate_caps_benchmark_size(spark):
+    import pytest
+
+    rows = [(i, f"a{i} b{i} c{i} d{i} e{i}", "en", "s") for i in range(20)]
+    docs = _docs(spark, rows)
+    with pytest.raises(ValueError, match="max_benchmark_grams"):
+        S.bloom_decontaminate(
+            docs.filter(F.col("doc_id") >= 10),
+            docs.filter(F.col("doc_id") < 10),
+            n=5,
+            max_benchmark_grams=3,
+        )
+
+
+def test_quality_buckets_tertile_labels(spark):
+    scores = spark.createDataFrame(
+        [(i, "en", float(-i)) for i in range(9)],
+        "doc_id long, lang string, s double",
+    )
+    got = {
+        r["doc_id"]: r["quality_bucket"]
+        for r in S.quality_buckets(scores, "s", "lang").collect()
+    }
+    # scores -0..-8 desc -> docs 0-2 head, 3-5 middle, 6-8 tail
+    assert [got[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
