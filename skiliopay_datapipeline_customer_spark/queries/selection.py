@@ -333,3 +333,124 @@ def bloom_decontaminated_corpus(spark, sf_dir):
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation capstone — the selection stage composed END-TO-END as one lazy
+# plan, the way a curator actually runs it: bigram-LM quality tertiles per
+# language (drop the CCNet tail), then DSIR importance deciles computed
+# OVER THE SURVIVORS (stage order matters: the histograms describe the
+# post-quality population), keep the top half. Mirrors the
+# corpus_build_pipeline capstone pattern for the dedup→quality→mixture
+# stages.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curated_selection_pipeline",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM toks
+    ),
+    bigw AS (
+      SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1 FROM big
+    ),
+    c2 AS (SELECT gram, CAST(count(*) AS DOUBLE) AS n2 FROM bigw GROUP BY gram),
+    c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS n1 FROM bigw GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsz
+          FROM (SELECT unnest(t) AS tok FROM toks)),
+    scores AS (
+      SELECT b.doc_id,
+             round(sum(ln((c.n2 + 1) / (c1.n1 + v.vsz))) / count(*), 4)
+               AS lp
+      FROM bigw b
+      JOIN c2 c ON b.gram = c.gram
+      JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN v
+      GROUP BY b.doc_id
+    ),
+    bucketed AS (
+      SELECT s.doc_id, d.lang,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.lp DESC, s.doc_id) AS b
+      FROM scores s JOIN documents d USING (doc_id)
+    ),
+    keep AS (
+      SELECT doc_id, lang,
+             CASE b WHEN 1 THEN 'head' ELSE 'middle' END AS quality_bucket
+      FROM bucketed WHERE b <> 3
+    ),
+    g AS (
+      SELECT k.doc_id, k.lang = 'en' AS is_t,
+             unnest(list_transform(range(0, len(t.t) - 1),
+                                   i -> t.t[i+1] || ' ' || t.t[i+2])) AS gram
+      FROM keep k JOIN toks t USING (doc_id)
+    ),
+    gb AS (
+      SELECT doc_id, is_t,
+             CAST('0x' || substr(md5(gram || '#0'), 1, 15) AS BIGINT) % 1024
+               AS bucket
+      FROM g
+    ),
+    hist AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE) AS n_t,
+             CAST(count(*) AS DOUBLE) AS n_r
+      FROM gb GROUP BY bucket
+    ),
+    tot AS (SELECT sum(n_t) AS tot_t, sum(n_r) AS tot_r FROM hist),
+    ratio AS (
+      SELECT bucket,
+             ln(((n_t + 1) / (tot_t + 1024))
+                / ((n_r + 1) / (tot_r + 1024))) AS log_ratio
+      FROM hist CROSS JOIN tot
+    ),
+    w AS (
+      SELECT gb.doc_id, round(sum(r.log_ratio), 4) AS dsir_weight
+      FROM gb JOIN ratio r USING (bucket)
+      GROUP BY gb.doc_id
+    ),
+    ranked AS (
+      SELECT k.doc_id, k.lang, k.quality_bucket, w.dsir_weight,
+             CAST(ntile(10) OVER (ORDER BY w.dsir_weight DESC, w.doc_id)
+                  AS INT) AS decile
+      FROM w JOIN keep k USING (doc_id)
+    )
+    SELECT doc_id, lang, quality_bucket, dsir_weight, decile
+    FROM ranked WHERE decile <= 5
+    ORDER BY doc_id
+    """,
+)
+def curated_selection_pipeline(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    scores = S.bigram_lm_doc_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    keep = S.quality_buckets(
+        scores, "mean_bigram_logprob", "lang", n_buckets=3, round_digits=4
+    ).filter(F.col("quality_bucket") != "tail")
+    survivors = docs.join(
+        keep.select("doc_id", "quality_bucket"), "doc_id"
+    )
+    weights = S.dsir_weights(
+        survivors, target_pred=F.col("lang") == "en", n_buckets=1024, shingle_n=2
+    )
+    ranked = weights.select(
+        "doc_id", F.round("dsir_weight", 4).alias("dsir_weight")
+    ).join(
+        survivors.select("doc_id", "lang", "quality_bucket"), "doc_id"
+    )
+    w = Window.orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
+    return (
+        ranked.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .filter(F.col("decile") <= 5)
+        .select("doc_id", "lang", "quality_bucket", "dsir_weight", "decile")
+        .orderBy("doc_id")
+    )

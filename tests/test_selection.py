@@ -154,3 +154,134 @@ def test_quality_buckets_tertile_labels(spark):
     }
     # scores -0..-8 desc -> docs 0-2 head, 3-5 middle, 6-8 tail
     assert [got[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+
+
+# ---------------------------------------------------------------------------
+# Property tests: exact parity with sequential pure-Python references on
+# randomized corpora (the suite's pattern for ewm/line-dedup/scd2).
+# ---------------------------------------------------------------------------
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_WORD = st.sampled_from(["aa", "bb", "cc", "dd"])
+_DOC = st.lists(_WORD, min_size=2, max_size=12).map(" ".join)
+_CORPUS = st.lists(_DOC, min_size=2, max_size=10)
+
+
+def _ref_bigram_scores(texts):
+    """Sequential reference for bigram_lm_doc_scores."""
+    toks = {i: t.lower().split() for i, t in enumerate(texts)}
+    bigs = {i: [f"{w[j]} {w[j+1]}" for j in range(len(w) - 1)] for i, w in toks.items()}
+    c2, c1 = {}, {}
+    for gs in bigs.values():
+        for g in gs:
+            c2[g] = c2.get(g, 0) + 1
+            w1 = g.split(" ")[0]
+            c1[w1] = c1.get(w1, 0) + 1
+    vocab = {t for w in toks.values() for t in w}
+    v = float(len(vocab))
+    out = {}
+    for i, gs in bigs.items():
+        if not gs:
+            continue
+        s = sum(math.log((c2[g] + 1.0) / (c1[g.split(" ")[0]] + v)) for g in gs)
+        out[i] = (len(gs), s / len(gs))
+    return out
+
+
+@given(texts=_CORPUS)
+@_SETTINGS
+def test_bigram_lm_matches_sequential_reference(spark, texts):
+    rows = [(i, t, "en", "s") for i, t in enumerate(texts)]
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_bigram_logprob"])
+        for r in S.bigram_lm_doc_scores(_docs(spark, rows)).collect()
+    }
+    want = _ref_bigram_scores(texts)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert math.isclose(got[i][1], want[i][1], rel_tol=1e-9, abs_tol=1e-9)
+
+
+def _ref_nb_predict(train_rows, test_rows):
+    """Sequential multinomial-NB reference (add-one smoothing, rounded
+    argmax with class-name tiebreak — the operator's contract)."""
+    cls_tok, cls_tot, cls_docs = {}, {}, {}
+    vocab = set()
+    for _i, text, label in train_rows:
+        cls_docs[label] = cls_docs.get(label, 0) + 1
+        for t in text.lower().split():
+            vocab.add(t)
+            cls_tok[(label, t)] = cls_tok.get((label, t), 0) + 1
+            cls_tot[label] = cls_tot.get(label, 0) + 1
+    total = sum(cls_docs.values())
+    v = float(len(vocab))
+    out = {}
+    for i, text, _label in test_rows:
+        best = None
+        for c in sorted(cls_docs):
+            s = math.log(cls_docs[c] / total)
+            for t in text.lower().split():
+                s += math.log((cls_tok.get((c, t), 0) + 1.0) / (cls_tot[c] + v))
+            s = round(s, 6)
+            if best is None or s > best[1]:
+                best = (c, s)
+        out[i] = best[0]
+    return out
+
+
+@given(
+    train=st.lists(
+        st.tuples(_DOC, st.sampled_from(["A", "B"])), min_size=2, max_size=10
+    ).filter(lambda rs: len({l for _, l in rs}) == 2),
+    test=st.lists(_DOC, min_size=1, max_size=4),
+)
+@_SETTINGS
+def test_nb_classifier_matches_sequential_reference(spark, train, test):
+    train_rows = [(i, t, l) for i, (t, l) in enumerate(train)]
+    test_rows = [(100 + i, t, "A") for i, t in enumerate(test)]
+    tr = _docs(spark, [(i, t, "en", l) for i, t, l in train_rows])
+    te = _docs(spark, [(i, t, "en", l) for i, t, l in test_rows])
+    model = S.nb_train(tr, label_col="source")
+    got = {r["doc_id"]: r["predicted"] for r in S.nb_score(te, model).collect()}
+    want = _ref_nb_predict(train_rows, test_rows)
+    assert got == want
+
+
+def test_selection_model_joins_broadcast_not_smj(spark, sf_dir):
+    """Scale guard: the selection family's model-frame joins (gram/w1/tok/
+    bucket/label count tables, 1-row totals) must broadcast — a
+    SortMergeJoin here means a corpus-sized shuffle against a frame that
+    should be model-sized. At the test SF the per-doc doc_id joins also
+    broadcast, so the plan must contain NO SortMergeJoin at all; if Spark's
+    thresholds ever change this points straight at the join to re-audit."""
+    from skiliopay_datapipeline_customer_spark.queries import all_queries
+
+    q = all_queries()
+    for name in [
+        "bigram_doc_logprob",
+        "nb_source_classifier",
+        "dsir_importance_weights",
+        "curated_selection_pipeline",
+    ]:
+        plan = (
+            q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, f"{name} planned a cartesian"
+        for line in plan.splitlines():
+            if "SortMergeJoin" not in line:
+                continue
+            # doc_id SMJs are doc-frame × doc-frame — the correct plan at
+            # scale (the capstone's weights⋈survivors join). Model keys
+            # (gram/w1/tok/bucket/label) must broadcast.
+            assert "doc_id" in line, f"{name} SMJ on a model key: {line.strip()}"
