@@ -454,3 +454,40 @@ def curated_selection_pipeline(spark, sf_dir):
         .select("doc_id", "lang", "quality_bucket", "dsir_weight", "decile")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS heavy hitters — exact top-k frequent tokens found through a count-min
+# prefilter (operators/sketches.py): the sketch groupBy shuffles at most
+# d×w keys however large the vocabulary, occurrences clear the threshold
+# map-side against the broadcast grid, and the exact count re-check makes
+# the RESULT identical to the plain top-k (so the oracle is the plain SQL —
+# the salted_skew_join_counts discipline: the treatment changes the plan,
+# never the answer).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cms_heavy_hitter_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+    counts AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok
+    )
+    SELECT tok, n FROM counts CROSS JOIN tot
+    WHERE n >= greatest(1, CAST(ceil(total * 0.03) AS BIGINT))
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def cms_heavy_hitter_tokens(spark, sf_dir):
+    from ..operators.dedup import tokens as _tokens
+    from ..operators.sketches import cms_heavy_hitters
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    return cms_heavy_hitters(toks, min_share=0.03, top_k=20)

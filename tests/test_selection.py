@@ -285,3 +285,22 @@ def test_selection_model_joins_broadcast_not_smj(spark, sf_dir):
             # scale (the capstone's weights⋈survivors join). Model keys
             # (gram/w1/tok/bucket/label) must broadcast.
             assert "doc_id" in line, f"{name} SMJ on a model key: {line.strip()}"
+
+
+def test_cms_heavy_hitters_exact_on_planted_skew(spark):
+    from skiliopay_datapipeline_customer_spark.operators.sketches import (
+        cms_heavy_hitters,
+        cms_sketch,
+    )
+
+    # 3 heavy tokens (100 occurrences each) + 200 singletons: the exact
+    # result is the heavy trio with exact counts, singletons dropped.
+    rows = [("hot%d" % h,) for h in range(3) for _ in range(100)]
+    rows += [("rare%d" % i,) for i in range(200)]
+    toks = spark.createDataFrame(rows, "tok string")
+    got = cms_heavy_hitters(toks, min_share=0.05, top_k=10).collect()
+    assert [(r["tok"], r["n"]) for r in got] == [
+        ("hot0", 100), ("hot1", 100), ("hot2", 100)
+    ]
+    # the sketch grid is bounded by depth*width regardless of vocab size
+    assert cms_sketch(toks, depth=4, width=32).count() <= 4 * 32
