@@ -313,6 +313,11 @@ SCALING_QUERIES = [
     "token_stats",
     "rfm_quintiles",
     "topn_per_customer",
+    # r9 selection family: the bigram-LM capstone composition and the two
+    # sketch-prefilter-plus-exact-verify shapes
+    "curated_selection_pipeline",
+    "bloom_decontaminated_corpus",
+    "cms_heavy_hitter_tokens",
 ]
 
 # derived from the same testdata root convention the rest of bench.py

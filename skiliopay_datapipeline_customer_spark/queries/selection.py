@@ -491,3 +491,134 @@ def cms_heavy_hitter_tokens(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
     return cms_heavy_hitters(toks, min_share=0.03, top_k=20)
+
+
+# ---------------------------------------------------------------------------
+# NB classifier evaluation — per-class precision/recall/F1 + support over
+# the held-out predictions (the M7 metrics view applied to the quality-
+# classifier tier). Derived entirely from the nb_source_classifier frame;
+# the aggregate is |classes|-sized.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nb_classifier_report",
+    oracle="""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    test AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    ttok AS (
+      SELECT source AS label, doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM train
+    ),
+    class_tok AS (
+      SELECT label, tok, CAST(count(*) AS DOUBLE) AS n
+      FROM ttok GROUP BY label, tok
+    ),
+    class_stats AS (
+      SELECT d.label, ct.tok_total, ln(d.n_docs / t.total_docs) AS log_prior
+      FROM (SELECT source AS label, CAST(count(*) AS DOUBLE) AS n_docs
+            FROM train GROUP BY source) d
+      JOIN (SELECT label, sum(n) AS tok_total FROM class_tok GROUP BY label) ct
+        USING (label)
+      CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS total_docs FROM train) t
+    ),
+    v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsz FROM ttok),
+    stok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM test
+    ),
+    scores AS (
+      SELECT s.doc_id, cs.label,
+             round(cs.log_prior
+                   + sum(ln((coalesce(ct.n, 0) + 1)
+                            / (cs.tok_total + v.vsz))), 6) AS score
+      FROM stok s
+      CROSS JOIN class_stats cs
+      LEFT JOIN class_tok ct ON ct.label = cs.label AND ct.tok = s.tok
+      CROSS JOIN v
+      GROUP BY s.doc_id, cs.label, cs.log_prior
+    ),
+    pred AS (
+      SELECT doc_id, label AS predicted,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, label) AS rn
+      FROM scores
+    ),
+    joined AS (
+      SELECT t.source AS actual, p.predicted
+      FROM test t JOIN pred p ON p.doc_id = t.doc_id AND p.rn = 1
+    ),
+    per_actual AS (
+      SELECT actual AS label, CAST(count(*) AS BIGINT) AS support,
+             CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp
+      FROM joined GROUP BY actual
+    ),
+    per_pred AS (
+      SELECT predicted AS label, CAST(count(*) AS BIGINT) AS predicted_n
+      FROM joined GROUP BY predicted
+    )
+    SELECT a.label, a.support,
+           CAST(coalesce(p.predicted_n, 0) AS BIGINT) AS predicted_n,
+           a.tp,
+           round(CASE WHEN coalesce(p.predicted_n, 0) = 0 THEN 0.0
+                      ELSE a.tp / CAST(p.predicted_n AS DOUBLE) END, 4)
+             AS precision,
+           round(a.tp / CAST(a.support AS DOUBLE), 4) AS recall,
+           round(CASE WHEN coalesce(p.predicted_n, 0) = 0 OR a.tp = 0 THEN 0.0
+                      ELSE 2.0 * a.tp / CAST(p.predicted_n + a.support
+                                             AS DOUBLE) END, 4) AS f1
+    FROM per_actual a LEFT JOIN per_pred p USING (label)
+    ORDER BY a.label
+    """,
+)
+def nb_classifier_report(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    model = S.nb_train(train, label_col="source")
+    pred = S.nb_score(test, model, round_digits=6)
+    joined = test.select(
+        "doc_id", F.col("source").alias("actual")
+    ).join(pred.select("doc_id", "predicted"), "doc_id")
+    per_actual = joined.groupBy(F.col("actual").alias("label")).agg(
+        F.count(F.lit(1)).alias("support"),
+        F.sum(
+            F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0)
+        ).alias("tp"),
+    )
+    per_pred = joined.groupBy(F.col("predicted").alias("label")).agg(
+        F.count(F.lit(1)).alias("predicted_n")
+    )
+    pn = F.coalesce(F.col("predicted_n"), F.lit(0))
+    # F1 = 2·tp / (predicted_n + support): algebraically 2PR/(P+R) without
+    # the 0/0 guards on the intermediate ratios
+    return (
+        per_actual.join(per_pred, "label", "left")
+        .select(
+            "label",
+            "support",
+            pn.cast("long").alias("predicted_n"),
+            "tp",
+            F.round(
+                F.when(pn == 0, F.lit(0.0)).otherwise(
+                    F.col("tp") / pn.cast("double")
+                ),
+                4,
+            ).alias("precision"),
+            F.round(
+                F.col("tp") / F.col("support").cast("double"), 4
+            ).alias("recall"),
+            F.round(
+                F.when((pn == 0) | (F.col("tp") == 0), F.lit(0.0)).otherwise(
+                    2.0
+                    * F.col("tp")
+                    / (pn + F.col("support")).cast("double")
+                ),
+                4,
+            ).alias("f1"),
+        )
+        .orderBy("label")
+    )
