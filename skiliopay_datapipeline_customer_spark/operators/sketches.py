@@ -120,4 +120,20 @@ def cms_heavy_hitters(
     )
 
 
-__all__ = ["cms_heavy_hitters", "cms_sketch"]
+def merge_sketches(sketches: list[DataFrame]) -> DataFrame:
+    """Merge CMS grids built over disjoint slices: cell-wise sum.
+
+    This is THE property that makes the sketch distributed- and
+    streaming-friendly — per-partition/per-micro-batch grids union and
+    re-aggregate to exactly the full-corpus grid (counts are additive per
+    (row, bucket)), so an incremental pipeline folds each batch's
+    fixed-size grid into a store instead of re-scanning history. The
+    mergeability pytest pins exact equality with the one-pass sketch.
+    """
+    if not sketches:
+        raise ValueError("merge_sketches needs at least one sketch")
+    unioned = reduce(lambda a, b: a.unionByName(b), sketches)
+    return unioned.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+
+
+__all__ = ["cms_heavy_hitters", "cms_sketch", "merge_sketches"]

@@ -304,3 +304,69 @@ def test_cms_heavy_hitters_exact_on_planted_skew(spark):
     ]
     # the sketch grid is bounded by depth*width regardless of vocab size
     assert cms_sketch(toks, depth=4, width=32).count() <= 4 * 32
+
+
+def test_cms_sketch_merge_equals_one_pass(spark):
+    """Mergeability: per-slice grids summed cell-wise == the full-corpus
+    grid — the property that lets CMS fold incrementally per micro-batch
+    or per partition without rescanning history."""
+    from skiliopay_datapipeline_customer_spark.operators.sketches import (
+        cms_sketch,
+        merge_sketches,
+    )
+
+    rows = [("tok%d" % (i % 37),) for i in range(500)]
+    toks = spark.createDataFrame(rows, "tok string")
+    full = cms_sketch(toks, depth=4, width=32)
+    parts = [
+        cms_sketch(toks.filter(F.pmod(F.xxhash64("tok"), F.lit(3)) == i), depth=4, width=32)
+        for i in range(3)
+    ]
+    merged = merge_sketches(parts)
+    a = {(r["row"], r["bucket"]): r["n"] for r in full.collect()}
+    b = {(r["row"], r["bucket"]): r["n"] for r in merged.collect()}
+    assert a == b
+
+
+def test_cms_streaming_accumulation_matches_batch(spark, tmp_path):
+    """Streaming CMS: each micro-batch's fixed-size grid appends to a
+    store; the merged store equals the one-pass batch sketch, so stream-
+    accumulated heavy hitters equal the batch answer without re-scanning
+    history. (foreachBatch — the engine's incremental-sink discipline.)"""
+    import os
+
+    from skiliopay_datapipeline_customer_spark.operators.sketches import (
+        cms_sketch,
+        merge_sketches,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    all_rows = [("tok%d" % (i % 23),) for i in range(300)]
+    for b in range(3):
+        spark.createDataFrame(
+            all_rows[b * 100 : (b + 1) * 100], "tok string"
+        ).coalesce(1).write.parquet(f"{src}/b{b}")
+    store = str(tmp_path / "store")
+
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+
+    def fold(batch_df, batch_id):
+        cms_sketch(batch_df, depth=4, width=32).write.mode("append").parquet(store)
+
+    q = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    merged = merge_sketches([spark.read.parquet(store)])
+    full = cms_sketch(
+        spark.createDataFrame(all_rows, "tok string"), depth=4, width=32
+    )
+    a = {(r["row"], r["bucket"]): r["n"] for r in merged.collect()}
+    b = {(r["row"], r["bucket"]): r["n"] for r in full.collect()}
+    assert a == b
