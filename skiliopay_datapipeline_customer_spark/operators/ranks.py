@@ -48,6 +48,7 @@ def global_rank_distributed(
     order_exprs: list,
     rank_col: str = "_rank",
     num_partitions: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Exact 1-based global rank under a TOTAL order, no single-task sort.
 
@@ -58,6 +59,25 @@ def global_rank_distributed(
 
     `order_exprs` must define a total order (include a unique tiebreak
     column) or ranks within ties are partition-placement-dependent.
+
+    ``pin=True`` (the DEFAULT) localCheckpoints the range-partitioned
+    frame BEFORE the offsets/window branches fork, freezing `_pid` in
+    data. The lazy form (pin=False) relies on the planner REUSING the
+    range exchange across both branches; over join-derived lineage the
+    planner can decline — each branch then re-samples range boundaries
+    and AQE may coalesce the two shuffles differently, keying offsets
+    against the wrong `_pid` population (measured r9 on
+    dsir_deciles_distributed at sf0.1: duplicate/gapped ranks, tile sizes
+    430–559 where every tile is exactly 500 — while the SAME code was
+    green at sf0.01, so "reuse held so far" is session/size luck, not a
+    guarantee). Correctness-first default: every consumer pins; the pin
+    is one row per ranked entity and the ContextCleaner releases it with
+    the result. pin=False remains for callers that have verified their
+    exchange reuse and need to avoid the materialization (none in-tree).
+    At 100 TB the pin doubles the rank pass's I/O — the planned
+    refinement is expression-derived bucket ids (approx_percentile
+    boundaries collected once, `_pid` computed as a pure CASE expression
+    of the key, no sampling coupling at all).
     """
     from pyspark.sql import Window
 
@@ -65,6 +85,8 @@ def global_rank_distributed(
     parts = df.repartitionByRange(nparts, *order_exprs).withColumn(
         "_pid", F.spark_partition_id()
     )
+    if pin:
+        parts = parts.localCheckpoint(eager=True)
     # one value per range partition — metadata-sized, prefix-summed on the
     # driver (no global-order window anywhere in the plan)
     offsets = _prefix_offsets(parts, F.count(F.lit(1)))
@@ -101,6 +123,7 @@ def global_cumsums_distributed(
     order_exprs: list,
     cols: dict[str, str],
     num_partitions: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Exact inclusive running sums of SEVERAL value columns under one TOTAL
     order, in ONE range pass — ``cols`` maps value column → output column.
@@ -114,7 +137,11 @@ def global_cumsums_distributed(
     the second call's offsets keyed `_pid` against DIFFERENT range
     boundaries than its main pass (measured: the KS ecdf query returned a
     different, wrong sup-distance per session). A single multi-column pass
-    has exactly one exchange, so the failure mode cannot exist.
+    has exactly one exchange, so the NESTED failure mode cannot exist —
+    and since r9, ``pin=True`` (default) localCheckpoints the partitioned
+    frame so even the un-nested offsets/main fork cannot diverge when the
+    planner declines exchange reuse (the rank twin measured exactly that
+    at sf0.1; see :func:`global_rank_distributed`).
     """
     from pyspark.sql import Window
 
@@ -122,6 +149,8 @@ def global_cumsums_distributed(
     parts = df.repartitionByRange(nparts, *order_exprs).withColumn(
         "_pid", F.spark_partition_id()
     )
+    if pin:
+        parts = parts.localCheckpoint(eager=True)
     # per-partition value sums, prefix-accumulated in partition order — the
     # same left-to-right add order the windowed form uses, so the IEEE
     # result is identical, without the single-partition window
@@ -265,3 +294,49 @@ def quantile_bucket_distributed(
             F.element_at(label_arr, bucket)
         ),
     ).drop("_rank", "_u", "_n")
+
+
+def ntile_distributed(
+    df: DataFrame,
+    order_exprs: list,
+    q: int,
+    out: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact SQL ``NTILE(q)`` with no single-task global window.
+
+    Pass 1: range-partitioned exact global rank
+    (:func:`global_rank_distributed`). Pass 2: the closed-form NTILE
+    bucket from (rank, n) — SQL semantics put the remainder rows in the
+    FIRST buckets (sizes differ by at most one, larger first), which is
+    NOT the Bresenham spread of ``floor((r-1)·q/n)+1``; with
+    a = n div q, b = n mod q:
+
+        r ≤ b·(a+1)  →  bucket = floor((r−1)/(a+1)) + 1
+        otherwise    →  bucket = b + floor((r − b·(a+1) − 1)/a) + 1
+
+    Matches Spark's and DuckDB's ntile for EVERY (n, q), including q > n
+    (then a = 0, b = n, and every row takes the first branch with
+    bucket = r) — property-tested against the window form across the
+    (n, q) grid in ``tests/test_selection.py``. ``order_exprs`` must be a
+    total order (unique tiebreak), same contract as the rank.
+
+    Ranks come from ``global_rank_distributed(..., pin=True)``: ntile
+    inputs are typically join-derived (scores joined to metadata), the
+    lineage shape where the rank's two branches can re-execute the range
+    exchange with different sampled boundaries / AQE coalescing — pin
+    freezes `_pid` in data (see the rank's docstring; measured failure on
+    dsir_deciles_distributed at sf0.1)."""
+    ranked = global_rank_distributed(
+        df, order_exprs, rank_col="_r", num_partitions=num_partitions, pin=True
+    )
+    stats = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = ranked.crossJoin(F.broadcast(stats))
+    a = F.floor(F.col("_n") / q)
+    b = F.col("_n") % q
+    r = F.col("_r")
+    head = b * (a + 1)
+    bucket = F.when(
+        r <= head, F.floor((r - 1) / (a + 1)) + 1
+    ).otherwise(b + F.floor((r - head - 1) / a) + 1)
+    return ranked.withColumn(out, bucket.cast("int")).drop("_r", "_n")

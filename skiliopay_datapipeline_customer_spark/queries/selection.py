@@ -622,3 +622,81 @@ def nb_classifier_report(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR deciles, scale tier — same answer as dsir_importance_weights (same
+# oracle: DuckDB's real ntile), but the decile comes from the range-
+# partitioned exact rank + closed-form NTILE arithmetic
+# (operators/ranks.py::ntile_distributed) instead of a single-task global
+# window — the form that survives 100 TB. This closes the "swap for a
+# distributed form at scale" note on the exact tier concretely.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dsir_deciles_distributed",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             unnest(list_transform(range(0, len(t) - 1),
+                                   i -> t[i+1] || ' ' || t[i+2])) AS gram
+      FROM toks
+    ),
+    gb AS (
+      SELECT doc_id, is_t,
+             CAST('0x' || substr(md5(gram || '#0'), 1, 15) AS BIGINT) % 1024
+               AS bucket
+      FROM g
+    ),
+    hist AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE) AS n_t,
+             CAST(count(*) AS DOUBLE) AS n_r
+      FROM gb GROUP BY bucket
+    ),
+    tot AS (SELECT sum(n_t) AS tot_t, sum(n_r) AS tot_r FROM hist),
+    ratio AS (
+      SELECT bucket,
+             ln(((n_t + 1) / (tot_t + 1024))
+                / ((n_r + 1) / (tot_r + 1024))) AS log_ratio
+      FROM hist CROSS JOIN tot
+    ),
+    w AS (
+      SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             round(sum(r.log_ratio), 4) AS dsir_weight
+      FROM gb JOIN ratio r USING (bucket)
+      GROUP BY gb.doc_id
+    )
+    SELECT w.doc_id, d.lang, w.n_grams, w.dsir_weight,
+           CAST(ntile(10) OVER (ORDER BY w.dsir_weight DESC, w.doc_id)
+                AS INT) AS decile
+    FROM w JOIN documents d USING (doc_id)
+    ORDER BY w.doc_id
+    """,
+)
+def dsir_deciles_distributed(spark, sf_dir):
+    from ..operators.ranks import ntile_distributed
+
+    docs = table(spark, sf_dir, "documents")
+    weights = S.dsir_weights(
+        docs, target_pred=F.col("lang") == "en", n_buckets=1024, shingle_n=2
+    )
+    rounded = weights.select(
+        "doc_id",
+        "n_grams",
+        F.round("dsir_weight", 4).alias("dsir_weight"),
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    tiled = ntile_distributed(
+        rounded,
+        [F.col("dsir_weight").desc(), F.col("doc_id").asc()],
+        q=10,
+        out="decile",
+    )
+    return tiled.select(
+        "doc_id", "lang", "n_grams", "dsir_weight", "decile"
+    ).orderBy("doc_id")

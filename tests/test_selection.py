@@ -370,3 +370,33 @@ def test_cms_streaming_accumulation_matches_batch(spark, tmp_path):
     a = {(r["row"], r["bucket"]): r["n"] for r in merged.collect()}
     b = {(r["row"], r["bucket"]): r["n"] for r in full.collect()}
     assert a == b
+
+
+def test_ntile_distributed_equals_window_across_n_q_grid(spark):
+    """ntile_distributed must reproduce SQL NTILE exactly for every (n, q)
+    shape — including remainder distributions (n % q != 0) where the naive
+    floor((r-1)q/n)+1 form diverges (n=6, q=4 puts sizes 2,2,1,1, not
+    2,1,2,1), and q > n (bucket = rank)."""
+    from pyspark.sql import Window
+
+    from skiliopay_datapipeline_customer_spark.operators.ranks import (
+        ntile_distributed,
+    )
+
+    for n in [1, 2, 3, 5, 6, 7, 10, 23]:
+        for q in [1, 2, 3, 4, 10, 30]:
+            df = spark.createDataFrame(
+                [(i, float((i * 7) % n)) for i in range(n)], "id long, v double"
+            )
+            order = [F.col("v").desc(), F.col("id").asc()]
+            want = {
+                r["id"]: r["t"]
+                for r in df.withColumn(
+                    "t", F.ntile(q).over(Window.orderBy(*order))
+                ).collect()
+            }
+            got = {
+                r["id"]: r["t"]
+                for r in ntile_distributed(df, order, q, out="t").collect()
+            }
+            assert got == want, f"n={n} q={q}"
