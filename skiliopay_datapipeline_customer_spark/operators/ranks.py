@@ -332,11 +332,48 @@ def ntile_distributed(
     )
     stats = ranked.agg(F.count(F.lit(1)).alias("_n"))
     ranked = ranked.crossJoin(F.broadcast(stats))
-    a = F.floor(F.col("_n") / q)
-    b = F.col("_n") % q
-    r = F.col("_r")
-    head = b * (a + 1)
-    bucket = F.when(
-        r <= head, F.floor((r - 1) / (a + 1)) + 1
-    ).otherwise(b + F.floor((r - head - 1) / a) + 1)
+    bucket = _ntile_bucket(F.col("_r"), F.col("_n"), q)
     return ranked.withColumn(out, bucket.cast("int")).drop("_r", "_n")
+
+
+def _ntile_bucket(r, n, q: int):
+    """Closed-form SQL NTILE bucket from (1-based rank r, group size n)."""
+    a = F.floor(n / q)
+    b = n % q
+    head = b * (a + 1)
+    return F.when(r <= head, F.floor((r - 1) / (a + 1)) + 1).otherwise(
+        b + F.floor((r - head - 1) / a) + 1
+    )
+
+
+def grouped_ntile_distributed(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list,
+    q: int,
+    out: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``NTILE(q) OVER (PARTITION BY group ORDER BY ...)`` with no
+    single-task window even when ONE group dominates the table (the 60 %
+    language of a 100 TB corpus) — the shape the per-lang CCNet split
+    needs at scale.
+
+    One pinned range pass ordered by (group, order...): groups are then
+    CONTIGUOUS in the global rank, so the within-group rank is
+    ``global_rank − min(global_rank of the group) + 1`` and the bucket is
+    the same closed-form NTILE arithmetic on (group rank, group size).
+    Group stats are a |groups|-row broadcast. A dominant group spans many
+    range partitions — no task ever holds a whole group.
+    """
+    group_order = [F.col(c).asc() for c in group_cols] + list(order_exprs)
+    ranked = global_rank_distributed(
+        df, group_order, rank_col="_r", num_partitions=num_partitions, pin=True
+    )
+    stats = ranked.groupBy(*group_cols).agg(
+        F.min("_r").alias("_base"), F.count(F.lit(1)).alias("_n")
+    )
+    joined = ranked.join(F.broadcast(stats), group_cols)
+    rg = F.col("_r") - F.col("_base") + 1
+    bucket = _ntile_bucket(rg, F.col("_n"), q)
+    return joined.withColumn(out, bucket.cast("int")).drop("_r", "_base", "_n")

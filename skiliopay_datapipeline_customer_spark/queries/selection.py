@@ -700,3 +700,91 @@ def dsir_deciles_distributed(spark, sf_dir):
     return tiled.select(
         "doc_id", "lang", "n_grams", "dsir_weight", "decile"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CCNet buckets, scale tier — same answer and oracle as
+# ccnet_quality_buckets (DuckDB's real partitioned ntile), but the
+# per-language tertile comes from ONE pinned range pass ordered by
+# (lang, score, doc_id) + closed-form NTILE arithmetic on within-group
+# ranks (operators/ranks.py::grouped_ntile_distributed) — a dominant
+# language spans many range partitions instead of one window task. Closes
+# the exact tier's "approx thresholds at 100 TB" note with an EXACT
+# distributed form instead.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ccnet_buckets_distributed",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM toks
+    ),
+    bigw AS (
+      SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1 FROM big
+    ),
+    c2 AS (SELECT gram, CAST(count(*) AS DOUBLE) AS n2 FROM bigw GROUP BY gram),
+    c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS n1 FROM bigw GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsz
+          FROM (SELECT unnest(t) AS tok FROM toks)),
+    scores AS (
+      SELECT b.doc_id,
+             round(sum(ln((c.n2 + 1) / (c1.n1 + v.vsz))) / count(*), 4)
+               AS mean_bigram_logprob
+      FROM bigw b
+      JOIN c2 c ON b.gram = c.gram
+      JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN v
+      GROUP BY b.doc_id
+    ),
+    bucketed AS (
+      SELECT s.doc_id, d.lang, s.mean_bigram_logprob,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.mean_bigram_logprob DESC, s.doc_id)
+               AS b
+      FROM scores s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, mean_bigram_logprob,
+           CASE b WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+                  ELSE 'middle' END AS quality_bucket
+    FROM bucketed
+    ORDER BY doc_id
+    """,
+)
+def ccnet_buckets_distributed(spark, sf_dir):
+    from ..operators.ranks import grouped_ntile_distributed
+
+    docs = table(spark, sf_dir, "documents")
+    scores = S.bigram_lm_doc_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    rounded = scores.select(
+        "doc_id",
+        "lang",
+        F.round("mean_bigram_logprob", 4).alias("mean_bigram_logprob"),
+    )
+    tiled = grouped_ntile_distributed(
+        rounded,
+        ["lang"],
+        [F.col("mean_bigram_logprob").desc(), F.col("doc_id").asc()],
+        q=3,
+        out="_b",
+    )
+    label = (
+        F.when(F.col("_b") == 1, F.lit("head"))
+        .when(F.col("_b") == 3, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return tiled.select(
+        "doc_id",
+        "lang",
+        "mean_bigram_logprob",
+        label.alias("quality_bucket"),
+    ).orderBy("doc_id")

@@ -400,3 +400,34 @@ def test_ntile_distributed_equals_window_across_n_q_grid(spark):
                 for r in ntile_distributed(df, order, q, out="t").collect()
             }
             assert got == want, f"n={n} q={q}"
+
+
+def test_grouped_ntile_distributed_equals_window(spark):
+    """Per-group NTILE from one pinned range pass must equal the
+    partitioned window form across uneven group sizes (incl. a dominant
+    group and a singleton group)."""
+    from pyspark.sql import Window
+
+    from skiliopay_datapipeline_customer_spark.operators.ranks import (
+        grouped_ntile_distributed,
+    )
+
+    rows = []
+    for g, n in [("big", 23), ("mid", 7), ("one", 1), ("two", 2)]:
+        rows += [(g, i, float((i * 13) % 11)) for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    for q in [1, 2, 3, 5, 10]:
+        want = {
+            (r["g"], r["id"]): r["t"]
+            for r in df.withColumn(
+                "t", F.ntile(q).over(Window.partitionBy("g").orderBy(*order))
+            ).collect()
+        }
+        got = {
+            (r["g"], r["id"]): r["t"]
+            for r in grouped_ntile_distributed(
+                df, ["g"], order, q, out="t"
+            ).collect()
+        }
+        assert got == want, f"q={q}"
