@@ -43,6 +43,14 @@ HEADLINE = [
     "running_total",               # frame-spec window
     "behavioral_columns_from_events",  # event-window conditional aggs
     "rfm_quintiles",               # range-partitioned global rank + qcut edges
+    # r10: the selection family — among the most expensive queries in the
+    # repo (6.1/5.9/3.1 s at sf0.1 in SCALING_r09) but previously invisible
+    # to the round-over-round delta/flag machinery. The r7 75%-coverage
+    # rule below handles the headline-set growth (first round compares on
+    # the shared subset and marks `subset`).
+    "curated_selection_pipeline",  # bigram LM + NB + DSIR + bloom capstone
+    "cms_heavy_hitter_tokens",     # count-min sketch + exact re-check
+    "bloom_decontaminated_corpus", # broadcast-Bloom prefilter + exact verify
 ]
 
 

@@ -87,8 +87,8 @@ def quantile_bucket(
         return df.withColumn(out, F.lit(fill))
     inner = _qcut_edges(stats["n"], effective_q)
     order = [
-        F.col(col).asc() if ascending else F.col(col).desc(),
-        F.col(tiebreak).asc(),
+        (F.col(col), "asc" if ascending else "desc"),
+        (F.col(tiebreak), "asc"),
     ]
     ranked = global_rank_distributed(df, order, rank_col="_qb_rank")
     bucket = F.lit(1)

@@ -7,33 +7,217 @@ through ONE task. That replicates the reference's pandas semantics
 (src/processing/feature_engineering.py:89-98 ranks the full frame) and is
 fine at fixture scale, but it is the first thing that dies at 100 TB.
 
-This module is the distributed tier: exact global rank via
-range-partitioning — the same mechanism Spark's own `orderBy` uses for
-total ordering — plus per-partition row numbers and broadcast prefix
-offsets. No single task ever sees more than one range partition; the only
-global structure is the per-partition count frame (#partitions rows).
+This module is the distributed tier: exact global rank via EXPRESSION-
+DERIVED range buckets. Boundary tuples over the order keys are sampled
+ONCE (a deterministic top-K-by-hash job, model-sized result) and frozen
+as literals; each row's bucket id `_pid` is then a pure lexicographic
+CASE expression of its own key values. Per-bucket row numbers plus
+broadcast prefix offsets give the exact global rank. No single task ever
+sees more than one bucket; the only global structure is the per-bucket
+count frame (#buckets rows).
+
+Why expressions instead of `repartitionByRange` + `spark_partition_id()`
+(the r1–r9 form): the physical partition id is only consistent between
+the offsets branch and the window branch while BOTH hang off the SAME
+range exchange. `repartitionByRange` samples its boundaries per
+execution, so when the planner declines exchange reuse (measured r9 on
+join-derived lineage at sf0.1: dsir deciles with tile sizes 430–559
+where every tile is exactly 500) each branch keys `_pid` against a
+different partition population — wrong results that only appear at
+scale. r9's stopgap was `localCheckpoint` pinning, which doubles the
+rank pass's I/O at 100 TB and runs eager full-frame jobs at DataFrame-
+construction time. With `_pid` computed from frozen literals, the two
+branches agree BY CONSTRUCTION: exchange reuse is a performance
+optimization here, never a correctness dependency, and the only eager
+work is one column-pruned top-K sample job (the same kind of sampling
+pass `repartitionByRange` itself runs internally — ours is just
+collected once and frozen).
+
+Correctness never depends on boundary QUALITY: `_pid` only has to be
+monotone w.r.t. the total order (all rows of bucket i precede bucket
+i+1), which the lexicographic comparison guarantees for ANY boundary
+set. Boundary quality only affects balance — and because boundaries are
+sampled over ALL order keys (including the unique tiebreak), buckets
+stay balanced even when the leading key is low-cardinality or skewed.
 """
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# Order specs: [(column-or-name, "asc"|"desc"), ...]; a bare column/name
+# means ascending. Columns must be plain expressions — pass the direction
+# in the tuple, NOT via Column.asc()/.desc() (a SortOrder can't be
+# projected for boundary sampling).
+# ---------------------------------------------------------------------------
+
+
+def _normalize_order_spec(order_spec) -> list[tuple]:
+    norm = []
+    for entry in order_spec:
+        if isinstance(entry, tuple):
+            col, direction = entry
+            d = str(direction).lower()
+            if d in ("asc", "ascending"):
+                asc = True
+            elif d in ("desc", "descending"):
+                asc = False
+            else:
+                raise ValueError(f"order direction must be asc/desc, got {direction!r}")
+        else:
+            col, asc = entry, True
+        if isinstance(col, str):
+            col = F.col(col)
+        s = str(col)
+        if " ASC NULLS" in s or " DESC NULLS" in s:
+            raise TypeError(
+                "order_spec entries must be plain columns or (col, 'asc'|'desc') "
+                f"tuples, not Column.asc()/.desc() sort orders: {s}"
+            )
+        norm.append((col, asc))
+    return norm
+
+
+def _sort_cols(norm):
+    return [c.asc() if asc else c.desc() for c, asc in norm]
+
+
+def _cmp_vals(a, b, asc: bool) -> int:
+    """Driver-side comparison matching Spark's sort semantics: asc puts
+    NULL first and NaN last; desc reverses (NaN first, NULL last)."""
+
+    def cls(v):
+        if v is None:
+            return 0
+        if isinstance(v, float) and v != v:  # NaN
+            return 2
+        return 1
+
+    ca, cb = cls(a), cls(b)
+    if ca != cb:
+        r = -1 if ca < cb else 1
+    elif ca != 1:
+        r = 0
+    elif a < b:
+        r = -1
+    elif a > b:
+        r = 1
+    else:
+        r = 0
+    return r if asc else -r
+
+
+def _cmp_tuples(norm):
+    def cmp_t(x, y):
+        for (_, asc), a, b in zip(norm, x, y):
+            r = _cmp_vals(a, b, asc)
+            if r:
+                return r
+        return 0
+
+    return cmp_t
+
+
+def _collect_boundaries(df: DataFrame, norm, nparts: int) -> list[tuple]:
+    """Sample key tuples with ONE deterministic top-K-by-hash job
+    (TakeOrderedAndProject — per-partition top-K then a driver merge, no
+    full sort), sort them under the spec order, and return ≤ nparts-1
+    evenly spaced, deduplicated boundary tuples. Model-sized: K =
+    max(1024, 32·nparts) rows of key columns only."""
+    keys = [c.alias(f"__bk{i}") for i, (c, _) in enumerate(norm)]
+    k = max(1024, 32 * nparts)
+    rows = (
+        df.select(*keys)
+        .orderBy(F.xxhash64(*[f"__bk{i}" for i in range(len(norm))]))
+        .limit(k)
+        .collect()
+    )
+    tuples = sorted(
+        (tuple(r) for r in rows), key=functools.cmp_to_key(_cmp_tuples(norm))
+    )
+    m = len(tuples)
+    cmp_t = _cmp_tuples(norm)
+    bnds: list[tuple] = []
+    for i in range(1, nparts):
+        idx = (i * m) // nparts
+        if idx <= 0 or idx >= m:
+            continue
+        t = tuples[idx]
+        if bnds and cmp_t(bnds[-1], t) == 0:
+            continue
+        bnds.append(t)
+    return bnds
+
+
+def _after_key(col, asc: bool, b):
+    """Strictly-after-the-boundary-value test for ONE key, null/NaN-safe,
+    matching Spark sort semantics (asc: NULL first, NaN last)."""
+    if b is None:
+        # asc: NULL sorts first → any non-null is after it; desc: NULL
+        # sorts last → nothing is strictly after it.
+        return col.isNotNull() if asc else F.lit(False)
+    if asc:
+        # NULL col → comparison is NULL → not after (NULL sorts first).
+        return F.coalesce(col > F.lit(b), F.lit(False))
+    # desc: NULL col sorts last → after every non-null boundary.
+    return F.coalesce(col < F.lit(b), F.lit(True))
+
+
+def _eq_key(col, b):
+    if b is None:
+        return col.isNull()
+    return F.coalesce(col == F.lit(b), F.lit(False))
+
+
+def _strictly_after(norm, boundary: tuple):
+    """Lexicographic 'row is strictly after this boundary tuple' under the
+    spec order — boundary values are literals, so the whole thing folds
+    into a pure deterministic expression of the row's own keys."""
+    after = F.lit(False)
+    eq_prefix = F.lit(True)
+    for (col, asc), b in zip(norm, boundary):
+        after = after | (eq_prefix & _after_key(col, asc, b))
+        eq_prefix = eq_prefix & _eq_key(col, b)
+    return after
+
+
+def _bucket_pid_expr(norm, bnds):
+    """Bucket id = number of boundary tuples the row is strictly after.
+    Monotone w.r.t. the total order for ANY boundary set, so rank
+    exactness never depends on the sample; balance does."""
+    pid = F.lit(0)
+    for t in bnds:
+        pid = pid + _strictly_after(norm, t).cast("int")
+    return pid
+
+
+def _range_bucketed(df: DataFrame, order_spec, num_partitions: int | None):
+    """Shared first pass: `_pid` from frozen boundary literals, then ONE
+    explicit hash exchange on `_pid` that both the offsets and window
+    branches hang off (identical exchange subplans → ReuseExchange
+    applies; if a planner ever declines, both branches still compute the
+    SAME `_pid` because it is pure data — recompute is safe, never
+    wrong). Returns (bucketed frame, sort columns)."""
+    norm = _normalize_order_spec(order_spec)
+    nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    bnds = _collect_boundaries(df, norm, nparts)
+    parts = df.withColumn("_pid", _bucket_pid_expr(norm, bnds)).repartition(
+        max(1, len(bnds) + 1), "_pid"
+    )
+    return parts, _sort_cols(norm)
+
 
 def _prefix_offsets(parts: DataFrame, agg_expr, pid_col: str = "_pid") -> DataFrame:
-    """Exclusive prefix offsets per range partition as a broadcast-ready
-    #partitions-row frame, computed IN the same plan as the main pass.
-
-    Staying in-plan is a correctness requirement, not a style choice:
-    `repartitionByRange` samples its range boundaries per job, so a separate
-    driver-side job (collect counts, prefix-sum in Python) sees DIFFERENT
-    partition boundaries than the main pass — measured: two back-to-back
-    count-by-pid jobs over the same 15k-row table disagreed on every
-    partition. Inside one plan the exchange is computed once and reused.
+    """Exclusive prefix offsets per bucket as a broadcast-ready
+    #buckets-row frame.
 
     The running sum is a TRIANGULAR SELF-JOIN over the metadata-sized
-    aggregate frame (one row per range partition): offset(p) = Σ agg(p') for
-    p' < p. Quadratic in #partitions — P²/2 comparisons is microscopic for
+    aggregate frame (one row per bucket): offset(p) = Σ agg(p') for
+    p' < p. Quadratic in #buckets — P²/2 comparisons is microscopic for
     any real P — and entirely window-free, so Spark's 'No Partition Defined
     for Window' WARN (which we grep bench logs for to catch REAL single-task
     windows; a constant partitionBy would be stripped by Spark 4's
@@ -45,52 +229,29 @@ def _prefix_offsets(parts: DataFrame, agg_expr, pid_col: str = "_pid") -> DataFr
 
 def global_rank_distributed(
     df: DataFrame,
-    order_exprs: list,
+    order_spec: list,
     rank_col: str = "_rank",
     num_partitions: int | None = None,
-    pin: bool = True,
 ) -> DataFrame:
     """Exact 1-based global rank under a TOTAL order, no single-task sort.
 
-    Plan shape: repartitionByRange on the order key (deterministic range
-    boundaries) → per-partition `row_number` (parallel windows keyed by
-    `spark_partition_id`) → broadcast join of cumulative per-partition
-    counts → rank = prefix offset + local row number.
+    Plan shape: boundary tuples sampled once and frozen as literals →
+    `_pid` as a pure lexicographic expression → one hash exchange on
+    `_pid` → per-bucket `row_number` (parallel windows) → broadcast join
+    of cumulative per-bucket counts → rank = prefix offset + local row
+    number. See the module docstring for why `_pid` is data, not
+    `spark_partition_id()` (the r9 exchange-reuse divergence class).
 
-    `order_exprs` must define a total order (include a unique tiebreak
-    column) or ranks within ties are partition-placement-dependent.
-
-    ``pin=True`` (the DEFAULT) localCheckpoints the range-partitioned
-    frame BEFORE the offsets/window branches fork, freezing `_pid` in
-    data. The lazy form (pin=False) relies on the planner REUSING the
-    range exchange across both branches; over join-derived lineage the
-    planner can decline — each branch then re-samples range boundaries
-    and AQE may coalesce the two shuffles differently, keying offsets
-    against the wrong `_pid` population (measured r9 on
-    dsir_deciles_distributed at sf0.1: duplicate/gapped ranks, tile sizes
-    430–559 where every tile is exactly 500 — while the SAME code was
-    green at sf0.01, so "reuse held so far" is session/size luck, not a
-    guarantee). Correctness-first default: every consumer pins; the pin
-    is one row per ranked entity and the ContextCleaner releases it with
-    the result. pin=False remains for callers that have verified their
-    exchange reuse and need to avoid the materialization (none in-tree).
-    At 100 TB the pin doubles the rank pass's I/O — the planned
-    refinement is expression-derived bucket ids (approx_percentile
-    boundaries collected once, `_pid` computed as a pure CASE expression
-    of the key, no sampling coupling at all).
+    ``order_spec`` must define a total order (include a unique tiebreak
+    column) or ranks within ties are bucket-placement-dependent. Entries
+    are plain columns/names (ascending) or ``(col, 'asc'|'desc')`` tuples.
     """
     from pyspark.sql import Window
 
-    nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parts = df.repartitionByRange(nparts, *order_exprs).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    if pin:
-        parts = parts.localCheckpoint(eager=True)
-    # one value per range partition — metadata-sized, prefix-summed on the
-    # driver (no global-order window anywhere in the plan)
+    parts, sort_cols = _range_bucketed(df, order_spec, num_partitions)
+    # one value per bucket — metadata-sized, prefix-summed in-plan
     offsets = _prefix_offsets(parts, F.count(F.lit(1)))
-    local_w = Window.partitionBy("_pid").orderBy(*order_exprs)
+    local_w = Window.partitionBy("_pid").orderBy(*sort_cols)
     return (
         parts.withColumn("_local", F.row_number().over(local_w))
         .join(F.broadcast(offsets), "_pid")
@@ -104,62 +265,46 @@ def global_rank_distributed(
 
 def global_cumsum_distributed(
     df: DataFrame,
-    order_exprs: list,
+    order_spec: list,
     value_col: str,
     out: str = "cumsum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact inclusive running sum of ``value_col`` under a TOTAL order —
     same two-pass shape as :func:`global_rank_distributed`, with per-
-    partition VALUE sums as the broadcast prefix offsets instead of counts.
+    bucket VALUE sums as the broadcast prefix offsets instead of counts.
     """
     return global_cumsums_distributed(
-        df, order_exprs, {value_col: out}, num_partitions=num_partitions
+        df, order_spec, {value_col: out}, num_partitions=num_partitions
     )
 
 
 def global_cumsums_distributed(
     df: DataFrame,
-    order_exprs: list,
+    order_spec: list,
     cols: dict[str, str],
     num_partitions: int | None = None,
-    pin: bool = True,
 ) -> DataFrame:
     """Exact inclusive running sums of SEVERAL value columns under one TOTAL
-    order, in ONE range pass — ``cols`` maps value column → output column.
+    order, in ONE bucketed pass — ``cols`` maps value column → output column.
 
-    One pass for k cumsums is not just cheaper, it is a CORRECTNESS
-    requirement when the cumsums feed each other's frame: `_pid` is only
-    consistent between the offsets frame and the main pass while both hang
-    off the SAME repartitionByRange exchange (reused in-plan). NESTING two
-    single-column calls re-shuffles the first call's output — and under a
-    foreign session's planner the nested exchanges stopped being reused, so
-    the second call's offsets keyed `_pid` against DIFFERENT range
-    boundaries than its main pass (measured: the KS ecdf query returned a
-    different, wrong sup-distance per session). A single multi-column pass
-    has exactly one exchange, so the NESTED failure mode cannot exist —
-    and since r9, ``pin=True`` (default) localCheckpoints the partitioned
-    frame so even the un-nested offsets/main fork cannot diverge when the
-    planner declines exchange reuse (the rank twin measured exactly that
-    at sf0.1; see :func:`global_rank_distributed`).
+    One pass for k cumsums is cheaper than k nested calls (k sample jobs
+    and k exchanges), and with `_pid` frozen in boundary literals the
+    offsets/window branches agree by construction — the r9 class where a
+    planner declining exchange reuse keyed offsets against different range
+    boundaries than the local sums (measured: session-dependent wrong KS
+    sup-distance from nested single-column calls) cannot exist in this
+    form, nested or not.
     """
     from pyspark.sql import Window
 
-    nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parts = df.repartitionByRange(nparts, *order_exprs).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    if pin:
-        parts = parts.localCheckpoint(eager=True)
-    # per-partition value sums, prefix-accumulated in partition order — the
-    # same left-to-right add order the windowed form uses, so the IEEE
-    # result is identical, without the single-partition window
-    offsets = _prefix_offsets_multi(
-        parts, {o: F.sum(vc) for vc, o in cols.items()}
-    )
+    parts, sort_cols = _range_bucketed(df, order_spec, num_partitions)
+    # per-bucket value sums, prefix-accumulated in bucket order — the
+    # same left-to-right add order the windowed form uses per bucket
+    offsets = _prefix_offsets_multi(parts, {o: F.sum(vc) for vc, o in cols.items()})
     local_w = (
         Window.partitionBy("_pid")
-        .orderBy(*order_exprs)
+        .orderBy(*sort_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     result = parts
@@ -168,7 +313,7 @@ def global_cumsums_distributed(
     result = result.join(F.broadcast(offsets), "_pid")
     drop = ["_pid"]
     for vc, o in cols.items():
-        # sum-of-sums has the same dtype as the per-partition sum
+        # sum-of-sums has the same dtype as the per-bucket sum
         zero = F.lit(0).cast(offsets.schema[f"_offset_{o}"].dataType)
         result = result.withColumn(
             o,
@@ -182,8 +327,8 @@ def _prefix_offsets_multi(
     parts: DataFrame, agg_exprs: dict, pid_col: str = "_pid"
 ) -> DataFrame:
     """:func:`_prefix_offsets` for several aggregates at once — one
-    triangular self-join over the metadata-sized per-partition frame yields
-    ``_offset_<name>`` per entry (same in-plan requirement)."""
+    triangular self-join over the metadata-sized per-bucket frame yields
+    ``_offset_<name>`` per entry."""
     sizes = parts.groupBy(pid_col).agg(
         *[e.alias(f"_pagg_{n}") for n, e in agg_exprs.items()]
     )
@@ -207,7 +352,7 @@ def pack_by_token_budget(
     df: DataFrame,
     budget: int,
     token_col: str,
-    order_exprs: list,
+    order_spec: list,
     pack_col: str = "pack_id",
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -224,7 +369,7 @@ def pack_by_token_budget(
     SQL-expressible → oracle-checkable.
     """
     cum = global_cumsum_distributed(
-        df, order_exprs, token_col, out="_cs", num_partitions=num_partitions
+        df, order_spec, token_col, out="_cs", num_partitions=num_partitions
     )
     pack = F.floor((F.col("_cs") - F.col(token_col)) / F.lit(budget)).cast("long")
     return cum.withColumn(pack_col, pack).drop("_cs")
@@ -261,8 +406,8 @@ def quantile_bucket_distributed(
     """
     out = out or f"{col}_q"
     order = [
-        F.col(col).asc() if ascending else F.col(col).desc(),
-        F.col(tiebreak).asc(),
+        (F.col(col), "asc" if ascending else "desc"),
+        (F.col(tiebreak), "asc"),
     ]
     # 1-row stats frame, joined lazily — no separate driver job
     stats = df.agg(
@@ -298,19 +443,18 @@ def quantile_bucket_distributed(
 
 def ntile_distributed(
     df: DataFrame,
-    order_exprs: list,
+    order_spec: list,
     q: int,
     out: str = "ntile",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact SQL ``NTILE(q)`` with no single-task global window.
 
-    Pass 1: range-partitioned exact global rank
-    (:func:`global_rank_distributed`). Pass 2: the closed-form NTILE
-    bucket from (rank, n) — SQL semantics put the remainder rows in the
-    FIRST buckets (sizes differ by at most one, larger first), which is
-    NOT the Bresenham spread of ``floor((r-1)·q/n)+1``; with
-    a = n div q, b = n mod q:
+    Pass 1: bucketed exact global rank (:func:`global_rank_distributed`).
+    Pass 2: the closed-form NTILE bucket from (rank, n) — SQL semantics
+    put the remainder rows in the FIRST buckets (sizes differ by at most
+    one, larger first), which is NOT the Bresenham spread of
+    ``floor((r-1)·q/n)+1``; with a = n div q, b = n mod q:
 
         r ≤ b·(a+1)  →  bucket = floor((r−1)/(a+1)) + 1
         otherwise    →  bucket = b + floor((r − b·(a+1) − 1)/a) + 1
@@ -318,17 +462,13 @@ def ntile_distributed(
     Matches Spark's and DuckDB's ntile for EVERY (n, q), including q > n
     (then a = 0, b = n, and every row takes the first branch with
     bucket = r) — property-tested against the window form across the
-    (n, q) grid in ``tests/test_selection.py``. ``order_exprs`` must be a
-    total order (unique tiebreak), same contract as the rank.
-
-    Ranks come from ``global_rank_distributed(..., pin=True)``: ntile
-    inputs are typically join-derived (scores joined to metadata), the
-    lineage shape where the rank's two branches can re-execute the range
-    exchange with different sampled boundaries / AQE coalescing — pin
-    freezes `_pid` in data (see the rank's docstring; measured failure on
-    dsir_deciles_distributed at sf0.1)."""
+    (n, q) grid in ``tests/test_selection.py``. ``order_spec`` must be a
+    total order (unique tiebreak), same contract as the rank. Rank `_pid`
+    comes from frozen boundary literals, so the join-derived lineage that
+    broke the r9 range-exchange form (dsir deciles at sf0.1) has no
+    divergence channel here."""
     ranked = global_rank_distributed(
-        df, order_exprs, rank_col="_r", num_partitions=num_partitions, pin=True
+        df, order_spec, rank_col="_r", num_partitions=num_partitions
     )
     stats = ranked.agg(F.count(F.lit(1)).alias("_n"))
     ranked = ranked.crossJoin(F.broadcast(stats))
@@ -349,7 +489,7 @@ def _ntile_bucket(r, n, q: int):
 def grouped_ntile_distributed(
     df: DataFrame,
     group_cols: list[str],
-    order_exprs: list,
+    order_spec: list,
     q: int,
     out: str = "ntile",
     num_partitions: int | None = None,
@@ -359,16 +499,17 @@ def grouped_ntile_distributed(
     language of a 100 TB corpus) — the shape the per-lang CCNet split
     needs at scale.
 
-    One pinned range pass ordered by (group, order...): groups are then
+    One bucketed rank pass ordered by (group, order...): groups are then
     CONTIGUOUS in the global rank, so the within-group rank is
     ``global_rank − min(global_rank of the group) + 1`` and the bucket is
     the same closed-form NTILE arithmetic on (group rank, group size).
     Group stats are a |groups|-row broadcast. A dominant group spans many
-    range partitions — no task ever holds a whole group.
+    boundary buckets (boundaries are sampled over group AND order keys) —
+    no task ever holds a whole group.
     """
-    group_order = [F.col(c).asc() for c in group_cols] + list(order_exprs)
+    group_order = [(F.col(c), "asc") for c in group_cols] + list(order_spec)
     ranked = global_rank_distributed(
-        df, group_order, rank_col="_r", num_partitions=num_partitions, pin=True
+        df, group_order, rank_col="_r", num_partitions=num_partitions
     )
     stats = ranked.groupBy(*group_cols).agg(
         F.min("_r").alias("_base"), F.count(F.lit(1)).alias("_n")

@@ -93,7 +93,7 @@ def group_top_fraction(
     corpus in one task), then a metadata-sized per-group (min-rank, count)
     broadcast; within-group rank = global rank − group's min rank + 1.
     """
-    order = [F.col(part_col), F.col(score_col).desc(), F.col(id_col)]
+    order = [F.col(part_col), (F.col(score_col), "desc"), F.col(id_col)]
     ranked = global_rank_distributed(df, order, rank_col="_gr")
     base = ranked.groupBy(part_col).agg(
         F.min("_gr").alias("_base"), F.count(F.lit(1)).alias("_n")

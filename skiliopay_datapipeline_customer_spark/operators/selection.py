@@ -355,15 +355,35 @@ def bloom_decontaminate(
             f"{max_benchmark_grams}; sample the benchmark or raise the cap"
         )
     bloom = BroadcastBloom([r["gram"] for r in capped])
-    # Broadcast PLAIN state, not the instance: the round driver imports this
-    # package by path from an arbitrary cwd, so executor python workers
-    # cannot unpickle a class referenced by module path. The closure below
-    # is fully self-contained (cloudpickle ships it by value).
-    bc = docs.sparkSession.sparkContext.broadcast(
+    corpus_grams = grams_of(docs)
+    candidates = _bloom_prefilter(corpus_grams, bloom)
+    dirty = (
+        candidates.join(F.broadcast(bench_grams), "gram")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(dirty, id_col, "left_anti")
+
+
+def _bloom_prefilter(
+    grams: DataFrame, bloom: BroadcastBloom, gram_col: str = "gram"
+) -> DataFrame:
+    """Map-side Bloom membership prefilter: keep only rows whose
+    ``gram_col`` MIGHT be in ``bloom`` (superset of true members — no
+    false negatives).
+
+    Broadcasts PLAIN state, not the instance: the round driver imports
+    this package by path from an arbitrary cwd, so executor python
+    workers cannot unpickle a class referenced by module path. The
+    closure below is fully self-contained (cloudpickle ships it by
+    value), which forces it to DUPLICATE the Kirsch–Mitzenmacher hash of
+    ``BroadcastBloom._positions`` — the closure-vs-class agreement
+    pytest (randomized items AND (k, bits_per_item) parameters,
+    ``tests/test_selection.py``) fails with a pinpointed message if the
+    two copies ever drift."""
+    bc = grams.sparkSession.sparkContext.broadcast(
         (bloom.bits, bloom.mask, bloom.k)
     )
-
-    corpus_grams = grams_of(docs)
 
     def prefilter(batches: Iterator) -> Iterator:
         import hashlib as _hashlib
@@ -371,9 +391,7 @@ def bloom_decontaminate(
         bits, mask, k = bc.value
 
         def might_contain(item: str) -> bool:
-            # mirrors BroadcastBloom._positions — keep in sync (the
-            # equality-vs-exact pytest fails loudly on any divergence:
-            # build uses the class, test uses this closure)
+            # mirrors BroadcastBloom._positions — keep in sync
             d = _hashlib.md5(item.encode("utf-8")).digest()
             h1 = int.from_bytes(d[:8], "little")
             h2 = int.from_bytes(d[8:], "little") | 1
@@ -384,18 +402,12 @@ def bloom_decontaminate(
             return True
 
         for pdf in batches:
-            hit = pdf["gram"].map(might_contain)
+            hit = pdf[gram_col].map(might_contain)
             out = pdf[hit.to_numpy(dtype=bool)]
             if len(out):
                 yield out
 
-    candidates = corpus_grams.mapInPandas(prefilter, corpus_grams.schema)
-    dirty = (
-        candidates.join(F.broadcast(bench_grams), "gram")
-        .select(id_col)
-        .distinct()
-    )
-    return docs.join(dirty, id_col, "left_anti")
+    return grams.mapInPandas(prefilter, grams.schema)
 
 
 def quality_buckets(
@@ -409,6 +421,11 @@ def quality_buckets(
     """CCNet head/middle/tail split: ntile over the ROUNDED score within
     each group (rounding first so FP summation-order jitter can't reorder
     near-ties across engines; doc id breaks exact ties)."""
+    if n_buckets < 2:
+        # the label scheme needs distinct head and tail buckets; with
+        # n_buckets=1 the names dict keys collide and the single bucket
+        # would silently be labeled 'tail'
+        raise ValueError(f"quality_buckets needs n_buckets >= 2, got {n_buckets}")
     rounded = F.round(F.col(score_col), round_digits)
     w = Window.partitionBy(group_col).orderBy(rounded.desc(), F.col(id_col))
     names = {1: "head", n_buckets: "tail"}

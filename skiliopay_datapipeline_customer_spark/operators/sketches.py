@@ -26,7 +26,6 @@ analysis.
 
 from __future__ import annotations
 
-import math
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -86,11 +85,21 @@ def cms_heavy_hitters(
     The declared query's oracle is the plain exact top-k SQL — the sketch
     changes the plan, never the result (the salted_skew_join_counts
     discipline).
-    """
-    total = tokens.count()
-    threshold = max(1, math.ceil(total * min_share))
 
+    The grand total is derived FROM the sketch (every grid row's bucket
+    counts sum to the total occurrence count — each occurrence increments
+    exactly one bucket per row), riding the plan as a broadcast 1-row
+    frame. The r9 form spent a third full corpus scan on a standalone
+    ``tokens.count()`` just for the threshold — at the 100 TB posture
+    this module advertises, that was an avoidable extra read.
+    """
     sketch = cms_sketch(tokens, token_col, depth, width)
+    totals = sketch.filter(F.col("row") == 0).agg(F.sum("n").alias("_tot"))
+    # greatest() skips nulls, so an empty corpus (null total) degrades to
+    # threshold 1 instead of a null-poisoned filter
+    threshold = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.col("_tot") * F.lit(float(min_share)))
+    )
     grids = [
         F.broadcast(
             sketch.filter(F.col("row") == r).select(
@@ -110,11 +119,19 @@ def cms_heavy_hitters(
     )
     joined = reduce(lambda df, r: df.join(grids[r], f"b{r}"), range(depth), occ)
     estimate = F.least(*[F.col(f"n{r}") for r in range(depth)])
-    survivors = joined.filter(estimate >= F.lit(threshold)).select(token_col)
+    survivors = (
+        joined.crossJoin(F.broadcast(totals))
+        .filter(estimate >= threshold)
+        .select(token_col)
+    )
     return (
         survivors.groupBy(token_col)
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= F.lit(threshold))
+        # the exact re-check joins totals onto the already-aggregated
+        # (tiny) candidate frame — 1-row broadcast, not a corpus pass
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("n") >= threshold)
+        .drop("_tot")
         .orderBy(F.col("n").desc(), F.col(token_col))
         .limit(top_k)
     )

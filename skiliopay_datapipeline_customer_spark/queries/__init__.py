@@ -157,9 +157,64 @@ _FORCE = {
     # r09 fix: pca_projected_embeddings now emits scalar pc_0..pc_7 (the
     # array column crashed the driver canonicalizer in r08)
     "pca_projected_embeddings": 8,
+    # r10 plan rewrite: the whole distributed rank/cumsum family moved from
+    # repartitionByRange+spark_partition_id (localCheckpoint-pinned) to
+    # expression-derived bucket ids over frozen boundary literals — results
+    # identical, but every prior green row verified the pinned plan, so
+    # re-stamp every query whose physical plan changed
+    "global_row_number": 9,
+    "percent_rank_prices": 9,
+    "rfm_quintiles": 9,
+    "rfm_scores": 9,
+    "ks_drift_report": 9,
+    "weighted_median_price": 9,
+    "weighted_median_by_flag": 9,
+    "abc_customer_classes": 9,
+    "revenue_gini": 9,
+    "token_pack_assignments": 9,
+    "length_bucketed_batches": 9,
+    "dsir_deciles_distributed": 9,
+    "ccnet_buckets_distributed": 9,
+    "quality_top_quartile": 9,
+    "corpus_build_pipeline": 9,
+    "training_shard_assignments": 9,
+    "domain_capped_sample": 9,
+    "source_epoch_plan": 9,
+    "churn_training_dataset": 9,
+    # r10: cms threshold now derived from the sketch (one fewer corpus
+    # pass); bloom prefilter extracted into _bloom_prefilter
+    "cms_heavy_hitter_tokens": 9,
+    "bloom_decontaminated_corpus": 9,
+    "curated_selection_pipeline": 9,
 }
 
 _PRIORITY = [
+    # --- r10 window: the rank-family plan rewrite + sketch/bloom changes
+    # (stamped 9 in _FORCE) — verify first, heaviest join-derived lineage
+    # (the shapes that exposed the r9 divergence) at the very top ---
+    "dsir_deciles_distributed",
+    "ccnet_buckets_distributed",
+    "ks_drift_report",
+    "revenue_gini",
+    "abc_customer_classes",
+    "weighted_median_by_flag",
+    "weighted_median_price",
+    "percent_rank_prices",
+    "global_row_number",
+    "rfm_quintiles",
+    "rfm_scores",
+    "token_pack_assignments",
+    "length_bucketed_batches",
+    "quality_top_quartile",
+    "corpus_build_pipeline",
+    "training_shard_assignments",
+    "domain_capped_sample",
+    "source_epoch_plan",
+    "churn_training_dataset",
+    "cms_heavy_hitter_tokens",
+    "bloom_decontaminated_corpus",
+    "curated_selection_pipeline",
+    # --- pre-r10 order below ---
     # changed or newly-oracled this round — verify first
     "simhash_near_pairs",
     "lag_time_delta",
@@ -389,7 +444,11 @@ def _last_verified() -> dict[str, int]:
 
 def _rotated(names: list[str]) -> list[str]:
     last = _last_verified()
-    pri = {q: i for i, q in enumerate(_PRIORITY)}
+    # first occurrence wins: a query re-listed at the TOP for a new round
+    # must not fall back to its stale position further down the list
+    pri: dict[str, int] = {}
+    for i, q in enumerate(_PRIORITY):
+        pri.setdefault(q, i)
     idx = {q: i for i, q in enumerate(names)}
 
     def sort_last(q: str) -> int:

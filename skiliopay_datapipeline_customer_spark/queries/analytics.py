@@ -1441,7 +1441,7 @@ def abc_customer_classes(spark, sf_dir):
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
     cum = global_cumsum_distributed(
-        rev, [F.col("cents").desc(), F.col("o_custkey")], "cents", out="cum"
+        rev, [("cents", "desc"), "o_custkey"], "cents", out="cum"
     )
     tot = rev.agg(F.sum("cents").alias("tot"))
     # integer cutoff compare (cum/tot <= 0.8 === cum*20 <= tot*16): no float

@@ -492,7 +492,7 @@ def length_bucketed_batches(spark, sf_dir):
     )
     ranked = global_rank_distributed(
         withn,
-        [F.col("n_tokens").asc(), F.col("doc_id").asc()],
+        ["n_tokens", "doc_id"],
         rank_col="_r",
     )
     return (

@@ -693,7 +693,7 @@ def dsir_deciles_distributed(spark, sf_dir):
     ).join(docs.select("doc_id", "lang"), "doc_id")
     tiled = ntile_distributed(
         rounded,
-        [F.col("dsir_weight").desc(), F.col("doc_id").asc()],
+        [("dsir_weight", "desc"), ("doc_id", "asc")],
         q=10,
         out="decile",
     )
@@ -773,7 +773,7 @@ def ccnet_buckets_distributed(spark, sf_dir):
     tiled = grouped_ntile_distributed(
         rounded,
         ["lang"],
-        [F.col("mean_bigram_logprob").desc(), F.col("doc_id").asc()],
+        [("mean_bigram_logprob", "desc"), ("doc_id", "asc")],
         q=3,
         out="_b",
     )

@@ -150,7 +150,7 @@ def global_row_number(spark, sf_dir):
 
     ranked = global_rank_distributed(
         table(spark, sf_dir, "orders"),
-        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        ["o_orderdate", "o_orderkey"],
         rank_col="row_id",
     )
     return ranked.select("row_id", "o_orderkey").orderBy("row_id").limit(100)
@@ -191,7 +191,7 @@ def percent_rank_prices(spark, sf_dir):
     orders = table(spark, sf_dir, "orders")
     ranked = global_rank_distributed(
         orders,
-        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        ["o_totalprice", "o_orderkey"],
         rank_col="_r",
     )
     # n-1 rides as a broadcast 1-row cross join — no eager .count() job

@@ -287,7 +287,7 @@ def token_pack_assignments(spark, sf_dir):
         "doc_id", T.whitespace_token_count(F.col("text")).alias("n_tokens")
     )
     packed = pack_by_token_budget(
-        withn, 2048, "n_tokens", [F.col("doc_id").asc()]
+        withn, 2048, "n_tokens", ["doc_id"]
     )
     return packed.select("doc_id", "n_tokens", "pack_id").orderBy("doc_id")
 

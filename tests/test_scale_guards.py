@@ -125,7 +125,7 @@ def test_global_rank_distributed_matches_single_window(spark, sf_dir):
 
     orders = table(spark, sf_dir, "orders")
     dist = global_rank_distributed(
-        orders, [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()], rank_col="r"
+        orders, ["o_orderdate", "o_orderkey"], rank_col="r"
     )
     w = Window.orderBy("o_orderdate", "o_orderkey")
     single = orders.select("o_orderkey", F.row_number().over(w).alias("r"))
@@ -174,7 +174,7 @@ def test_global_cumsum_distributed_matches_single_window(spark, sf_dir):
     # window (long addition is associative); doubles differ by fp rounding
     # order like any distributed sum, checked with tolerance below
     dist = global_cumsum_distributed(
-        orders, [F.col("o_orderkey").asc()], "o_custkey", out="cs"
+        orders, ["o_orderkey"], "o_custkey", out="cs"
     )
     w = (
         Window.orderBy("o_orderkey")
@@ -188,7 +188,7 @@ def test_global_cumsum_distributed_matches_single_window(spark, sf_dir):
     dist_d = {
         r["o_orderkey"]: r["cs"]
         for r in global_cumsum_distributed(
-            orders, [F.col("o_orderkey").asc()], "o_totalprice", out="cs"
+            orders, ["o_orderkey"], "o_totalprice", out="cs"
         ).collect()
     }
     single_d = {
@@ -209,7 +209,7 @@ def test_pack_by_token_budget_respects_offsets(spark):
     df = spark.createDataFrame(
         [(i, 40) for i in range(10)], "doc_id long, n long"
     )
-    packed = pack_by_token_budget(df, 100, "n", [F.col("doc_id").asc()])
+    packed = pack_by_token_budget(df, 100, "n", ["doc_id"])
     rows = {r["doc_id"]: r["pack_id"] for r in packed.collect()}
     # offsets 0,40,80,120,... → packs 0,0,0,1,1,2,2,2,3,3
     assert [rows[i] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
@@ -847,3 +847,64 @@ def test_rotation_hands_off_remaining_pool_to_next_window(
         lv = q._last_verified().get(name, -1)
         if lv < 0 or (name in q._FORCE and lv <= q._FORCE[name]):
             assert name in next_window
+
+
+def test_rank_exact_under_exchange_reuse_disabled(spark):
+    """Regression for the r9 wrong-results class: with `_pid` derived from
+    `spark_partition_id()` after `repartitionByRange`, a planner that
+    declines exchange reuse re-samples range boundaries per branch, and
+    offsets key against the wrong partition population (measured r9 on
+    dsir_deciles_distributed at sf0.1: tile sizes 430-559 where every tile
+    is exactly 500). This test PLANTS that shape — join-derived lineage,
+    `spark.sql.exchange.reuse.enabled=false` so the two branches MUST
+    recompute independently — and asserts exact tiles; the shipping form
+    passes because `_pid` is a pure expression of frozen boundary
+    literals, identical in both branches by construction."""
+    from skiliopay_datapipeline_customer_spark.operators.ranks import (
+        ntile_distributed,
+    )
+
+    conf = spark.conf
+    prev = conf.get("spark.sql.exchange.reuse.enabled", "true")
+    try:
+        conf.set("spark.sql.exchange.reuse.enabled", "false")
+        n, q = 5000, 10
+        scores = spark.range(n).select(
+            F.col("id"),
+            (F.sin(F.col("id").cast("double")) * 1000).alias("w"),
+        )
+        langs = spark.range(n).select(
+            F.col("id"), (F.col("id") % 7).cast("string").alias("lang")
+        )
+        joined = scores.join(langs, "id")  # the join-derived lineage shape
+        tiled = ntile_distributed(
+            joined, [("w", "desc"), ("id", "asc")], q, out="t",
+            num_partitions=8,
+        )
+        sizes = {
+            r["t"]: r["c"]
+            for r in tiled.groupBy("t").agg(F.count("*").alias("c")).collect()
+        }
+        assert sizes == {i: n // q for i in range(1, q + 1)}, sizes
+        # ranks must also be a gap-free permutation of 1..n, not just
+        # even tiles
+        from skiliopay_datapipeline_customer_spark.operators.ranks import (
+            global_rank_distributed as grd,
+        )
+
+        ranked = grd(joined, [("w", "desc"), ("id", "asc")], rank_col="r",
+                     num_partitions=8)
+        agg = ranked.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("r").alias("u"),
+            F.min("r").alias("lo"),
+            F.max("r").alias("hi"),
+        ).first()
+        assert (agg["n"], agg["u"], agg["lo"], agg["hi"]) == (n, n, 1, n)
+        # and the divergence channel itself must be gone: no physical
+        # partition id, no checkpoint pin anywhere in the rank plan
+        plan = ranked._jdf.queryExecution().toString()
+        assert "SPARK_PARTITION_ID" not in plan.upper()
+        assert "Checkpoint" not in plan
+    finally:
+        conf.set("spark.sql.exchange.reuse.enabled", prev)

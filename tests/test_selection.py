@@ -388,11 +388,14 @@ def test_ntile_distributed_equals_window_across_n_q_grid(spark):
             df = spark.createDataFrame(
                 [(i, float((i * 7) % n)) for i in range(n)], "id long, v double"
             )
-            order = [F.col("v").desc(), F.col("id").asc()]
+            order = [("v", "desc"), ("id", "asc")]
             want = {
                 r["id"]: r["t"]
                 for r in df.withColumn(
-                    "t", F.ntile(q).over(Window.orderBy(*order))
+                    "t",
+                    F.ntile(q).over(
+                        Window.orderBy(F.col("v").desc(), F.col("id").asc())
+                    ),
                 ).collect()
             }
             got = {
@@ -416,12 +419,17 @@ def test_grouped_ntile_distributed_equals_window(spark):
     for g, n in [("big", 23), ("mid", 7), ("one", 1), ("two", 2)]:
         rows += [(g, i, float((i * 13) % 11)) for i in range(n)]
     df = spark.createDataFrame(rows, "g string, id long, v double")
-    order = [F.col("v").desc(), F.col("id").asc()]
+    order = [("v", "desc"), ("id", "asc")]
     for q in [1, 2, 3, 5, 10]:
         want = {
             (r["g"], r["id"]): r["t"]
             for r in df.withColumn(
-                "t", F.ntile(q).over(Window.partitionBy("g").orderBy(*order))
+                "t",
+                F.ntile(q).over(
+                    Window.partitionBy("g").orderBy(
+                        F.col("v").desc(), F.col("id").asc()
+                    )
+                ),
             ).collect()
         }
         got = {
@@ -431,3 +439,54 @@ def test_grouped_ntile_distributed_equals_window(spark):
             ).collect()
         }
         assert got == want, f"q={q}"
+
+
+def test_bloom_closure_matches_class_on_randomized_parameters(spark):
+    """The executor-side membership closure in `_bloom_prefilter` must
+    duplicate `BroadcastBloom._positions` (the foreign-cwd pickling
+    constraint forbids sharing code) — this pins the two copies to each
+    other directly, over randomized items AND randomized (k,
+    bits_per_item) → mask parameters, so a future edit to one copy fails
+    HERE with a pinpointed message instead of via the end-to-end
+    decontamination equality test."""
+    import random
+
+    from skiliopay_datapipeline_customer_spark.operators.selection import (
+        BroadcastBloom,
+        _bloom_prefilter,
+    )
+
+    rng = random.Random(20260816)
+    for trial in range(3):
+        k = rng.choice([3, 5, 7, 11])
+        bpi = rng.choice([4, 8, 16])
+        members = [f"gram-{rng.randrange(10**9)}" for _ in range(200)]
+        probes = members[:50] + [
+            f"probe-{rng.randrange(10**9)}" for _ in range(300)
+        ]
+        bloom = BroadcastBloom(members, bits_per_item=bpi, k=k)
+        want = {p for p in probes if bloom.might_contain(p)}
+        grams = spark.createDataFrame(
+            [(p,) for p in set(probes)], "gram string"
+        )
+        got = {
+            r["gram"] for r in _bloom_prefilter(grams, bloom).collect()
+        }
+        assert got == want, (
+            f"trial={trial} k={k} bits_per_item={bpi}: closure kept "
+            f"{len(got)} vs class {len(want)}; closure-only="
+            f"{sorted(got - want)[:3]} class-only={sorted(want - got)[:3]}"
+        )
+        # no false negatives, ever: every true member must survive
+        assert set(members[:50]) <= got
+
+
+def test_quality_buckets_rejects_single_bucket():
+    import pytest as _pytest
+
+    from skiliopay_datapipeline_customer_spark.operators.selection import (
+        quality_buckets,
+    )
+
+    with _pytest.raises(ValueError, match="n_buckets >= 2"):
+        quality_buckets(None, "s", "g", n_buckets=1)
