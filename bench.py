@@ -295,17 +295,28 @@ def _deltas(
     current_is_subset = (
         len(set(timings) & set(HEADLINE)) < max(1, (3 * len(HEADLINE)) // 4)
     )
-    return {
+    # total_ratio over the SHARED query set: when the headline set GROWS
+    # (r10 added the selection family), current-total / prev-total would
+    # compare different workloads and read as a phantom regression — the
+    # shared-subset ratio is the honest round-over-round signal, and
+    # `new_queries` names what the shared total excludes
+    shared = sorted(set(timings) & set(prev["queries"]))
+    shared_prev = sum(prev["queries"][q] for q in shared)
+    out = {
         "vs_round": prev_round,
         "prev_total": None if current_is_subset else prev.get("value"),
         "total_ratio": (
-            round(sum(timings.values()) / prev["value"], 3)
-            if prev.get("value") and not current_is_subset
+            round(sum(timings[q] for q in shared) / shared_prev, 3)
+            if shared_prev and not current_is_subset
             else None
         ),
         "ratios": ratios,
         "flagged": flagged,
     }
+    new_queries = sorted(set(timings) - set(prev["queries"]))
+    if new_queries and not current_is_subset:
+        out["new_queries"] = new_queries
+    return out
 
 
 SCALING_QUERIES = [

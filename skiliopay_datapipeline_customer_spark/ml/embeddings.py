@@ -116,3 +116,179 @@ def kmeans_cluster_profile(
         "majority_label",
         F.round(F.col("_top_n") / F.col("n_vecs"), 4).alias("purity"),
     ).orderBy("cluster")
+
+
+def kmeans_lloyd_exact(
+    df: DataFrame,
+    k: int = 10,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    salt: str = "km",
+) -> DataFrame:
+    """Deterministic, engine-portable Lloyd k-means over scaled-integer
+    embeddings — every step is exact integer arithmetic, so a SQL oracle
+    replays the clustering bit-for-bit (the oracle-checkable twin of the
+    Spark ML tier in :func:`kmeans_assign`, whose k-means|| init depends
+    on RDD partitioning and cannot be replayed outside Spark).
+
+    Determinism ladder:
+    - components quantize to ``round(x * scale)`` BIGINT (double multiply
+      + HALF_UP round — identical IEEE ops on any engine);
+    - init: the ``k`` vectors with the smallest ``md5(salt ':' id)``
+      (pure data — no RDD sampling, no parallelism dependence), cluster
+      j = position in that hash order;
+    - assignment: argmin of exact integer squared L2, ties to the
+      smallest cluster id, encoded as ``min(dist * 16 + j)`` (one BIGINT
+      min per row; dist ≤ dim·(2·scale)² must stay < 2^63/16 — holds for
+      unit-norm-ish embeddings at scale 1e6 up to dim ~1000);
+    - update: new coordinate = round-half-away-from-zero of the RATIONAL
+      mean S/N via the integer formula ``(2S + N) div (2N)`` (sign-
+      split), so no engine's float division order can leak in; empty
+      clusters keep their previous centroid.
+
+    Per iteration the driver collects k×(dim+1) integers (model-sized,
+    same budget class as the k×dim centroid means the similarity module
+    already collects); assignments stay distributed map-side expressions
+    against centroid LITERALS — at 100 TB each Lloyd round is one
+    column-pruned scan + one k×dim-bounded partial-agg shuffle.
+
+    Returns ``(id_col, cluster int)`` under the final centroids.
+    """
+    base, cents = kmeans_lloyd_fit(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        scale=scale, salt=salt,
+    )
+    return base.select(id_col, _lloyd_assign_expr(cents).alias("cluster"))
+
+
+def quantize_vec_expr(vec_col, scale: int = 10**6):
+    """The shared scaled-integer quantization: ``round(x·scale)`` BIGINT
+    per component (double multiply + HALF_UP round — identical IEEE ops on
+    any engine; DuckDB mirror: ``CAST(round(CAST(x AS DOUBLE)·scale) AS
+    BIGINT)``)."""
+    return F.transform(
+        vec_col.cast("array<double>"),
+        lambda x: F.round(x * F.lit(float(scale))).cast("long"),
+    )
+
+
+def _lloyd_assign_expr(cents: list[list[int]]):
+    """argmin of exact integer squared L2 against centroid LITERALS, ties
+    to the smallest cluster id, encoded as ``min(dist·16 + j)`` over the
+    quantized ``_e`` column."""
+    keys = []
+    for j, c in enumerate(cents):
+        lit_c = F.array(*[F.lit(int(v)).cast("long") for v in c])
+        dist = F.aggregate(
+            F.zip_with(F.col("_e"), lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        keys.append(dist * 16 + F.lit(j))
+    return (F.least(*keys) % 16).cast("int")
+
+
+def kmeans_lloyd_fit(
+    df: DataFrame,
+    k: int = 10,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    salt: str = "km",
+) -> tuple:
+    """Run the exact-integer Lloyd loop and return ``(base, centroids)``
+    where ``base`` is the quantized frame ``(id_col, _e array<long>)`` and
+    ``centroids`` the final k×dim integer centroid list — for consumers
+    that need the model itself (the IVF coarse quantizer) rather than just
+    assignments. See :func:`kmeans_lloyd_exact` for the determinism
+    ladder."""
+    if k > 16:
+        raise ValueError("kmeans_lloyd_exact encodes argmin as dist*16+j; k <= 16")
+
+    base = df.select(
+        F.col(id_col), quantize_vec_expr(F.col(vec_col), scale).alias("_e")
+    )
+
+    seeds = (
+        base.select(
+            "_e",
+            F.md5(
+                F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+            ).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    cents = [list(r["_e"]) for r in seeds]
+    dim = len(cents[0])
+
+    def _round_half_away(s: int, n: int) -> int:
+        # exact rational round-half-away-from-zero; operands kept
+        # non-negative so floor division == truncation on every engine
+        if s >= 0:
+            return (2 * s + n) // (2 * n)
+        return -((-2 * s + n) // (2 * n))
+
+    for _ in range(iters):
+        assigned = base.withColumn("_c", _lloyd_assign_expr(cents))
+        rows = (
+            assigned.groupBy("_c")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at("_e", d + 1)).alias(f"_s{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_cluster = {int(r["_c"]): r for r in rows}
+        for j in range(k):
+            r = by_cluster.get(j)
+            if r is None:
+                continue  # empty cluster keeps its previous centroid
+            n = int(r["_n"])
+            cents[j] = [
+                _round_half_away(int(r[f"_s{d}"]), n) for d in range(dim)
+            ]
+
+    return base, cents
+
+
+def kmeans_profile_exact(
+    df: DataFrame,
+    k: int = 10,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cluster profile (size, majority label, purity) over the exact
+    Lloyd assignment — fully oracle-checkable, unlike the Spark ML tier
+    (:func:`kmeans_cluster_profile`) whose k-means|| init no SQL engine
+    can replay. Majority ties break to the smallest label."""
+    assigned = kmeans_lloyd_exact(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    joined = assigned.join(df.select(id_col, label_col), id_col)
+    per_label = joined.groupBy("cluster", label_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    top = per_label.groupBy("cluster").agg(
+        F.sum("_n").alias("n_vecs"),
+        F.min_by(
+            F.col(label_col),
+            F.struct((-F.col("_n")).alias("_neg"), F.col(label_col).alias("_l")),
+        ).alias("majority_label"),
+        F.max("_n").alias("_top_n"),
+    )
+    return top.select(
+        "cluster",
+        "n_vecs",
+        "majority_label",
+        F.round(F.col("_top_n") / F.col("n_vecs"), 4).alias("purity"),
+    ).orderBy("cluster")

@@ -122,12 +122,35 @@ def _cmp_tuples(norm):
     return cmp_t
 
 
+# (logical-plan semanticHash, spec, nparts) → boundaries. SAFE BY
+# CONSTRUCTION: boundaries only decide bucket BALANCE — any boundary set
+# yields exact ranks (monotonicity is data-independent), so a stale or
+# even colliding cache entry can never produce a wrong result, only a
+# less even split. The cache exists to amortize the per-call sample job:
+# repeated identical rank calls (bench warm runs, a driver re-running a
+# query, iterative sessions) skip straight to the lazy plan.
+_BOUNDARY_CACHE: dict = {}
+_BOUNDARY_CACHE_MAX = 256
+
+
 def _collect_boundaries(df: DataFrame, norm, nparts: int) -> list[tuple]:
     """Sample key tuples with ONE deterministic top-K-by-hash job
     (TakeOrderedAndProject — per-partition top-K then a driver merge, no
     full sort), sort them under the spec order, and return ≤ nparts-1
     evenly spaced, deduplicated boundary tuples. Model-sized: K =
-    max(1024, 32·nparts) rows of key columns only."""
+    max(1024, 32·nparts) rows of key columns only. Results memoize on
+    (plan semanticHash, spec, nparts) — see `_BOUNDARY_CACHE`."""
+    cache_key = None
+    try:  # classic PySpark only; Connect lacks _jdf — just skip the memo
+        cache_key = (
+            df._jdf.queryExecution().logical().semanticHash(),
+            tuple((str(c), asc) for c, asc in norm),
+            nparts,
+        )
+    except Exception:
+        pass
+    if cache_key is not None and cache_key in _BOUNDARY_CACHE:
+        return _BOUNDARY_CACHE[cache_key]
     keys = [c.alias(f"__bk{i}") for i, (c, _) in enumerate(norm)]
     k = max(1024, 32 * nparts)
     rows = (
@@ -150,6 +173,10 @@ def _collect_boundaries(df: DataFrame, norm, nparts: int) -> list[tuple]:
         if bnds and cmp_t(bnds[-1], t) == 0:
             continue
         bnds.append(t)
+    if cache_key is not None:
+        if len(_BOUNDARY_CACHE) >= _BOUNDARY_CACHE_MAX:
+            _BOUNDARY_CACHE.clear()
+        _BOUNDARY_CACHE[cache_key] = bnds
     return bnds
 
 

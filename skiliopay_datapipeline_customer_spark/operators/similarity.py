@@ -770,3 +770,70 @@ def pq_adc_topk(
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )
+
+
+def ivf_topk_exact(
+    df: DataFrame,
+    query_vec_df: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k whose ENTIRE result a SQL oracle can replay — the
+    oracle-checkable twin of :func:`ivf_topk` (whose float Lloyd
+    refinement accumulates per-dim double means in engine-specific order).
+
+    Coarse quantizer: the exact-integer Lloyd tier
+    (:func:`~..ml.embeddings.kmeans_lloyd_fit` — md5-order init, scaled-int
+    distances, rational half-away centroid rounding), so inverted-list
+    membership is deterministic pure-integer arithmetic on any engine.
+    Probe selection: the ``n_probe`` centroids with the smallest exact
+    integer squared L2 to the QUANTIZED query vector (ties to the smaller
+    cluster id) — computed driver-side on the collected integer model,
+    mirrored verbatim by the oracle's ORDER BY ... LIMIT. Scoring: exact
+    cosine on the original float vectors via the sequential-fold kernel
+    (bit-identical in DuckDB — the `lsh_ann_topk` precedent), rounded to
+    6 dp, ordered (cos desc, id).
+
+    Same 100 TB shape as :func:`ivf_topk`: map-side assignment against
+    centroid literals, probe scan touches ~n_probe/C of the corpus
+    (partition-pruned when the corpus is written partitioned by cluster);
+    only the k×dim integer model reaches the driver.
+    """
+    from ..ml.embeddings import (
+        _lloyd_assign_expr,
+        kmeans_lloyd_fit,
+        quantize_vec_expr,
+    )
+
+    _, cents = kmeans_lloyd_fit(
+        df, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    # quantized query vector via the SAME expression the fit used — zero
+    # drift between engine and oracle quantization
+    qint = [
+        int(v)
+        for v in query_vec_df.select(
+            quantize_vec_expr(F.col(vec_col)).alias("_qe")
+        ).first()["_qe"]
+    ]
+
+    def _l2(c):
+        return sum((a - b) * (a - b) for a, b in zip(qint, c))
+
+    probe = sorted(range(len(cents)), key=lambda j: (_l2(cents[j]), j))[:n_probe]
+
+    qvec = [float(x) for x in query_vec_df.select(vec_col).first()[0]]
+    a = as_double(F.col(vec_col))
+    assigned = df.withColumn(
+        "_e", quantize_vec_expr(F.col(vec_col))
+    ).withColumn("_centroid", _lloyd_assign_expr(cents))
+    return (
+        assigned.filter(F.col("_centroid").isin([int(p) for p in probe]))
+        .select(id_col, F.round(cosine(a, _lit_vec(qvec)), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

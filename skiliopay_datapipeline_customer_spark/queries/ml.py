@@ -101,13 +101,127 @@ def pca_projected_embeddings(spark, sf_dir):
     ).orderBy("vec_id")
 
 
-@query("kmeans_cluster_profile")
+def _kmeans_cte_chain(
+    k: int = 10, iters: int = 3, dim: int = 64, scale: int = 10**6,
+    salt: str = "km",
+) -> str:
+    """The exact-Lloyd replay as a reusable CTE chain (no WITH keyword, no
+    final SELECT): ``e`` (quantized vectors) → ``c0`` (md5-order seeds) →
+    ``a<t>``/``c<t>`` iteration rounds → ``af`` (final assignment, cluster
+    = kk % 16) and final centroids ``c<iters>``. Shared by the
+    kmeans_cluster_profile oracle here and the ivf_ann_topk oracle
+    (queries/similarity.py), parameterized per caller."""
+    rng = f"range(1, {dim + 1})"
+    order = f"md5('{salt}:' || CAST(vec_id AS VARCHAR))"
+
+    def assign(name: str, prev: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT e.vec_id,
+             min(list_sum(list_transform({rng},
+                   i -> (e.e[i] - c.c[i]) * (e.e[i] - c.c[i]))) * 16 + c.j
+                ) AS kk
+      FROM e, {prev} c
+      GROUP BY e.vec_id
+    )"""
+
+    def update(name: str, prev: str, a: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT prev.j, COALESCE(agg.c, prev.c) AS c
+      FROM {prev} prev
+      LEFT JOIN (
+        SELECT j, list(cr ORDER BY i) AS c FROM (
+          SELECT CAST(a.kk % 16 AS INT) AS j, d.i,
+                 CASE WHEN sum(e.e[d.i]) >= 0
+                      THEN (2 * sum(e.e[d.i]) + count(*)) // (2 * count(*))
+                      ELSE -((-2 * sum(e.e[d.i]) + count(*)) // (2 * count(*)))
+                 END AS cr
+          FROM {a} a JOIN e ON a.vec_id = e.vec_id
+          CROSS JOIN (SELECT unnest({rng}) AS i) d
+          GROUP BY 1, 2
+        ) s GROUP BY j
+      ) agg ON agg.j = prev.j
+    )"""
+
+    ctes = [
+        f"""e AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS e
+      FROM embeddings
+    )""",
+        f"""c0 AS (
+      SELECT e AS c,
+             CAST(row_number() OVER (ORDER BY {order}) - 1 AS INT) AS j
+      FROM e
+      QUALIFY row_number() OVER (ORDER BY {order}) <= {k}
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(assign(f"a{t}", f"c{t - 1}").strip())
+        ctes.append(update(f"c{t}", f"c{t - 1}", f"a{t}").strip())
+    ctes.append(assign("af", f"c{iters}").strip())
+    return ",\n    ".join(ctes)
+
+
+def _kmeans_oracle_sql(
+    k: int = 10, iters: int = 3, dim: int = 64, scale: int = 10**6,
+    salt: str = "km",
+) -> str:
+    """Full-replay oracle for `kmeans_profile_exact`: the identical
+    quantization, md5-order init, integer argmin assignment
+    (min(dist*16+j)), and exact rational half-away centroid update,
+    unrolled over ``iters`` materialized CTE rounds (the BPE merge-loop
+    oracle pattern, textops.py)."""
+    ctes = [_kmeans_cte_chain(k, iters, dim, scale, salt)]
+    ctes.append(
+        """counts AS (
+      SELECT CAST(af.kk % 16 AS INT) AS cluster, e.label, count(*) AS cnt
+      FROM af JOIN e ON af.vec_id = e.vec_id
+      GROUP BY 1, 2
+    )"""
+    )
+    ctes.append(
+        """tot AS (
+      SELECT cluster, CAST(sum(cnt) AS BIGINT) AS n_vecs
+      FROM counts GROUP BY cluster
+    )"""
+    )
+    ctes.append(
+        """maj AS (
+      SELECT cluster, label, cnt,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY cnt DESC, label) AS rn
+      FROM counts
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT t.cluster, t.n_vecs, m.label AS majority_label,
+           round(CAST(m.cnt AS DOUBLE) / t.n_vecs, 4) AS purity
+    FROM tot t JOIN maj m ON m.cluster = t.cluster AND m.rn = 1
+    ORDER BY t.cluster
+    """
+    )
+
+
+@query("kmeans_cluster_profile", oracle=_kmeans_oracle_sql())
 def kmeans_cluster_profile(spark, sf_dir):
+    """r10: moved from rows-only (Spark ML k-means, whose k-means|| init
+    depends on RDD partitioning and cannot be replayed outside Spark) to
+    the fully oracle-checked exact Lloyd tier — deterministic md5-order
+    init, scaled-integer distances, exact rational centroid rounding, so
+    DuckDB replays the whole clustering bit-for-bit. The Spark ML tier
+    stays available as `ml.embeddings.kmeans_cluster_profile` (library
+    path, planted-blob pytest)."""
     from ..io import table
-    from ..ml.embeddings import kmeans_cluster_profile as profile
+    from ..ml.embeddings import kmeans_profile_exact
 
     emb = table(spark, sf_dir, "embeddings")
-    return profile(emb, k=10)
+    return kmeans_profile_exact(emb, k=10, iters=3)
 
 
 # The dashboard's risk tiering of the predicted probability (pages.py:

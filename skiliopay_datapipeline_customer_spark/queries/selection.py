@@ -705,7 +705,7 @@ def dsir_deciles_distributed(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # CCNet buckets, scale tier — same answer and oracle as
 # ccnet_quality_buckets (DuckDB's real partitioned ntile), but the
-# per-language tertile comes from ONE pinned range pass ordered by
+# per-language tertile comes from ONE bucketed rank pass ordered by
 # (lang, score, doc_id) + closed-form NTILE arithmetic on within-group
 # ranks (operators/ranks.py::grouped_ntile_distributed) — a dominant
 # language spans many range partitions instead of one window task. Closes

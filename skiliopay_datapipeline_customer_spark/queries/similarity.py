@@ -142,18 +142,58 @@ def lsh_ann_topk(spark, sf_dir):
     return S.lsh_topk(emb, qvec, k=10, num_planes=6)
 
 
-# IVF ANN: deterministic hash-sampled centroids + 2 Lloyd refinement rounds
-# (distributed assign + per-dim mean; only C×dim floats reach the driver),
-# map-side assignment, n_probe inverted lists scanned. Centroid values are
-# data-order-derived floats → rows-only check (the exact-tier queries above
-# carry the oracles).
+# IVF ANN — r10: moved from rows-only to a FULL-replay oracle. The float
+# Lloyd refinement's per-dim double means accumulate in engine-specific
+# order, so the old tier could never be replayed; the declared query now
+# runs the exact-integer Lloyd coarse quantizer (ml/embeddings.py — the
+# same replayable kernel as kmeans_cluster_profile), integer-L2 probe
+# selection, and the sequential-fold cosine whose bit-parity with DuckDB
+# list_sum the lsh_ann_topk oracle established. The float tier
+# (S.ivf_topk + kmeans_refine_centroids) stays as the library path with
+# its recall tests.
 
 
-@query("ivf_ann_topk")
+def _ivf_ann_topk_oracle(
+    n_centroids: int = 8, iters: int = 2, n_probe: int = 2,
+    dim: int = 64, k: int = 10,
+) -> str:
+    from .ml import _kmeans_cte_chain
+
+    chain = _kmeans_cte_chain(k=n_centroids, iters=iters, dim=dim)
+    rng = f"range(1, {dim + 1})"
+    cos = """
+             list_sum(list_transform(list_zip(emb.embedding, q.qv),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(emb.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qv,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+    return f"""
+    WITH {chain},
+    qi AS (SELECT e AS qe FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT c.j FROM c{iters} c, qi
+      ORDER BY list_sum(list_transform({rng},
+                 i -> (qi.qe[i] - c.c[i]) * (qi.qe[i] - c.c[i]))), c.j
+      LIMIT {n_probe}
+    )
+    SELECT emb.vec_id, round({cos}, 6) AS cos_sim
+    FROM af
+    JOIN embeddings emb ON af.vec_id = emb.vec_id
+    JOIN probe p ON CAST(af.kk % 16 AS INT) = p.j
+    CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cos_sim DESC, emb.vec_id
+    LIMIT {k}
+    """
+
+
+@query("ivf_ann_topk", oracle=_ivf_ann_topk_oracle())
 def ivf_ann_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0)
-    return S.ivf_topk(emb, qvec, k=10, n_centroids=8, n_probe=2, refine_iters=2)
+    return S.ivf_topk_exact(
+        emb, qvec, k=10, n_centroids=8, iters=2, n_probe=2
+    )
 
 
 # Embedding-cosine near-dup pairs — exact all-pairs tier, oracle-checked.

@@ -425,3 +425,57 @@ def test_discover_categories_guards_unbounded_vocabulary(spark, sf_dir):
     assert cats == sorted(cats) and 0 < len(cats) <= 5
     with pytest.raises(ValueError, match="hashed_features"):
         discover_categories(cust, "c_custkey", max_categories=10)
+
+
+def test_kmeans_lloyd_exact_recovers_planted_blobs(spark):
+    """The exact-integer Lloyd tier must recover three well-separated
+    planted blobs with purity 1.0 — and be deterministic across calls
+    (md5-order init, integer arithmetic: no RNG, no partition
+    dependence)."""
+    from skiliopay_datapipeline_customer_spark.ml.embeddings import (
+        kmeans_lloyd_exact,
+        kmeans_profile_exact,
+    )
+
+    centers = [[5.0] * 8, [-5.0] * 8, [0.0] * 4 + [9.0] * 4]
+    # place each of the 3 md5-order seeds in a DISTINCT blob: Lloyd is
+    # greedy, and two seeds in one far-apart blob is a local optimum no
+    # iteration count escapes — this test pins exact arithmetic and
+    # determinism, not init robustness
+    import hashlib as _h
+
+    seed_ids = sorted(
+        range(90), key=lambda i: _h.md5(f"km:{i}".encode()).hexdigest()
+    )[:3]
+
+    def blob(i: int) -> int:
+        if i in seed_ids:
+            return seed_ids.index(i)
+        return i % 3
+
+    rows = []
+    for i in range(90):
+        c = centers[blob(i)]
+        rows.append((i, [v + ((i * 37) % 7 - 3) * 0.01 for v in c], blob(i)))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    prof = kmeans_profile_exact(df, k=3, iters=3).collect()
+    assert sum(r["n_vecs"] for r in prof) == 90
+    # every populated cluster is pure: blobs are far apart vs jitter
+    assert all(r["purity"] == 1.0 for r in prof)
+    assert sorted(r["majority_label"] for r in prof) == [0, 1, 2]
+    a1 = {r["vec_id"]: r["cluster"] for r in kmeans_lloyd_exact(df, k=3).collect()}
+    a2 = {r["vec_id"]: r["cluster"] for r in kmeans_lloyd_exact(df, k=3).collect()}
+    assert a1 == a2
+
+
+def test_kmeans_lloyd_exact_rejects_large_k():
+    import pytest as _pytest
+
+    from skiliopay_datapipeline_customer_spark.ml.embeddings import (
+        kmeans_lloyd_exact,
+    )
+
+    with _pytest.raises(ValueError, match="k <= 16"):
+        kmeans_lloyd_exact(None, k=17)

@@ -908,3 +908,51 @@ def test_rank_exact_under_exchange_reuse_disabled(spark):
         assert "Checkpoint" not in plan
     finally:
         conf.set("spark.sql.exchange.reuse.enabled", prev)
+
+
+def test_rank_boundary_semantics_nulls_nans_unicode(spark):
+    """The boundary comparisons (_after_key/_eq_key/_cmp_vals) must match
+    Spark's sort semantics exactly — NULL first in asc / last in desc, NaN
+    greater than every number, UTF-8 binary string order — or rows near a
+    sampled boundary get bucketed inconsistently with the window order and
+    ranks go wrong. Cross-checked against the single-window form over a
+    corpus salted with nulls, NaNs, duplicates, and non-ASCII keys, both
+    directions."""
+    import math
+
+    from pyspark.sql import Window
+
+    from skiliopay_datapipeline_customer_spark.operators.ranks import (
+        global_rank_distributed,
+    )
+
+    rows = []
+    for i in range(400):
+        v = None if i % 17 == 0 else (
+            float("nan") if i % 23 == 0 else float((i * 7919) % 97) / 3.0
+        )
+        s = ["alpha", "Ärger", "zèbre", "中文", "beta"][i % 5] + str(i % 11)
+        rows.append((i, v, s))
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+
+    for spec, wcols in [
+        ([("v", "asc"), ("s", "asc"), ("id", "asc")],
+         [F.col("v").asc(), F.col("s").asc(), F.col("id").asc()]),
+        ([("v", "desc"), ("s", "desc"), ("id", "asc")],
+         [F.col("v").desc(), F.col("s").desc(), F.col("id").asc()]),
+        ([("s", "asc"), ("id", "asc")],
+         [F.col("s").asc(), F.col("id").asc()]),
+    ]:
+        got = {
+            r["id"]: r["r"]
+            for r in global_rank_distributed(
+                df, spec, rank_col="r", num_partitions=8
+            ).collect()
+        }
+        want = {
+            r["id"]: r["r"]
+            for r in df.withColumn(
+                "r", F.row_number().over(Window.orderBy(*wcols))
+            ).collect()
+        }
+        assert got == want, f"spec={spec}"

@@ -406,7 +406,7 @@ def test_ntile_distributed_equals_window_across_n_q_grid(spark):
 
 
 def test_grouped_ntile_distributed_equals_window(spark):
-    """Per-group NTILE from one pinned range pass must equal the
+    """Per-group NTILE from one bucketed rank pass must equal the
     partitioned window form across uneven group sizes (incl. a dominant
     group and a singleton group)."""
     from pyspark.sql import Window

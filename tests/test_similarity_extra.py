@@ -251,3 +251,43 @@ def test_lsh_fast_blas_tier_matches_expr_tier_with_measured_margin(spark, sf_dir
         * float(np.max(np.abs(emb)) * np.max(np.abs(planes)))
     )
     assert min_margin > 1e4 * worst_err, (min_margin, worst_err)
+
+
+def test_ivf_topk_exact_full_probe_equals_brute_force(spark, sf_dir):
+    """The exact-integer IVF tier with n_probe = n_centroids scans every
+    inverted list, so it must equal brute-force cosine top-k exactly; a
+    single probe returns a subset of real similarities (recall < 1 by
+    construction, never garbage). Repeated runs must be identical
+    (deterministic coarse quantizer — no RNG, no partition dependence)."""
+    from skiliopay_datapipeline_customer_spark.io import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    full = [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.ivf_topk_exact(
+            emb, q, k=5, n_centroids=4, iters=2, n_probe=4
+        ).collect()
+    ]
+    brute = [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.brute_force_topk(emb, q, k=5).collect()
+    ]
+    assert full == brute
+    one = [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.ivf_topk_exact(
+            emb, q, k=5, n_centroids=4, iters=2, n_probe=1
+        ).collect()
+    ]
+    assert set(one) <= set(
+        (r["vec_id"], r["cos_sim"])
+        for r in S.brute_force_topk(emb, q, k=500).collect()
+    )
+    again = [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.ivf_topk_exact(
+            emb, q, k=5, n_centroids=4, iters=2, n_probe=1
+        ).collect()
+    ]
+    assert one == again
