@@ -956,3 +956,36 @@ def test_rank_boundary_semantics_nulls_nans_unicode(spark):
             ).collect()
         }
         assert got == want, f"spec={spec}"
+
+
+def test_rank_family_on_empty_and_tiny_frames(spark):
+    """Degenerate inputs: an EMPTY frame yields an empty rank (no
+    boundary → one bucket → no error), and a frame smaller than the
+    requested bucket count still ranks exactly."""
+    from skiliopay_datapipeline_customer_spark.operators.ranks import (
+        global_cumsum_distributed,
+        global_rank_distributed,
+    )
+
+    empty = spark.createDataFrame([], "id long, v double")
+    assert (
+        global_rank_distributed(
+            empty, [("v", "desc"), "id"], rank_col="r", num_partitions=8
+        ).count()
+        == 0
+    )
+    tiny = spark.createDataFrame([(1, 5.0), (2, 3.0), (3, 9.0)], "id long, v double")
+    got = {
+        r["id"]: r["r"]
+        for r in global_rank_distributed(
+            tiny, [("v", "asc"), "id"], rank_col="r", num_partitions=32
+        ).collect()
+    }
+    assert got == {2: 1, 1: 2, 3: 3}
+    cs = {
+        r["id"]: r["c"]
+        for r in global_cumsum_distributed(
+            tiny, [("id", "asc")], "v", out="c", num_partitions=32
+        ).collect()
+    }
+    assert cs == {1: 5.0, 2: 8.0, 3: 17.0}
