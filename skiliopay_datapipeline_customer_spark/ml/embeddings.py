@@ -163,31 +163,61 @@ def kmeans_lloyd_exact(
     return base.select(id_col, _lloyd_assign_expr(cents).alias("cluster"))
 
 
-def quantize_vec_expr(vec_col, scale: int = 10**6):
+def quantize_vec_expr(vec_col, scale: int = 10**6, normalize: bool = False):
     """The shared scaled-integer quantization: ``round(x·scale)`` BIGINT
     per component (double multiply + HALF_UP round — identical IEEE ops on
     any engine; DuckDB mirror: ``CAST(round(CAST(x AS DOUBLE)·scale) AS
-    BIGINT)``)."""
+    BIGINT)``). With ``normalize=True`` the vector is L2-unit-normalized
+    FIRST — the norm is a sequential fold (F.aggregate ↔ DuckDB list_sum,
+    bit-identical per the lsh_ann_topk precedent) and the division is one
+    IEEE op, so the normalized quantization is engine-portable too
+    (verified component-exact over the full embeddings table). Unit-sphere
+    quantization makes integer squared-L2 cosine-consistent — the space
+    the PQ tier codes in."""
+    raw = vec_col.cast("array<double>")
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(
+                F.zip_with(raw, raw, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+        raw = F.when(nrm > 0, F.transform(raw, lambda x: x / nrm)).otherwise(raw)
     return F.transform(
-        vec_col.cast("array<double>"),
-        lambda x: F.round(x * F.lit(float(scale))).cast("long"),
+        raw, lambda x: F.round(x * F.lit(float(scale))).cast("long")
     )
 
 
-def _lloyd_assign_expr(cents: list[list[int]]):
+def _lloyd_assign_expr(cents: list[list[int]], arr=None):
     """argmin of exact integer squared L2 against centroid LITERALS, ties
     to the smallest cluster id, encoded as ``min(dist·16 + j)`` over the
-    quantized ``_e`` column."""
-    keys = []
-    for j, c in enumerate(cents):
-        lit_c = F.array(*[F.lit(int(v)).cast("long") for v in c])
-        dist = F.aggregate(
-            F.zip_with(F.col("_e"), lit_c, lambda a, b: (a - b) * (a - b)),
+    quantized integer array ``arr`` (default: the ``_e`` column).
+
+    The k distances ride ONE indexed `transform` over a 2-D centroid
+    literal instead of k unrolled fold subtrees — identical math and fold
+    order, but the expression tree is O(k·dim literals + 1 lambda) rather
+    than O(k) aggregate trees; the unrolled form made Catalyst
+    analysis/codegen the dominant cost (measured ~25 s of planning on the
+    PQ tier's 8×16 assignment before this form)."""
+    arr = F.col("_e") if arr is None else arr
+    lit2d = F.array(
+        *[
+            F.array(*[F.lit(int(v)).cast("long") for v in c])
+            for c in cents
+        ]
+    )
+    keys = F.transform(
+        lit2d,
+        lambda c, j: F.aggregate(
+            F.zip_with(arr, c, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        keys.append(dist * 16 + F.lit(j))
-    return (F.least(*keys) % 16).cast("int")
+        * 16
+        + j.cast("long"),
+    )
+    return (F.array_min(keys) % 16).cast("int")
 
 
 def kmeans_lloyd_fit(
@@ -198,6 +228,7 @@ def kmeans_lloyd_fit(
     vec_col: str = "embedding",
     scale: int = 10**6,
     salt: str = "km",
+    normalize: bool = False,
 ) -> tuple:
     """Run the exact-integer Lloyd loop and return ``(base, centroids)``
     where ``base`` is the quantized frame ``(id_col, _e array<long>)`` and
@@ -209,7 +240,8 @@ def kmeans_lloyd_fit(
         raise ValueError("kmeans_lloyd_exact encodes argmin as dist*16+j; k <= 16")
 
     base = df.select(
-        F.col(id_col), quantize_vec_expr(F.col(vec_col), scale).alias("_e")
+        F.col(id_col),
+        quantize_vec_expr(F.col(vec_col), scale, normalize=normalize).alias("_e"),
     )
 
     seeds = (

@@ -837,3 +837,198 @@ def ivf_topk_exact(
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )
+
+
+def pq_codebooks_exact(
+    base: DataFrame,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    salt: str = "pq",
+) -> list[list[list[int]]]:
+    """Per-subspace PQ codebooks on the exact-integer Lloyd ladder —
+    fully SQL-replayable, unlike :func:`train_pq_codebooks` (whose numpy
+    float means accumulate in engine-specific order).
+
+    ``base`` is the quantized frame ``(id_col, _e array<long>)`` — for
+    cosine-consistent codes quantize with ``normalize=True``
+    (unit-sphere squared-L2 is monotone with cosine). Init: the
+    ``k_codes`` md5-order seed rows (one sample job), sliced per
+    subspace. Each Lloyd round is ONE pass for ALL subspaces: explode to
+    (subspace, subvector) pairs (×m map-side fan-out of dim/m-long
+    arrays), assign per-subspace via the shared ``min(dist·16+j)``
+    argmin, one (m·k_codes)-bounded partial-agg shuffle; the driver
+    collects m·k_codes·(dim/m + 1) integers per round and updates
+    centroids by the exact rational half-away rule. Returns
+    ``m × k_codes × (dim/m)`` integer codebooks."""
+    from ..ml.embeddings import _lloyd_assign_expr
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if k_codes > 16:
+        raise ValueError("pq_codebooks_exact encodes argmin as dist*16+j; k_codes <= 16")
+    dsub = dim // m
+    seeds = (
+        base.select(
+            "_e",
+            F.md5(
+                F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+            ).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(k_codes)
+        .collect()
+    )
+    books = [
+        [list(r["_e"])[s * dsub : (s + 1) * dsub] for r in seeds]
+        for s in range(m)
+    ]
+
+    def _round_half_away(s: int, n: int) -> int:
+        if s >= 0:
+            return (2 * s + n) // (2 * n)
+        return -((-2 * s + n) // (2 * n))
+
+    for _ in range(iters):
+        pairs = base.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice("_e", s * dsub + 1, dsub).alias("sv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("p")
+        ).select(F.col("p.s").alias("s"), F.col("p.sv").alias("sv"))
+        code = None
+        for s in range(m):
+            expr_s = _lloyd_assign_expr(books[s], arr=F.col("sv"))
+            code = (
+                F.when(F.col("s") == s, expr_s)
+                if code is None
+                else code.when(F.col("s") == s, expr_s)
+            )
+        rows = (
+            pairs.withColumn("_c", code)
+            .groupBy("s", "_c")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at("sv", d + 1)).alias(f"_s{d}")
+                    for d in range(dsub)
+                ],
+            )
+            .collect()
+        )
+        by_key = {(int(r["s"]), int(r["_c"])): r for r in rows}
+        for s in range(m):
+            for j in range(k_codes):
+                r = by_key.get((s, j))
+                if r is None:
+                    continue  # empty code keeps its previous centroid
+                n = int(r["_n"])
+                books[s][j] = [
+                    _round_half_away(int(r[f"_s{d}"]), n) for d in range(dsub)
+                ]
+    return books
+
+
+def pq_adc_topk_exact(
+    df: DataFrame,
+    query_vec_df: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codewords: int = 16,
+    n_centroids: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ ANN top-k whose ENTIRE pipeline a SQL oracle replays —
+    coarse probe, PQ codes, asymmetric-distance candidate cut, and exact
+    cosine re-rank, all deterministic.
+
+    Everything quantizes to the UNIT-SPHERE integer space
+    (`quantize_vec_expr(normalize=True)` — the norm fold and division are
+    bit-identical across engines): the coarse quantizer and the PQ
+    codebooks are exact-integer Lloyd fits, the ADC table is pure-integer
+    driver arithmetic (m×k_codes squared-L2 values injected as literals),
+    the candidate cut is an integer `orderBy(_adc, id) LIMIT rerank`, and
+    the final scores are the fold-kernel cosine on the RAW float vectors,
+    rounded to 6 dp. Same 100 TB shape as :func:`pq_adc_topk`: encoding
+    is one map-side scan, the candidate scan touches codes only, and only
+    the m·k_codes·(dim/m) integer model reaches the driver."""
+    from ..ml.embeddings import (
+        _lloyd_assign_expr,
+        kmeans_lloyd_fit,
+        quantize_vec_expr,
+    )
+
+    _, cents = kmeans_lloyd_fit(
+        df, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col,
+        normalize=True,
+    )
+    dim = len(cents[0])
+    dsub = dim // m
+    base = df.select(
+        F.col(id_col),
+        quantize_vec_expr(F.col(vec_col), normalize=True).alias("_e"),
+    )
+    books = pq_codebooks_exact(
+        base, dim, m=m, k_codes=n_codewords, iters=iters, id_col=id_col
+    )
+    # one driver job for both query forms (quantized ints for probe/ADT,
+    # raw floats for the exact re-rank)
+    qrow = query_vec_df.select(
+        quantize_vec_expr(F.col(vec_col), normalize=True).alias("_qe"),
+        F.col(vec_col).alias("_qv"),
+    ).first()
+    qint = [int(v) for v in qrow["_qe"]]
+    qvec = [float(x) for x in qrow["_qv"]]
+
+    def _l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = sorted(range(len(cents)), key=lambda j: (_l2(qint, cents[j]), j))[
+        :n_probe
+    ]
+    adt = [
+        [
+            _l2(qint[s * dsub : (s + 1) * dsub], books[s][j])
+            for j in range(n_codewords)
+        ]
+        for s in range(m)
+    ]
+
+    coded = df.withColumn(
+        "_e", quantize_vec_expr(F.col(vec_col), normalize=True)
+    ).withColumn("_centroid", _lloyd_assign_expr(cents))
+    adc = None
+    for s in range(m):
+        code_s = _lloyd_assign_expr(
+            books[s], arr=F.slice("_e", s * dsub + 1, dsub)
+        )
+        tbl = F.array(*[F.lit(int(d)).cast("long") for d in adt[s]])
+        term = F.element_at(tbl, code_s + 1)
+        adc = term if adc is None else adc + term
+    candidates = (
+        coded.filter(F.col("_centroid").isin([int(p) for p in probe]))
+        .withColumn("_adc", adc)
+        .orderBy(F.asc("_adc"), id_col)
+        .limit(rerank)
+    )
+    a = as_double(F.col(vec_col))
+    return (
+        candidates.select(
+            id_col, F.round(cosine(a, _lit_vec(qvec)), 6).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

@@ -192,6 +192,11 @@ _FORCE = {
     # greens verified the old float outputs
     "kmeans_cluster_profile": 9,
     "ivf_ann_topk": 9,
+    # r10 session 2: ivf_pq_ann_topk joins them — unit-sphere integer
+    # quantization, exact-Lloyd coarse + per-subspace PQ codebooks,
+    # integer ADC cut, fold-kernel cosine re-rank (prior greens verified
+    # the numpy-codebook rows-only output)
+    "ivf_pq_ann_topk": 9,
 }
 
 _PRIORITY = [
@@ -200,6 +205,7 @@ _PRIORITY = [
     # (the shapes that exposed the r9 divergence) at the very top ---
     "kmeans_cluster_profile",
     "ivf_ann_topk",
+    "ivf_pq_ann_topk",
     "dsir_deciles_distributed",
     "ccnet_buckets_distributed",
     "ks_drift_report",

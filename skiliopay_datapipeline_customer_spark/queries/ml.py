@@ -103,16 +103,26 @@ def pca_projected_embeddings(spark, sf_dir):
 
 def _kmeans_cte_chain(
     k: int = 10, iters: int = 3, dim: int = 64, scale: int = 10**6,
-    salt: str = "km",
+    salt: str = "km", prefix: str = "", vec_expr: str | None = None,
 ) -> str:
     """The exact-Lloyd replay as a reusable CTE chain (no WITH keyword, no
-    final SELECT): ``e`` (quantized vectors) → ``c0`` (md5-order seeds) →
-    ``a<t>``/``c<t>`` iteration rounds → ``af`` (final assignment, cluster
-    = kk % 16) and final centroids ``c<iters>``. Shared by the
-    kmeans_cluster_profile oracle here and the ivf_ann_topk oracle
-    (queries/similarity.py), parameterized per caller."""
+    final SELECT): ``{p}e`` (quantized vectors) → ``{p}c0`` (md5-order
+    seeds) → ``{p}a<t>``/``{p}c<t>`` iteration rounds → ``{p}af`` (final
+    assignment, cluster = kk % 16) and final centroids ``{p}c<iters>``.
+    Shared by the kmeans_cluster_profile oracle here and the
+    ivf_ann_topk / ivf_pq_ann_topk oracles (queries/similarity.py) —
+    ``prefix`` namespaces the CTEs so several chains (coarse quantizer +
+    one per PQ subspace) coexist in one statement, and ``vec_expr``
+    overrides the quantized-vector SQL (raw scaled ints by default;
+    callers pass unit-normalized or sliced forms)."""
     rng = f"range(1, {dim + 1})"
     order = f"md5('{salt}:' || CAST(vec_id AS VARCHAR))"
+    p = prefix
+    if vec_expr is None:
+        vec_expr = (
+            "list_transform(embedding,\n"
+            f"               x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+        )
 
     def assign(name: str, prev: str) -> str:
         return f"""
@@ -121,7 +131,7 @@ def _kmeans_cte_chain(
              min(list_sum(list_transform({rng},
                    i -> (e.e[i] - c.c[i]) * (e.e[i] - c.c[i]))) * 16 + c.j
                 ) AS kk
-      FROM e, {prev} c
+      FROM {p}e e, {prev} c
       GROUP BY e.vec_id
     )"""
 
@@ -137,7 +147,7 @@ def _kmeans_cte_chain(
                       THEN (2 * sum(e.e[d.i]) + count(*)) // (2 * count(*))
                       ELSE -((-2 * sum(e.e[d.i]) + count(*)) // (2 * count(*)))
                  END AS cr
-          FROM {a} a JOIN e ON a.vec_id = e.vec_id
+          FROM {a} a JOIN {p}e e ON a.vec_id = e.vec_id
           CROSS JOIN (SELECT unnest({rng}) AS i) d
           GROUP BY 1, 2
         ) s GROUP BY j
@@ -145,23 +155,22 @@ def _kmeans_cte_chain(
     )"""
 
     ctes = [
-        f"""e AS (
+        f"""{p}e AS (
       SELECT vec_id, label,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS e
+             {vec_expr} AS e
       FROM embeddings
     )""",
-        f"""c0 AS (
+        f"""{p}c0 AS (
       SELECT e AS c,
              CAST(row_number() OVER (ORDER BY {order}) - 1 AS INT) AS j
-      FROM e
+      FROM {p}e
       QUALIFY row_number() OVER (ORDER BY {order}) <= {k}
     )""",
     ]
     for t in range(1, iters + 1):
-        ctes.append(assign(f"a{t}", f"c{t - 1}").strip())
-        ctes.append(update(f"c{t}", f"c{t - 1}", f"a{t}").strip())
-    ctes.append(assign("af", f"c{iters}").strip())
+        ctes.append(assign(f"{p}a{t}", f"{p}c{t - 1}").strip())
+        ctes.append(update(f"{p}c{t}", f"{p}c{t - 1}", f"{p}a{t}").strip())
+    ctes.append(assign(f"{p}af", f"{p}c{iters}").strip())
     return ",\n    ".join(ctes)
 
 

@@ -434,17 +434,126 @@ def semantic_dedup_survivors(spark, sf_dir):
     )
 
 
-# IVF-PQ ANN: coarse probe -> asymmetric-distance scan over product-
-# quantization codes -> exact re-rank. Codebooks/centroids are data-derived
-# (driver-fitted model) -> rows-only check; the pytest suite carries the
-# recall assertion vs brute force and the code/table shape invariants.
+# IVF-PQ ANN — r10: moved from rows-only to a FULL-replay oracle. The old
+# tier's numpy codebooks (float means, engine-specific accumulation order)
+# could never be replayed; the declared query now runs the exact-integer
+# pipeline end to end: unit-sphere integer quantization (the norm fold and
+# division are bit-identical across engines — component-exact verified over
+# the whole table), exact-Lloyd coarse quantizer AND per-subspace PQ
+# codebooks, pure-integer ADC candidate cut, fold-kernel cosine re-rank.
+# The numpy tier (S.pq_adc_topk) stays as the library path with its recall
+# and shape tests.
 
 
-@query("ivf_pq_ann_topk")
+def _norm_quant_sql(scale: int = 10**6, lo: int | None = None, hi: int | None = None) -> str:
+    """SQL for the unit-normalized scaled-integer quantization (mirror of
+    quantize_vec_expr(normalize=True)); [lo:hi] slices the result
+    (1-based, inclusive — quantize-then-slice ≡ slice-then-quantize for an
+    elementwise map)."""
+    nrm = (
+        "sqrt(list_sum(list_transform(embedding, "
+        "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))"
+    )
+    base = (
+        "list_transform(embedding, x -> CAST(round("
+        f"CASE WHEN {nrm} > 0 THEN CAST(x AS DOUBLE) / {nrm} "
+        f"ELSE CAST(x AS DOUBLE) END * {float(scale)}) AS BIGINT))"
+    )
+    if lo is not None:
+        base = f"({base})[{lo}:{hi}]"
+    return base
+
+
+def _ivf_pq_ann_topk_oracle(
+    m: int = 8, n_codewords: int = 16, n_centroids: int = 8,
+    iters: int = 2, n_probe: int = 2, rerank: int = 50,
+    dim: int = 64, k: int = 10,
+) -> str:
+    from .ml import _kmeans_cte_chain
+
+    dsub = dim // m
+    chains = [
+        _kmeans_cte_chain(
+            k=n_centroids, iters=iters, dim=dim, salt="km", prefix="cv",
+            vec_expr=_norm_quant_sql(),
+        )
+    ]
+    for s in range(m):
+        chains.append(
+            _kmeans_cte_chain(
+                k=n_codewords, iters=iters, dim=dsub, salt="pq",
+                prefix=f"p{s}",
+                vec_expr=_norm_quant_sql(lo=s * dsub + 1, hi=(s + 1) * dsub),
+            )
+        )
+    rng_full = f"range(1, {dim + 1})"
+    rng_sub = f"range(1, {dsub + 1})"
+    ctes = [",\n    ".join(chains)]
+    ctes.append("qe AS (SELECT e AS qe FROM cve WHERE vec_id = 0)")
+    ctes.append(
+        f"""probe AS (
+      SELECT c.j FROM cvc{iters} c, qe
+      ORDER BY list_sum(list_transform({rng_full},
+                 i -> (qe.qe[i] - c.c[i]) * (qe.qe[i] - c.c[i]))), c.j
+      LIMIT {n_probe}
+    )"""
+    )
+    for s in range(m):
+        ctes.append(
+            f"""adt{s} AS (
+      SELECT c.j, list_sum(list_transform({rng_sub},
+               i -> (qe.qe[{s * dsub} + i] - c.c[i])
+                  * (qe.qe[{s * dsub} + i] - c.c[i]))) AS d
+      FROM p{s}c{iters} c, qe
+    )"""
+        )
+    code_joins = "\n      ".join(
+        f"JOIN p{s}af x{s} ON x{s}.vec_id = cvaf.vec_id "
+        f"JOIN adt{s} a{s} ON a{s}.j = CAST(x{s}.kk % 16 AS INT)"
+        for s in range(m)
+    )
+    adc_sum = " + ".join(f"a{s}.d" for s in range(m))
+    ctes.append(
+        f"""cand AS (
+      SELECT cvaf.vec_id, ({adc_sum}) AS adc
+      FROM cvaf
+      JOIN probe pr ON CAST(cvaf.kk % 16 AS INT) = pr.j
+      {code_joins}
+      ORDER BY adc, cvaf.vec_id
+      LIMIT {rerank}
+    )"""
+    )
+    cos = """
+             list_sum(list_transform(list_zip(emb.embedding, q.qv),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(emb.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qv,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT emb.vec_id, round({cos}, 6) AS cos_sim
+    FROM cand
+    JOIN embeddings emb ON cand.vec_id = emb.vec_id
+    CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cos_sim DESC, emb.vec_id
+    LIMIT {k}
+    """
+    )
+
+
+# iters=1 in the declared query: each Lloyd round is a driver job whose
+# toy-SF cost is dominated by planning overhead (~2 s/round for coarse +
+# PQ), and one round after the deterministic seeding already yields a
+# useful index — the final answer is an EXACT cosine re-rank either way.
+# The operators keep iters=2 defaults for library users.
+@query("ivf_pq_ann_topk", oracle=_ivf_pq_ann_topk_oracle(iters=1))
 def ivf_pq_ann_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0)
-    return S.pq_adc_topk(emb, qvec, k=10)
+    return S.pq_adc_topk_exact(emb, qvec, k=10, iters=1)
 
 
 # Per-dimension distribution stats over the embedding column — the

@@ -291,3 +291,39 @@ def test_ivf_topk_exact_full_probe_equals_brute_force(spark, sf_dir):
         ).collect()
     ]
     assert one == again
+
+
+def test_pq_adc_topk_exact_deterministic_and_sane(spark, sf_dir):
+    """The exact-integer IVF-PQ tier: repeated runs identical (no RNG, no
+    partition dependence anywhere in the pipeline), results are true
+    cosine similarities (every returned (id, score) appears in the
+    brute-force ranking), and the top-1 of a full-coverage configuration
+    (n_probe = n_centroids, rerank >= corpus) matches brute force."""
+    from skiliopay_datapipeline_customer_spark.io import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    run1 = [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.pq_adc_topk_exact(emb, q, k=10, iters=1).collect()
+    ]
+    run2 = [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.pq_adc_topk_exact(emb, q, k=10, iters=1).collect()
+    ]
+    assert run1 == run2 and len(run1) == 10
+    brute = {
+        (r["vec_id"], r["cos_sim"])
+        for r in S.brute_force_topk(emb, q, k=500).collect()
+    }
+    assert set(run1) <= brute
+    full = [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.pq_adc_topk_exact(
+            emb, q, k=5, n_centroids=4, iters=1, n_probe=4, rerank=500
+        ).collect()
+    ]
+    assert full == [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.brute_force_topk(emb, q, k=5).collect()
+    ]
