@@ -183,7 +183,21 @@ def quantize_vec_expr(vec_col, scale: int = 10**6, normalize: bool = False):
                 lambda acc, v: acc + v,
             )
         )
-        raw = F.when(nrm > 0, F.transform(raw, lambda x: x / nrm)).otherwise(raw)
+        # bind the norm ONCE per row as a lambda variable (single-element
+        # array → transform → element_at) instead of inlining the O(dim)
+        # fold into the per-element division AND the when() predicate —
+        # the inlined form re-evaluated the fold ~dim+1 times per row
+        # (O(dim²) map-side work). Same norm value, same one IEEE division
+        # per element, so the DuckDB parity argument is unchanged.
+        raw = F.element_at(
+            F.transform(
+                F.array(nrm),
+                lambda n: F.when(
+                    n > 0, F.transform(raw, lambda x: x / n)
+                ).otherwise(raw),
+            ),
+            1,
+        )
     return F.transform(
         raw, lambda x: F.round(x * F.lit(float(scale))).cast("long")
     )
@@ -255,6 +269,13 @@ def kmeans_lloyd_fit(
         .limit(k)
         .collect()
     )
+    if not seeds:
+        raise ValueError("kmeans_lloyd_fit: input frame is empty")
+    if len(seeds) < k:
+        raise ValueError(
+            f"kmeans_lloyd_fit: k={k} exceeds the frame's {len(seeds)} rows "
+            "— fewer seeds than clusters would silently fit a smaller model"
+        )
     cents = [list(r["_e"]) for r in seeds]
     dim = len(cents[0])
 
@@ -271,6 +292,11 @@ def kmeans_lloyd_fit(
             assigned.groupBy("_c")
             .agg(
                 F.count(F.lit(1)).alias("_n"),
+                # global max |component|, piggybacked on the same shuffle:
+                # feeds the min(dist·16+j) overflow guard below
+                F.max(
+                    F.array_max(F.transform("_e", lambda x: F.abs(x)))
+                ).alias("_m"),
                 *[
                     F.sum(F.element_at("_e", d + 1)).alias(f"_s{d}")
                     for d in range(dim)
@@ -278,6 +304,19 @@ def kmeans_lloyd_fit(
             )
             .collect()
         )
+        # enforce the documented encoding precondition dim·(2M)²·16 < 2^63
+        # (centroids are rounded means, so |cent| ≤ M and per-dim squared
+        # deltas are ≤ (2M)²): Spark's non-ANSI BIGINT wraps silently while
+        # DuckDB's list_sum promotes to HUGEINT — an unchecked overflow
+        # would be a silent engine/oracle divergence, not an error
+        m_abs = max(int(r["_m"]) for r in rows)
+        if dim * (2 * m_abs) ** 2 * 16 + 15 >= 2**63:
+            raise ValueError(
+                f"kmeans_lloyd_fit: scaled components reach |{m_abs}| at "
+                f"dim={dim} — the min(dist*16+j) BIGINT encoding would "
+                "overflow (need dim*(2*max|x*scale|)^2*16 < 2^63); lower "
+                "`scale` or normalize the vectors"
+            )
         by_cluster = {int(r["_c"]): r for r in rows}
         for j in range(k):
             r = by_cluster.get(j)

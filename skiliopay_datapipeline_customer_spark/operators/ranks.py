@@ -174,8 +174,14 @@ def _collect_boundaries(df: DataFrame, norm, nparts: int) -> list[tuple]:
             continue
         bnds.append(t)
     if cache_key is not None:
-        if len(_BOUNDARY_CACHE) >= _BOUNDARY_CACHE_MAX:
-            _BOUNDARY_CACHE.clear()
+        # FIFO eviction (insertion-ordered dict), not all-or-nothing
+        # clear: at the cap, dropping ONE oldest entry costs one re-sample
+        # for that one plan instead of re-sampling every live plan. Any
+        # eviction policy is correctness-neutral — see the cache contract
+        # above (boundaries affect balance, never rank exactness; the
+        # pytest pins a mid-session clear to identical results).
+        while len(_BOUNDARY_CACHE) >= _BOUNDARY_CACHE_MAX:
+            _BOUNDARY_CACHE.pop(next(iter(_BOUNDARY_CACHE)))
         _BOUNDARY_CACHE[cache_key] = bnds
     return bnds
 
@@ -224,18 +230,26 @@ def _bucket_pid_expr(norm, bnds):
 
 def _range_bucketed(df: DataFrame, order_spec, num_partitions: int | None):
     """Shared first pass: `_pid` from frozen boundary literals, then ONE
-    explicit hash exchange on `_pid` that both the offsets and window
-    branches hang off (identical exchange subplans → ReuseExchange
-    applies; if a planner ever declines, both branches still compute the
-    SAME `_pid` because it is pure data — recompute is safe, never
-    wrong). Returns (bucketed frame, sort columns)."""
+    explicit hash exchange on `_pid` for the WINDOW branch (per-bucket
+    row_number/sum needs co-location). Returns (bucketed frame — `_pid`
+    attached but NOT repartitioned, parts — the repartitioned window
+    input, sort columns).
+
+    The offsets branches aggregate the UNREPARTITIONED `bucketed` frame:
+    a groupBy(_pid) needs no forced exchange — partial aggregation
+    reduces map-side to #buckets rows before its own tiny shuffle,
+    whereas hanging it off `parts` forced the full repartition exchange
+    into every offsets subtree (r11: column pruning had specialized each
+    subtree's copy of that exchange, so ReuseExchange never applied and
+    the bench paid the shuffle + a giant-`_pid`-expression codegen per
+    branch). `_pid` is pure data (frozen literals), so the branches agree
+    by construction wherever they compute it."""
     norm = _normalize_order_spec(order_spec)
     nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     bnds = _collect_boundaries(df, norm, nparts)
-    parts = df.withColumn("_pid", _bucket_pid_expr(norm, bnds)).repartition(
-        max(1, len(bnds) + 1), "_pid"
-    )
-    return parts, _sort_cols(norm)
+    bucketed = df.withColumn("_pid", _bucket_pid_expr(norm, bnds))
+    parts = bucketed.repartition(max(1, len(bnds) + 1), "_pid")
+    return bucketed, parts, _sort_cols(norm)
 
 
 def _prefix_offsets(parts: DataFrame, agg_expr, pid_col: str = "_pid") -> DataFrame:
@@ -275,9 +289,11 @@ def global_rank_distributed(
     """
     from pyspark.sql import Window
 
-    parts, sort_cols = _range_bucketed(df, order_spec, num_partitions)
-    # one value per bucket — metadata-sized, prefix-summed in-plan
-    offsets = _prefix_offsets(parts, F.count(F.lit(1)))
+    bucketed, parts, sort_cols = _range_bucketed(df, order_spec, num_partitions)
+    # one value per bucket — metadata-sized, prefix-summed in-plan; the
+    # aggregate hangs off the UNREPARTITIONED frame (map-side partial agg,
+    # no forced full shuffle in this branch)
+    offsets = _prefix_offsets(bucketed, F.count(F.lit(1)))
     local_w = Window.partitionBy("_pid").orderBy(*sort_cols)
     return (
         parts.withColumn("_local", F.row_number().over(local_w))
@@ -325,9 +341,12 @@ def global_cumsums_distributed(
     """
     from pyspark.sql import Window
 
-    parts, sort_cols = _range_bucketed(df, order_spec, num_partitions)
+    _, parts, sort_cols = _range_bucketed(df, order_spec, num_partitions)
     # per-bucket value sums, prefix-accumulated in bucket order — the
-    # same left-to-right add order the windowed form uses per bucket
+    # same left-to-right add order the windowed form uses per bucket.
+    # Unlike the rank/quantile tiers (whose offsets are order-free COUNTS
+    # aggregated pre-shuffle), value sums stay on `parts`: float sums are
+    # accumulation-order-sensitive and this is the r10-hash-verified form.
     offsets = _prefix_offsets_multi(parts, {o: F.sum(vc) for vc, o in cols.items()})
     local_w = (
         Window.partitionBy("_pid")
@@ -429,7 +448,13 @@ def quantile_bucket_distributed(
     Single-action plan: n / countDistinct ride along as a broadcast 1-row
     cross join instead of a separate eager ``.first()`` job, so one action
     computes stats + rank + buckets (the eager form cost an extra full scan
-    and job per call — measured 3× on the sf0.1 bench).
+    and job per call — measured 3× on the sf0.1 bench). The stats scan
+    stays a PLAIN `df.agg` with no `_pid` lineage: r11 measured the
+    "share the rank's exchange" alternative (stats over the bucketed
+    frame) strictly worse — column pruning specializes each subtree's
+    copy of the exchange so ReuseExchange never applies, and the branch
+    pays an extra repartition plus one more codegen of the ~1000-term
+    `_pid` expression (cold 7.9 s vs 2.5 s at sf0.1).
     """
     out = out or f"{col}_q"
     order = [

@@ -813,20 +813,20 @@ def ivf_topk_exact(
         df, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
     )
     # quantized query vector via the SAME expression the fit used — zero
-    # drift between engine and oracle quantization
-    qint = [
-        int(v)
-        for v in query_vec_df.select(
-            quantize_vec_expr(F.col(vec_col)).alias("_qe")
-        ).first()["_qe"]
-    ]
+    # drift between engine and oracle quantization; the raw float form
+    # rides the SAME .first() (one driver job, matching pq_adc_topk_exact)
+    qrow = query_vec_df.select(
+        quantize_vec_expr(F.col(vec_col)).alias("_qe"),
+        as_double(F.col(vec_col)).alias("_qv"),
+    ).first()
+    qint = [int(v) for v in qrow["_qe"]]
 
     def _l2(c):
         return sum((a - b) * (a - b) for a, b in zip(qint, c))
 
     probe = sorted(range(len(cents)), key=lambda j: (_l2(cents[j]), j))[:n_probe]
 
-    qvec = [float(x) for x in query_vec_df.select(vec_col).first()[0]]
+    qvec = [float(x) for x in qrow["_qv"]]
     a = as_double(F.col(vec_col))
     assigned = df.withColumn(
         "_e", quantize_vec_expr(F.col(vec_col))

@@ -989,3 +989,44 @@ def test_rank_family_on_empty_and_tiny_frames(spark):
         ).collect()
     }
     assert cs == {1: 5.0, 2: 8.0, 3: 17.0}
+
+
+def test_boundary_cache_clear_and_eviction_are_correctness_neutral(spark):
+    """Pins the `_BOUNDARY_CACHE` contract before anyone 'optimizes' it:
+    (1) clearing the cache mid-session only costs a re-sample — the ranks
+    computed before and after a clear are identical; (2) the at-cap
+    eviction is FIFO-one-entry, so a 257th plan evicts exactly the oldest
+    entry instead of flushing every live plan."""
+    from skiliopay_datapipeline_customer_spark.operators import ranks
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 101)) for i in range(500)], "id long, v double"
+    )
+    spec = [("v", "asc"), ("id", "asc")]
+
+    def ranked():
+        return {
+            r["id"]: r["r"]
+            for r in ranks.global_rank_distributed(
+                df, spec, rank_col="r", num_partitions=16
+            ).collect()
+        }
+
+    before = ranked()
+    assert len(ranks._BOUNDARY_CACHE) >= 1  # the call above memoized
+    ranks._BOUNDARY_CACHE.clear()
+    after = ranked()  # re-samples boundaries from scratch
+    assert after == before
+
+    # eviction: fill to the cap with synthetic entries, then trigger one
+    # real insert — exactly the oldest synthetic entry must fall out
+    ranks._BOUNDARY_CACHE.clear()
+    for i in range(ranks._BOUNDARY_CACHE_MAX):
+        ranks._BOUNDARY_CACHE[("synthetic", i)] = [(float(i),)]
+    assert len(ranks._BOUNDARY_CACHE) == ranks._BOUNDARY_CACHE_MAX
+    again = ranked()
+    assert again == before
+    assert ("synthetic", 0) not in ranks._BOUNDARY_CACHE
+    assert ("synthetic", 1) in ranks._BOUNDARY_CACHE
+    assert len(ranks._BOUNDARY_CACHE) == ranks._BOUNDARY_CACHE_MAX
+    ranks._BOUNDARY_CACHE.clear()
