@@ -418,6 +418,10 @@ def scaling(sfs: list[str] | None = None) -> None:
                 "unit": "sec",
                 "sfs": [float(s) for s in sf_list],
                 "data_ratio_last_step": data_ratio,
+                # heap matters for cross-record comparability: sf1 needs
+                # ~12g in single-JVM local mode (the 1g default measured
+                # fastest at sf0.1 stays the bench default)
+                "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "1g(default)"),
                 "queries": out,
             }
         )

@@ -392,6 +392,19 @@ def ngram_jaccard_pairs(
     prefix = ranked.filter(
         F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     ).persist()
+    # materialize the two cached frames BEFORE planning the joins below:
+    # Catalyst's sizeInBytes estimate for lazy HOF-derived frames lands
+    # under the broadcast threshold regardless of corpus size, so the
+    # prefix self-join and both verify joins built CORPUS-SIZED broadcast
+    # hash relations — fine at sf0.1, measured fatal at sf1 (50k docs,
+    # locally generated fixture: "Not enough memory to build and
+    # broadcast" on the 1g default heap), guaranteed fatal at 100 TB. A
+    # populated InMemoryRelation reports its ACTUAL cached size, so the
+    # planner keeps the fast broadcast at small scale and switches to
+    # sort-merge exactly when the frames outgrow the threshold — the
+    # count only reorders work materialize() forced anyway (prefix pulls
+    # arr through its cache, populating both).
+    prefix.count()
     a = prefix.alias("a")
     b = prefix.alias("b")
     # size-compatibility pushed into the join: jaccard ≤ min(sz)/max(sz)

@@ -9,6 +9,8 @@ family instead of the full corpus; both share the same cosine kernel.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -325,7 +327,7 @@ def lsh_dup_pairs(
     threshold: float = 0.8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    num_planes: int = 16,
+    num_planes: int | str = 16,
     bands: int = 4,
     max_bucket_size: int = 10_000,
     kernel: str = "numpy",
@@ -351,7 +353,24 @@ def lsh_dup_pairs(
     BLAS reorders the sum, so a projection landing near 0 could flip sign
     vs the oracle's fold). Identical plane family (md5-derived literals),
     identical downstream plan.
+
+    **Scale note — size the plane count to the corpus.** Expected
+    candidate volume is ~bands · N² / 2^(planes/bands): a FIXED plane
+    count is quadratic in N once the corpus outgrows the 2^(planes/bands)
+    buckets. Measured on the r11 sf0.01→0.1→1 curve: the pinned 16/4
+    config went superlinear at sf1 (11.2× wall for the 4× embeddings
+    step — bucket occupancy 500, ~8M candidate pairs). Pass
+    ``num_planes="auto"`` to derive planes-per-band from a corpus count
+    as ceil(log2(N / 64)) (≥4), which pins expected bucket occupancy at
+    ~64 rows and candidate volume at ~64·N·bands — linear in N. Costs
+    one column-pruned count() job; the declared ORACLE queries keep the
+    pinned 16/4 family because their DuckDB SQL embeds the same plane
+    literals (a runtime-derived count can't live in a static oracle).
     """
+    if num_planes == "auto":
+        n_rows = df.select(id_col).count()
+        ppb = max(4, math.ceil(math.log2(max(n_rows, 1) / 64)) if n_rows > 64 else 4)
+        num_planes = ppb * bands
     if num_planes % bands:
         # a remainder would silently shrink the plane family (trailing
         # planes never projected) vs what the caller asked for

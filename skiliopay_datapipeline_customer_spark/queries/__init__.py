@@ -197,9 +197,24 @@ _FORCE = {
     # integer ADC cut, fold-kernel cosine re-rank (prior greens verified
     # the numpy-codebook rows-only output)
     "ivf_pq_ann_topk": 9,
+    # r11 oracle upgrade: churn_features_gold moved rows-only → full
+    # hash check (the xxhash64 fixture synthesis is now replayed in
+    # DuckDB via exact mod-2^64 limb arithmetic — fixtures_oracle.py);
+    # prior greens verified only rows>0
+    "churn_features_gold": 10,
+    # r11 plan changes, values unchanged but re-stamp on the new plans:
+    # ngram verify joins now size-aware (materialized-cache stats), rank
+    # offsets aggregate pre-shuffle, quantile stats inlined
+    "ngram_jaccard_dups": 10,
+    "rfm_quintiles": 10,
 }
 
 _PRIORITY = [
+    # --- r11 window: the oracle upgrade + the two plan-changed queries
+    # first, then the r10 tail continues below ---
+    "churn_features_gold",
+    "ngram_jaccard_dups",
+    "rfm_quintiles",
     # --- r10 window: the rank-family plan rewrite + sketch/bloom changes
     # (stamped 9 in _FORCE) — verify first, heaviest join-derived lineage
     # (the shapes that exposed the r9 divergence) at the very top ---

@@ -384,12 +384,26 @@ def median_impute(spark, sf_dir):
 
 
 # The reference's full six-block feature pipeline on the synthesized
-# 33-column churn fixture (FIXTURES.md §1). xxhash64-derived fixture → not
-# oracle-expressible: rows-only check; invariants live in
-# tests/test_churn_parity.py.
+# 33-column churn fixture (FIXTURES.md §1). Oracle-checked since r11: the
+# xxhash64 fixture synthesis turned out to be SQL-replayable — Spark's
+# XXH64.hashLong/hashInt over fixed-width fields is exact mod-2^64
+# arithmetic DuckDB reproduces bit-for-bit with UBIGINT/HUGEINT limb math
+# (functions/fixtures_oracle.py; 100k-id parity pinned in
+# tests/test_oracle_parity.py). The seven output columns are then plain
+# row arithmetic + two exact 0.8-quantiles; the unused pipeline blocks
+# (quintile buckets, encodings) are column-pruned by Catalyst and never
+# affect these values. The fixture is n=1000 regardless of sf_dir, so
+# engine and oracle are both SF-invariant. Pandas-parity invariants stay
+# in tests/test_churn_parity.py.
 
 
-@query("churn_features_gold")
+def _gold_oracle() -> str:
+    from ..functions.fixtures_oracle import churn_features_gold_oracle
+
+    return churn_features_gold_oracle(n=1000, seed=42)
+
+
+@query("churn_features_gold", oracle=_gold_oracle())
 def churn_features_gold(spark, sf_dir):
     from ..functions.churn_features import churn_feature_pipeline
     from ..functions.fixtures import synthesize_users_raw

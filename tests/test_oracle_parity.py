@@ -67,3 +67,83 @@ def test_compare_frames_rejects_list_columns():
     # the fixed projection (joined string) passes clean
     ok = pd.DataFrame({"a": [1, 2], "toks": ["x", "y z"]})
     assert compare_frames(ok, ok.copy()) == []
+
+
+def test_duckdb_xxhash64_replay_bit_parity(spark):
+    """The churn-fixture oracle's foundation: DuckDB's UBIGINT/HUGEINT
+    limb replay of Spark's XxHash64 over (BIGINT id, INT lit, INT lit)
+    fields must be BIT-IDENTICAL — exhaustive over 100k ids and two salt
+    chains (functions/fixtures_oracle.py)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from skiliopay_datapipeline_customer_spark.functions.fixtures_oracle import (
+        xxhash64_id_chain_sql,
+    )
+
+    n = 100_000
+    rows = (
+        spark.range(n)
+        .select(
+            "id",
+            F.xxhash64(F.col("id"), F.lit(42), F.lit(7)).alias("h7"),
+            F.xxhash64(F.col("id"), F.lit(42), F.lit(30)).alias("h30"),
+        )
+        .collect()
+    )
+    sp = {r["id"]: (r["h7"], r["h30"]) for r in rows}
+    ctes, final, h = xxhash64_id_chain_sql(
+        f"SELECT i, CAST(i AS UBIGINT) AS iu FROM range(0, {n}) t(i)",
+        [7, 30],
+    )
+    got = duckdb.connect().execute(
+        f"WITH {ctes} SELECT i, {h[7]}, {h[30]} FROM {final}"
+    ).fetchall()
+    du = {i: (a, b) for i, a, b in got}
+    mismatches = [i for i in range(n) if sp[i] != du[i]]
+    assert not mismatches, f"{len(mismatches)} hash mismatches, first: {mismatches[:3]}"
+
+
+def test_spark_round_sql_matches_f_round(spark):
+    """spark_round_sql must replay F.round(double, d) exactly — including
+    the shortest-repr HALF_UP semantics where DuckDB's native round and a
+    direct DECIMAL cast each disagree on measured inputs (26.0649…98 and
+    a printed 98.235). Checked over the fixture's real aov/gmv/refund
+    expressions for all 1000 ids."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from skiliopay_datapipeline_customer_spark.functions.fixtures import _u
+    from skiliopay_datapipeline_customer_spark.functions.fixtures_oracle import (
+        _u_expr,
+        spark_round_sql,
+        xxhash64_id_chain_sql,
+    )
+
+    rows = (
+        spark.range(1000)
+        .select(
+            "id",
+            F.round(_u(16, 42) * 200, 2).alias("aov"),
+            F.round(
+                F.round(_u(16, 42) * 200, 2) * F.floor(_u(15, 42) * 100).cast("int"),
+                2,
+            ).alias("gmv"),
+            F.round(_u(21, 42) * 0.3, 4).alias("rr"),
+        )
+        .collect()
+    )
+    sp = {r["id"]: (r["aov"], r["gmv"], r["rr"]) for r in rows}
+    ctes, final, h = xxhash64_id_chain_sql(
+        "SELECT i, CAST(i AS UBIGINT) AS iu FROM range(0, 1000) t(i)", [15, 16, 21]
+    )
+    u15, u16, u21 = _u_expr(h[15]), _u_expr(h[16]), _u_expr(h[21])
+    aov = spark_round_sql(f"{u16} * CAST(200 AS DOUBLE)", 2)
+    gmv = spark_round_sql(f"{aov} * CAST(floor({u15}*100) AS INT)", 2)
+    rr = spark_round_sql(f"{u21} * CAST(0.3 AS DOUBLE)", 4)
+    got = duckdb.connect().execute(
+        f"WITH {ctes} SELECT i, {aov}, {gmv}, {rr} FROM {final}"
+    ).fetchall()
+    du = {i: (a, g, r) for i, a, g, r in got}
+    bad = [i for i in range(1000) if sp[i] != du[i]]
+    assert not bad, f"round parity broke on ids {bad[:5]}"
