@@ -230,7 +230,7 @@ _PRIORITY = [
     "weighted_median_price",
     "percent_rank_prices",
     "global_row_number",
-    "rfm_quintiles",
+    # (rfm_quintiles moved to the r11 block at the top)
     "rfm_scores",
     "token_pack_assignments",
     "length_bucketed_batches",
