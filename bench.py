@@ -205,21 +205,22 @@ def main(only: list[str] | None = None, record: str | None = None) -> None:
         target = os.path.join(repo, record or "BENCH_FULL.json")
         with open(target, "w") as f:
             json.dump(out, f, indent=2)
-    print(_fit_line(out))
+    print(_fit_line(out, record=record))
 
 
-def _fit_line(out: dict) -> str:
+def _fit_line(out: dict, record: str | None = None) -> str:
     """Render the record as ONE JSON line that survives the driver's
     2000-char stdout tail, degrading stepwise: full record → outlier-only
     ratios → drop the per-query warm block (warm_total stays). The full
-    record always lives in BENCH_FULL.json."""
+    record always lives in the persisted file (BENCH_FULL.json, or the
+    --record name for builder runs)."""
     line = json.dumps(out)
-    # subset runs never write BENCH_FULL.json (the dump is full-run-only),
+    # subset runs never persist a full record (the dump is full-run-only),
     # so their degradation notes must not point at a stale prior record
     full_ref = (
         "full map not persisted (subset run)"
         if "subset" in out
-        else "full map in BENCH_FULL.json"
+        else f"full map in {record or 'BENCH_FULL.json'}"
     )
     if len(line) > _DRIVER_TAIL_BUDGET:
         slim = dict(out)

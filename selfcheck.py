@@ -57,6 +57,15 @@ def main(argv: list[str] | None = None) -> int:
         "never silently green.",
     )
     p.add_argument(
+        "--driver-mem",
+        default=None,
+        help="spark.driver.memory for the sweep session (e.g. 12g). The "
+        "bare default (unset → 1g) mimics the round driver and is right "
+        "for the driver-shipped SFs; the locally generated sf1 fixture "
+        "needs ~12g in single-JVM local mode (the ngram verify SMJ alone "
+        "OOMs a 1g executor-side heap there).",
+    )
+    p.add_argument(
         "--only",
         default="",
         help="comma-separated query names: sweep ONLY these (e.g. the "
@@ -102,6 +111,8 @@ def main(argv: list[str] | None = None) -> int:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(max(int(args.cpus), 8)))
     )
+    if args.driver_mem:
+        builder = builder.config("spark.driver.memory", args.driver_mem)
     if args.adversarial:
         # every query must be correct independent of AQE, partition counts,
         # and the session timezone — the configs a foreign runner could hold
