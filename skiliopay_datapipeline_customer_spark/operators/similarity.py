@@ -360,16 +360,27 @@ def lsh_dup_pairs(
     buckets. Measured on the r11 sf0.01→0.1→1 curve: the pinned 16/4
     config went superlinear at sf1 (11.2× wall for the 4× embeddings
     step — bucket occupancy 500, ~8M candidate pairs). Pass
-    ``num_planes="auto"`` to derive planes-per-band from a corpus count
-    as ceil(log2(N / 64)) (≥4), which pins expected bucket occupancy at
-    ~64 rows and candidate volume at ~64·N·bands — linear in N. Costs
-    one column-pruned count() job; the declared ORACLE queries keep the
-    pinned 16/4 family because their DuckDB SQL embeds the same plane
-    literals (a runtime-derived count can't live in a static oracle).
+    ``num_planes="auto"`` to derive BOTH knobs from a corpus count:
+    planes-per-band = max(4, ceil(log2(N / 64))) pins expected bucket
+    occupancy at ~64 rows (candidate volume linear in N), and ``bands``
+    grows to hold the default family's recall anchor (~0.95 at cosine
+    0.9: band-hit p^ppb with p = 1 − acos(0.9)/π, bands =
+    ceil(ln 0.05 / ln(1 − p^ppb)), floored at the caller's value) —
+    deepening buckets WITHOUT more bands silently decays recall as the
+    corpus grows (measured at sf1: 4 bands @ 7 planes/band found 26%
+    fewer verified 0.8-pairs than the pinned family; 8 derived bands
+    restore the anchor). Costs one column-pruned count() job; the
+    declared ORACLE queries keep the pinned 16/4 family because their
+    DuckDB SQL embeds the same plane literals (a runtime-derived count
+    can't live in a static oracle). At 500 rows auto derives exactly the
+    pinned 16/4 family (pytest-pinned equal).
     """
     if num_planes == "auto":
         n_rows = df.select(id_col).count()
         ppb = max(4, math.ceil(math.log2(max(n_rows, 1) / 64)) if n_rows > 64 else 4)
+        p_anchor = 1.0 - math.acos(0.9) / math.pi
+        band_hit = p_anchor**ppb
+        bands = max(bands, math.ceil(math.log(0.05) / math.log(1.0 - band_hit)))
         num_planes = ppb * bands
     if num_planes % bands:
         # a remainder would silently shrink the plane family (trailing
