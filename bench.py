@@ -63,6 +63,27 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def hygiene(spark) -> None:
+    """Inter-query resource hygiene for long-lived sessions.
+
+    The sf1 r11 record measured the warm pass SLOWER than cold (236 s vs
+    189 s): 50 consecutive heavy executions in one JVM accumulate cache
+    blocks + broadcast cleanup debt until GC pressure halves throughput —
+    a real operational finding at the 100 TB posture, not a bench
+    artifact. Between queries: drop the Python-side frame refs
+    (gc.collect lets the ContextCleaner queue their JVM blocks), clear
+    the cache manager (queries persist intermediates they never share
+    across query boundaries), and nudge a JVM GC so the ContextCleaner's
+    weak references actually fire. Cost at sf0.1: ~10 ms/query — noise
+    next to the accumulation it prevents at sf1.
+    """
+    import gc
+
+    gc.collect()
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
+
 def main(only: list[str] | None = None, record: str | None = None) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -151,6 +172,7 @@ def main(only: list[str] | None = None, record: str | None = None) -> None:
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        hygiene(spark)
     total = round(sum(timings.values()), 3)
     subset = bool(only) and set(headline) != set(HEADLINE)
     # second pass, same session: per-query codegen/JIT now cached, so this
@@ -164,6 +186,7 @@ def main(only: list[str] | None = None, record: str | None = None) -> None:
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         warm[name] = round(time.perf_counter() - t0, 3)
+        hygiene(spark)
     out = {
         # a subset run is marked unmistakably: different metric name + an
         # explicit "subset" field, and _deltas() refuses to treat a partial
@@ -354,11 +377,24 @@ DEFAULT_SCALING_SFS = ["0.001", "0.01", "0.1"]
 def _resolve_sf_dir(s: str) -> str:
     """Driver fixtures first (/root/testdata/sf{s}); locally generated
     fixtures (scripts/gen_sf.py → testdata_local/sf{s}) as the extension
-    path for SFs the driver doesn't ship (sf1+)."""
+    path for SFs the driver doesn't ship (sf1+).
+
+    The literal token is tried first (driver dirs are literal: sf0.001),
+    then the %g-normalized form — gen_sf.py names its dirs with %g
+    (``--sf 1`` → sf1), so ``--sfs 1.0`` must still find it.
+    """
+    tokens = [s]
+    try:
+        norm = "%g" % float(s)
+        if norm not in tokens:
+            tokens.append(norm)
+    except ValueError:
+        pass
     for root in (_TESTDATA_ROOT, _LOCAL_TESTDATA):
-        d = os.path.join(root, f"sf{s}")
-        if os.path.isdir(d):
-            return d
+        for tok in tokens:
+            d = os.path.join(root, f"sf{tok}")
+            if os.path.isdir(d):
+                return d
     raise SystemExit(
         f"no fixture for sf{s} under {_TESTDATA_ROOT} or {_LOCAL_TESTDATA} "
         f"(generate locally with: python scripts/gen_sf.py --sf {s})"
@@ -380,7 +416,16 @@ def scaling(sfs: list[str] | None = None) -> None:
     before any 100 TB claim.
     """
     sf_list = sfs or DEFAULT_SCALING_SFS
+    if len(sf_list) < 2:
+        raise SystemExit(
+            "scaling needs >= 2 SFs to compute a step ratio; got "
+            f"{sf_list} — pass e.g. --sfs 0.01,0.1 (single-SF timing: "
+            "bench.py --queries ... with SPARK_GRAFT_SF_DIR)"
+        )
     sf_dirs = [_resolve_sf_dir(s) for s in sf_list]
+    # key by the RESOLVED dir name, not the raw token: _resolve_sf_dir
+    # may normalize ("1.0" → sf1), and rec[] is indexed by these keys
+    sf_list = [os.path.basename(d).replace("sf", "") for d in sf_dirs]
     spark = get_spark(app_name="bench-scaling")
     queries = all_queries()
     spark.range(1).count()

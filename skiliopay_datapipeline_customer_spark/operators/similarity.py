@@ -331,6 +331,7 @@ def lsh_dup_pairs(
     bands: int = 4,
     max_bucket_size: int = 10_000,
     kernel: str = "numpy",
+    recall_anchor: float | None = None,
 ) -> DataFrame:
     """Distributed tiered near-dup pairs: banded hyperplane-LSH candidate
     generation + exact cosine verify. The corpus-scale public API — unlike
@@ -363,22 +364,33 @@ def lsh_dup_pairs(
     ``num_planes="auto"`` to derive BOTH knobs from a corpus count:
     planes-per-band = max(4, ceil(log2(N / 64))) pins expected bucket
     occupancy at ~64 rows (candidate volume linear in N), and ``bands``
-    grows to hold the default family's recall anchor (~0.95 at cosine
-    0.9: band-hit p^ppb with p = 1 − acos(0.9)/π, bands =
-    ceil(ln 0.05 / ln(1 − p^ppb)), floored at the caller's value) —
-    deepening buckets WITHOUT more bands silently decays recall as the
-    corpus grows (measured at sf1: 4 bands @ 7 planes/band found 26%
-    fewer verified 0.8-pairs than the pinned family; 8 derived bands
-    restore the anchor). Costs one column-pruned count() job; the
-    declared ORACLE queries keep the pinned 16/4 family because their
-    DuckDB SQL embeds the same plane literals (a runtime-derived count
-    can't live in a static oracle). At 500 rows auto derives exactly the
+    grows to hold ~0.95 recall at the anchor cosine (band-hit p^ppb with
+    p = 1 − acos(anchor)/π, bands = ceil(ln 0.05 / ln(1 − p^ppb)),
+    floored at the caller's value) — deepening buckets WITHOUT more
+    bands silently decays recall as the corpus grows (measured at sf1:
+    4 bands @ 7 planes/band found 26% fewer verified 0.8-pairs than the
+    pinned family; 8 derived bands restore the anchor). Costs one
+    column-pruned count() job; the declared ORACLE queries keep the
+    pinned 16/4 family because their DuckDB SQL embeds the same plane
+    literals (a runtime-derived count can't live in a static oracle).
+    At 500 rows with ``recall_anchor=0.9`` auto derives exactly the
     pinned 16/4 family (pytest-pinned equal).
+
+    ``recall_anchor`` is the cosine at which auto provisions recall; it
+    defaults to the caller's ``threshold`` — the r11 form pinned it at
+    0.9 regardless of threshold, under-provisioning recall for pairs
+    near a lower cutoff (a 0.8-pair's per-plane agreement is 0.795 vs
+    0.856 at 0.9, so a family sized for 0.9 misses 0.8-pairs more
+    often). Derived bands EXTEND a smaller family's plane offsets
+    (band b projects planes [b·ppb, (b+1)·ppb)), so a lower anchor only
+    adds bands: at equal ppb its verified pairs are a SUPERSET of any
+    higher-anchor family's (pytest-pinned vs the pinned 16/4).
     """
     if num_planes == "auto":
         n_rows = df.select(id_col).count()
         ppb = max(4, math.ceil(math.log2(max(n_rows, 1) / 64)) if n_rows > 64 else 4)
-        p_anchor = 1.0 - math.acos(0.9) / math.pi
+        anchor = threshold if recall_anchor is None else recall_anchor
+        p_anchor = 1.0 - math.acos(anchor) / math.pi
         band_hit = p_anchor**ppb
         bands = max(bands, math.ceil(math.log(0.05) / math.log(1.0 - band_hit)))
         num_planes = ppb * bands

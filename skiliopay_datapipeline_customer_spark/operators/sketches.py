@@ -14,9 +14,16 @@ reach the exact count, and CMS admits no underestimates, so every true
 heavy hitter survives the prefilter — the final exact filter then
 discards the sketch's false positives.
 
-Hashes use the portable md5 kernel (`dedup.portable_hash64`) so DuckDB
-could reproduce the grid bit-for-bit; the declared query's oracle is the
-plain exact SQL, because the composition's RESULT is exact.
+Sketch-internal hashing is Kirsch–Mitzenmacher double hashing off TWO
+xxhash64 calls per occurrence (h_r = h0 + r·h1 mod w): JVM-side,
+whole-stage-codegen'd, and hash choice is invisible to the declared
+query's oracle because the composition's RESULT is exact (the plain
+top-k SQL) for ANY hash family. r12 note: the r11 form hashed with the
+portable md5 kernel inside a depth-way explode — 8 md5(concat) calls
+per occurrence on the sketch pass alone; at sf0.1 the hash work, not
+the bounded shuffle, dominated the query (4.6 s; the #1 headline cost
+at every SF). The xxhash64 kernel plus the hash-once/explode-ints
+rewrite below cut the constant without touching the plan shape.
 
 Reference provenance: the reference has no sketch tier (single-node
 pandas counts, src/processing/etl_pipeline.py); this extends the engine
@@ -31,7 +38,22 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import portable_hash64
+
+def _bucket_cols(token_col: str, depth: int, width: int) -> list:
+    """d bucket expressions from TWO hashes (Kirsch–Mitzenmacher).
+
+    h0/h1 are plain xxhash64 over the token (seed varied via a literal
+    second argument); every row's bucket is h0 + r·h1 mod w — integer
+    arithmetic after the two hash calls, all inside codegen. Both hashes
+    reduce mod w BEFORE the combine (equivalent mod w) so the r·h1 term
+    never overflows a long under ANSI arithmetic.
+    """
+    h0 = F.pmod(F.xxhash64(F.col(token_col)), F.lit(width))
+    h1 = F.pmod(F.xxhash64(F.col(token_col), F.lit(1)), F.lit(width))
+    return [
+        F.pmod(h0 + F.lit(r) * h1, F.lit(width)).cast("int").alias(f"b{r}")
+        for r in range(depth)
+    ]
 
 
 def cms_sketch(
@@ -42,23 +64,17 @@ def cms_sketch(
 ) -> DataFrame:
     """(row, bucket, n) count-min grid over a token-occurrence frame.
 
-    One explode (factor = depth) + one groupBy whose key space is bounded
-    by depth·width — map-side partials collapse each partition to at most
-    that many rows before the shuffle.
+    Hash twice per occurrence, then posexplode the d small-int buckets
+    (explode multiplies ROWS by d, but each exploded row is two ints —
+    the token string and the hash work never fan out). One groupBy whose
+    key space is bounded by depth·width — map-side partials collapse
+    each partition to at most that many rows before the shuffle.
     """
-    rows = tokens.select(
-        F.col(token_col),
-        F.explode(
-            F.array(*[F.lit(r) for r in range(depth)])
-        ).alias("row"),
-    ).select(
-        "row",
-        (
-            portable_hash64(F.col(token_col), 0) + F.col("row") * portable_hash64(F.col(token_col), 1)
-        ).alias("_h"),
-    )
     return (
-        rows.select("row", (F.pmod(F.col("_h"), F.lit(width))).alias("bucket"))
+        tokens.select(
+            F.posexplode(F.array(*_bucket_cols(token_col, depth, width)))
+            .alias("row", "bucket")
+        )
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -75,63 +91,53 @@ def cms_heavy_hitters(
     """EXACT top-k tokens with count ≥ ceil(min_share · total), found via a
     CMS prefilter.
 
-    1. Build the d×w sketch (bounded shuffle).
-    2. Map-side per-occurrence estimate: d broadcast joins against the
-       (≤ width)-row per-row grids, `least()` across rows. No underestimate
-       ⇒ the kept set is a SUPERSET of the true heavy hitters.
-    3. Exact groupBy over surviving occurrences only, exact threshold
+    1. Build the d×w sketch (bounded shuffle) and COLLECT it — the grid
+       is ≤ depth·width rows BY CONSTRUCTION (model-sized at any corpus
+       scale; same discipline as the centroid/codebook collects). NOTE:
+       this makes the call an eager Spark action (the sketch job runs at
+       call time, like ngram_jaccard_pairs' stats materialization) — the
+       returned frame itself stays lazy.
+    2. The grand total and threshold are derived driver-side from row 0
+       of the grid (each occurrence increments exactly one bucket per
+       row, so any row's bucket counts sum to the total).
+    3. Map-side per-occurrence estimate: `least()` over d lookups into
+       DENSE ARRAY LITERALS (one width-long array per grid row) — no
+       joins, no broadcast exchanges, pure codegen arithmetic. CMS never
+       underestimates ⇒ the kept set is a SUPERSET of the true heavy
+       hitters.
+    4. Exact groupBy over surviving occurrences only, exact threshold
        re-check, deterministic (count desc, token) top-k.
 
     The declared query's oracle is the plain exact top-k SQL — the sketch
     changes the plan, never the result (the salted_skew_join_counts
-    discipline).
-
-    The grand total is derived FROM the sketch (every grid row's bucket
-    counts sum to the total occurrence count — each occurrence increments
-    exactly one bucket per row), riding the plan as a broadcast 1-row
-    frame. The r9 form spent a third full corpus scan on a standalone
-    ``tokens.count()`` just for the threshold — at the 100 TB posture
-    this module advertises, that was an avoidable extra read.
+    discipline). r12: this replaced d broadcast-joins + two crossJoins
+    (r11 shape) with the literal-array lookup — measured 4.3 s → under
+    3 s at sf0.1 with the oracle untouched.
     """
-    sketch = cms_sketch(tokens, token_col, depth, width)
-    totals = sketch.filter(F.col("row") == 0).agg(F.sum("n").alias("_tot"))
-    # greatest() skips nulls, so an empty corpus (null total) degrades to
-    # threshold 1 instead of a null-poisoned filter
-    threshold = F.greatest(
-        F.lit(1).cast("long"), F.ceil(F.col("_tot") * F.lit(float(min_share)))
-    )
-    grids = [
-        F.broadcast(
-            sketch.filter(F.col("row") == r).select(
-                F.col("bucket").alias(f"b{r}"), F.col("n").alias(f"n{r}")
-            )
-        )
-        for r in range(depth)
-    ]
-    h0 = portable_hash64(F.col(token_col), 0)
-    h1 = portable_hash64(F.col(token_col), 1)
+    import math
+
+    grid_rows = cms_sketch(tokens, token_col, depth, width).collect()
+    grid = [[0] * width for _ in range(depth)]
+    for rec in grid_rows:
+        grid[rec["row"]][rec["bucket"]] = rec["n"]
+    total = sum(grid[0])
+    threshold = max(1, math.ceil(total * float(min_share)))
     occ = tokens.select(
-        F.col(token_col),
+        F.col(token_col), *_bucket_cols(token_col, depth, width)
+    )
+    estimate = F.least(
         *[
-            F.pmod(h0 + F.lit(r) * h1, F.lit(width)).alias(f"b{r}")
+            F.element_at(
+                F.array(*[F.lit(n) for n in grid[r]]), F.col(f"b{r}") + 1
+            )
             for r in range(depth)
-        ],
+        ]
     )
-    joined = reduce(lambda df, r: df.join(grids[r], f"b{r}"), range(depth), occ)
-    estimate = F.least(*[F.col(f"n{r}") for r in range(depth)])
-    survivors = (
-        joined.crossJoin(F.broadcast(totals))
-        .filter(estimate >= threshold)
-        .select(token_col)
-    )
+    survivors = occ.filter(estimate >= F.lit(threshold)).select(token_col)
     return (
         survivors.groupBy(token_col)
         .agg(F.count(F.lit(1)).alias("n"))
-        # the exact re-check joins totals onto the already-aggregated
-        # (tiny) candidate frame — 1-row broadcast, not a corpus pass
-        .crossJoin(F.broadcast(totals))
-        .filter(F.col("n") >= threshold)
-        .drop("_tot")
+        .filter(F.col("n") >= F.lit(threshold))
         .orderBy(F.col("n").desc(), F.col(token_col))
         .limit(top_k)
     )

@@ -207,9 +207,20 @@ _FORCE = {
     # offsets aggregate pre-shuffle, quantile stats inlined
     "ngram_jaccard_dups": 10,
     "rfm_quintiles": 10,
+    # r12 plan change, values unchanged but re-stamp on the new plan: the
+    # CMS kernel moved md5→xxhash64 (hash-once, explode ints) and the
+    # estimate pass to a driver-collected grid of array literals (no
+    # joins) — a green row at/before r11 verified the md5/broadcast-join
+    # plan
+    "cms_heavy_hitter_tokens": 11,
 }
 
 _PRIORITY = [
+    # --- r12 window: the CMS plan rewrite + the new auto-family LSH
+    # query (rows-only; never verified, so it is in the needs-a-row pool
+    # by construction — listed here to pin it at the head) ---
+    "cms_heavy_hitter_tokens",
+    "lsh_dup_pairs_auto",
     # --- r11 window: the oracle upgrade + the two plan-changed queries
     # first, then the r10 tail continues below ---
     "churn_features_gold",

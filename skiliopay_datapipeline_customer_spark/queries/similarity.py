@@ -336,6 +336,27 @@ def lsh_dup_pairs_fast(spark, sf_dir):
     return S.lsh_dup_pairs(emb, threshold=_LSH_THRESHOLD).orderBy("id_a", "id_b")
 
 
+# The 100 TB configuration, exercised by the driver every rotation:
+# num_planes="auto" derives planes-per-band from corpus occupancy (~64
+# rows/bucket, candidate volume linear in N — the pinned 16/4 family above
+# measured superlinear at sf1, 11.2x wall for the last 10x step) and bands
+# from the threshold-anchored recall target. ROWS-ONLY BY CONTRACT: the
+# plane count is runtime-derived from a corpus count, so no static SQL can
+# embed the family's plane literals the way _lsh_dup_pairs_oracle() does —
+# the correctness anchor is instead the pytest superset law
+# (tests/test_similarity_extra.py::test_lsh_dup_pairs_auto_planes_scale_with_corpus:
+# derived bands extend the pinned family's plane offsets, so every
+# oracle-verified pinned pair must reappear here).
+
+
+@query("lsh_dup_pairs_auto")
+def lsh_dup_pairs_auto(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return S.lsh_dup_pairs(
+        emb, threshold=_LSH_THRESHOLD, num_planes="auto", bands=_LSH_BANDS
+    ).orderBy("id_a", "id_b")
+
+
 # Int8 scalar quantization of the embedding column (exploded layout, the
 # PQ/IVF-builder input): per-dim min/max over the WHOLE corpus, codes for a
 # bounded id range. Oracle replicates the two-pass shape as a plain join.

@@ -344,12 +344,25 @@ def test_lsh_dup_pairs_auto_planes_scale_with_corpus(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = emb.count()
-    # sf0.01 fixture: 500 rows -> ceil(log2(500/64)) = 3 -> clamped to 4
-    auto = S.lsh_dup_pairs(emb, threshold=0.8, num_planes="auto", bands=4)
+    # sf0.01 fixture: 500 rows -> ceil(log2(500/64)) = 3 -> clamped to 4;
+    # recall_anchor=0.9 reproduces the 16/4 design point exactly
+    auto = S.lsh_dup_pairs(
+        emb, threshold=0.8, num_planes="auto", bands=4, recall_anchor=0.9
+    )
     pinned = S.lsh_dup_pairs(emb, threshold=0.8, num_planes=16, bands=4)
     a = sorted(map(tuple, auto.collect()))
     p = sorted(map(tuple, pinned.collect()))
-    assert a == p, "auto at 500 rows must equal the pinned 16/4 family"
+    assert a == p, "auto at 500 rows/anchor 0.9 must equal the pinned 16/4 family"
+
+    # default anchor = the caller's threshold (r12): 0.8 needs MORE bands
+    # than the 0.9 design point (per-plane agreement 0.795 vs 0.856), and
+    # since derived bands extend the same plane-offset family, the
+    # verified pair set is a strict SUPERSET of the pinned one — the
+    # recall the threshold actually asked for
+    auto_t = S.lsh_dup_pairs(emb, threshold=0.8, num_planes="auto", bands=4)
+    at = sorted(map(tuple, auto_t.collect()))
+    assert set(p) <= set(at), "threshold-anchored auto must recall every pinned pair"
+    assert len(at) >= len(p)
 
     # larger corpus -> more planes: replicate the frame 16x with shifted ids
     big = emb.select(
