@@ -29,9 +29,16 @@ while keeping per-reference column binding. The common prefix
 ``hashLong(id, 42) → hashInt(42, ·)`` is shared across all salts; only
 the final ``hashInt(salt, ·)`` differs per uniform.
 
-This makes "fixed-width xxhash64" SQL-replayable in general; the STRING
-form (simhash_fingerprints' token hashes) would need XXH64's 32-byte
-stripe loop over variable-length UTF-8 — still honestly out of reach.
+This makes "fixed-width xxhash64" SQL-replayable in general. The STRING
+form is replayable too WHEN every input stays under 32 bytes (r12): a
+sub-32-byte input never enters XXH64's 4-accumulator stripe loop — it
+takes the fixed tail cascade (≤3 8-byte word rounds, one optional 4-byte
+round, ≤3 single-byte rounds, fmix), which is the same wrap-around limb
+arithmetic as the fixed-width path with length-conditional steps. See
+:func:`xxhash64_ascii_short_sql`; the fixture shingle vocabulary maxes at
+17 bytes (probed at sf0.001–sf1), so simhash_fingerprints' per-shingle
+hashes are exactly replayable. Inputs ≥32 bytes or non-ASCII yield NULL —
+a VISIBLE hash mismatch, never a silent wrong answer.
 """
 
 from __future__ import annotations
@@ -150,6 +157,71 @@ def xxhash64_id_chain_sql(
     for salt in salts:
         out[salt] = g.signed(g.hash_int(str(salt), h2))
     return g.cte_list, g.final, out
+
+
+def xxhash64_ascii_short_sql(
+    base_sql: str, str_col: str, seed: int = 42, prefix: str = "x"
+) -> tuple[str, str, str]:
+    """SQL computing Spark's ``xxhash64(s STRING)`` for ASCII strings
+    under 32 bytes — the XXH64 tail cascade (no stripe loop).
+
+    Spark's XxHash64 over a string field is XXH64.hashUnsafeBytes on the
+    UTF-8 bytes with seed 42: for len < 32 that is h = seed+P5+len, then
+    len//8 word rounds over little-endian 8-byte words, one 4-byte round
+    if ≥4 bytes remain, single-byte rounds for the rest, fmix. Every
+    step is the same mod-2^64 limb arithmetic as the fixed-width chain
+    above, made length-conditional with a CASE select per round (absent
+    rounds compute on zero-padded values, then the CASE keeps the prior
+    state). Bytes come from ``ascii(substr(s, i, 1))`` — exact for ASCII
+    (and 0 past the end), which is why inputs that are non-ASCII or
+    ≥32 bytes return NULL instead: a VISIBLE oracle mismatch, never a
+    silently wrong hash. Bit-parity vs ``F.xxhash64(col)`` is pinned in
+    tests/test_oracle_parity.py over every length 0..31 plus the corpus
+    shingle vocabulary.
+
+    Returns (cte definitions without WITH, final relation name, signed
+    hash column alias). ``base_sql`` must project ``str_col`` plus any
+    passthrough columns; ~60 chained CTE steps per call.
+    """
+    g = _XxhSqlGen(base_sql, prefix=prefix)
+    n = g.step(f"strlen({str_col})")
+    ok = g.step(
+        f"({n} < 32 AND NOT regexp_matches({str_col}, '[^\\x00-\\x7f]'))"
+    )
+    bl = g.step(
+        f"list_transform(range(1, 32), i -> "
+        f"CAST(ascii(substr({str_col}, CAST(i AS INT), 1)) AS BIGINT))"
+    )
+    nw = g.step(f"({n} // 8)")
+    has4 = g.step(f"(({n} - {nw} * 8) >= 4)")
+    to = g.step(f"({nw} * 8 + CASE WHEN {has4} THEN 4 ELSE 0 END)")
+    nt = g.step(f"({n} - {to})")
+    words = [
+        g.step(
+            " + ".join(
+                f"({bl}[{8 * k + j + 1}] << {8 * j})" for j in range(8)
+            )
+        )
+        for k in range(3)
+    ]
+    c4 = g.step(
+        " + ".join(f"({bl}[{nw} * 8 + {j + 1}] << {8 * j})" for j in range(4))
+    )
+    tails = [g.step(f"{bl}[{to} + {j + 1}]") for j in range(3)]
+    # h = (seed + P5) + length  — seed+P5 folded to one literal
+    h = g.add64(str((seed + 0x27D4EB2F165667C5) % (1 << 64)), n)
+    for k, w in enumerate(words):
+        k1 = g.mul64(g.rotl(g.mul64(w, _P2), 31), _P1)
+        out = g.add64(g.mul64(g.rotl(g.xor(h, k1), 27), _P1), _P4)
+        h = g.step(f"CASE WHEN {nw} > {k} THEN {out} ELSE {h} END")
+    out4 = g.add64(g.mul64(g.rotl(g.xor(h, g.mul64(c4, _P1)), 23), _P2), _P3)
+    h = g.step(f"CASE WHEN {has4} THEN {out4} ELSE {h} END")
+    for j, t in enumerate(tails):
+        outb = g.mul64(g.rotl(g.xor(h, g.mul64(t, _P5)), 11), _P1)
+        h = g.step(f"CASE WHEN {nt} > {j} THEN {outb} ELSE {h} END")
+    signed = g.signed(g.fmix(h))
+    final_col = g.step(f"CASE WHEN {ok} THEN {signed} ELSE NULL END")
+    return g.cte_list, g.final, final_col
 
 
 def spark_round_sql(expr: str, digits: int) -> str:

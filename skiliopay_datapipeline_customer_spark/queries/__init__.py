@@ -213,13 +213,20 @@ _FORCE = {
     # joins) — a green row at/before r11 verified the md5/broadcast-join
     # plan
     "cms_heavy_hitter_tokens": 11,
+    # r12 oracle upgrade: simhash_fingerprints moved rows-only → full
+    # hash check (xxhash64 over <32-byte ASCII strings replayed via the
+    # XXH64 tail cascade — fixtures_oracle.xxhash64_ascii_short_sql);
+    # prior greens verified only rows>0
+    "simhash_fingerprints": 11,
 }
 
 _PRIORITY = [
-    # --- r12 window: the CMS plan rewrite + the new auto-family LSH
-    # query (rows-only; never verified, so it is in the needs-a-row pool
-    # by construction — listed here to pin it at the head) ---
+    # --- r12 window: the CMS plan rewrite, the simhash oracle upgrade,
+    # and the new auto-family LSH query (rows-only; never verified, so it
+    # is in the needs-a-row pool by construction — listed to pin it at
+    # the head) ---
     "cms_heavy_hitter_tokens",
+    "simhash_fingerprints",
     "lsh_dup_pairs_auto",
     # --- r11 window: the oracle upgrade + the two plan-changed queries
     # first, then the r10 tail continues below ---

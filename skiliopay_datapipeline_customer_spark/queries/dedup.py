@@ -304,14 +304,60 @@ def ngram_novelty_scores(spark, sf_dir):
     )
 
 
-# SimHash 64-bit fingerprints — rows-only BY DESIGN (PLANS.md r7 note):
-# xxhash64 is not reproducible in DuckDB SQL, and converting this query to
-# md5 would duplicate the already-oracle-checked simhash_md5_fingerprints
-# below byte for byte. This row documents the faster production hash; the
-# md5 twin carries the hash check for the identical pipeline shape.
+# SimHash 64-bit fingerprints over the PRODUCTION xxhash64 hash — full
+# oracle check since r12. The r7 note called xxhash64-over-strings
+# SQL-irreproducible because of XXH64's 32-byte stripe loop; but inputs
+# under 32 bytes never enter that loop — they take the fixed tail cascade
+# (≤3 word rounds + optional 4-byte round + ≤3 byte rounds + fmix), which
+# fixtures_oracle.xxhash64_ascii_short_sql replays with the same mod-2^64
+# limb arithmetic that already replays the fixed-width churn hashes. The
+# 2-gram shingle vocabulary maxes at 17 bytes across sf0.001–sf1 (probed),
+# and any ≥32-byte/non-ASCII shingle raises error() in the oracle instead
+# of hashing wrong — loud, never silent.
 
 
-@query("simhash_fingerprints")
+def _simhash_xxh_oracle() -> str:
+    from ..functions.fixtures_oracle import xxhash64_ascii_short_sql
+
+    ctes, final, col = xxhash64_ascii_short_sql(
+        "SELECT doc_id, g FROM sh", "g"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks
+    ),
+    {ctes},
+    h AS (
+      SELECT doc_id,
+             CASE WHEN {col} IS NULL
+                  THEN error('xxhash64 oracle guard: shingle >=32 bytes or non-ASCII')
+                  ELSE {col} END AS hv
+      FROM {final}
+    ),
+    bit_sums AS (
+      SELECT doc_id, r.range AS i,
+             sum(CASE WHEN (hv >> CAST(r.range AS INT)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN range(63) r
+      GROUP BY doc_id, r.range
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0
+                    THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM bit_sums GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@query("simhash_fingerprints", oracle=_simhash_xxh_oracle())
 def simhash_fingerprints(spark, sf_dir):
     return D.simhash_signatures(table(spark, sf_dir, "documents")).orderBy("doc_id")
 

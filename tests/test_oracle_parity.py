@@ -104,6 +104,67 @@ def test_duckdb_xxhash64_replay_bit_parity(spark):
     assert not mismatches, f"{len(mismatches)} hash mismatches, first: {mismatches[:3]}"
 
 
+def test_duckdb_xxhash64_short_string_bit_parity(spark, sf_dir):
+    """The simhash_fingerprints oracle's foundation: DuckDB's replay of
+    Spark's xxhash64 over ASCII strings UNDER 32 BYTES (the XXH64 tail
+    cascade — no stripe loop) must be bit-identical. Covers every length
+    0..31 with varied bytes, the guard cases (32 bytes → NULL, non-ASCII
+    → NULL), and the actual corpus 2-gram shingle vocabulary at sf0.01."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from skiliopay_datapipeline_customer_spark.functions.fixtures_oracle import (
+        xxhash64_ascii_short_sql,
+    )
+    from skiliopay_datapipeline_customer_spark.operators.dedup import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    synth = [
+        "".join(chr(33 + (i * 7 + j * 13) % 94) for j in range(i))
+        for i in range(32)
+    ]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = [
+        r["g"]
+        for r in docs.select(tokens(F.col("text")).alias("_t"))
+        .select(F.explode(shingles_from_tokens(F.col("_t"), 2)).alias("g"))
+        .distinct()
+        .collect()
+    ]
+    cases = synth + corpus
+    sp = {
+        r["g"]: r["h"]
+        for r in spark.createDataFrame([(c,) for c in cases], "g string")
+        .select("g", F.xxhash64("g").alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (g VARCHAR); INSERT INTO t VALUES "
+        + ",".join("(?)" for _ in cases),
+        cases,
+    )
+    ctes, final, col = xxhash64_ascii_short_sql("SELECT g FROM t", "g")
+    du = dict(
+        con.execute(f"WITH {ctes} SELECT g, {col} FROM {final}").fetchall()
+    )
+    mismatches = [c for c in cases if sp[c] != du[c]]
+    assert not mismatches, f"{len(mismatches)} mismatches, first: {mismatches[:3]!r}"
+    # guard cases: >=32 bytes and non-ASCII must be NULL (loud in the
+    # oracle via error()), never a silently wrong hash
+    guards = ["x" * 32, "café", "a" * 100]
+    con.execute("DELETE FROM t")
+    con.execute(
+        "INSERT INTO t VALUES " + ",".join("(?)" for _ in guards), guards
+    )
+    nulls = con.execute(
+        f"WITH {ctes} SELECT {col} FROM {final}"
+    ).fetchall()
+    assert all(v[0] is None for v in nulls)
+
+
 def test_spark_round_sql_matches_f_round(spark):
     """spark_round_sql must replay F.round(double, d) exactly — including
     the shortest-repr HALF_UP semantics where DuckDB's native round and a
