@@ -47,12 +47,19 @@ from .dedup import portable_hash64, shingles_from_tokens, tokens
 # ---------------------------------------------------------------------------
 
 
-def bigram_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, gram, w1) — one row per bigram OCCURRENCE (multinomial counts).
+def bigram_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_w1: bool = True,
+) -> DataFrame:
+    """(id, gram[, w1]) — one row per bigram OCCURRENCE (multinomial counts).
 
     The bigram array is built inside one projection (zip_with over two
     shifted slices) — no posexplode self-join; docs with <2 tokens emit
-    nothing.
+    nothing. ``with_w1=False`` skips the per-occurrence head-word split —
+    callers that attach head counts at MODEL size (bigram_lm_doc_scores)
+    never need a per-occurrence regex.
     """
     t = F.col("_toks")
     n = F.size(t)
@@ -61,12 +68,14 @@ def bigram_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.slice(t, F.lit(2), n - F.lit(1)),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    return (
+    out = (
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
         .filter(n >= 2)
         .select(F.col(id_col), F.explode(grams).alias("gram"))
-        .withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
     )
+    if with_w1:
+        out = out.withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+    return out
 
 
 def bigram_lm_doc_scores(
@@ -74,22 +83,41 @@ def bigram_lm_doc_scores(
 ) -> DataFrame:
     """Per-doc mean add-one-smoothed bigram log-probability.
 
-    Plan: explode bigrams once (map-side), derive the two count frames
-    (shuffle on gram / on w1 — both partial-aggregated, both vocab²-sized
-    at most, i.e. model-sized next to the corpus), broadcast them back,
-    one per-doc aggregate. The corpus shuffles once, on ``id_col``.
-    Smoothing denominator V = full unigram vocab size (1-row broadcast).
+    Plan (r12 rewrite — the corpus explodes TWICE, everything else is
+    model-sized): one bigram explode feeds the gram-count shuffle (c2,
+    partial-aggregated, vocab²-bounded), and the head counts c1 derive
+    FROM c2 by re-aggregating its grams on their first word — counting
+    bigram occurrences by gram then summing per head ≡ counting by head
+    directly, so the r11 form's SECOND full corpus explode+shuffle bought
+    nothing. The unigram vocab size also derives from c2's gram words
+    (every token of a ≥2-token doc appears in some bigram) plus a
+    tokenize-only pass over the <2-token docs (no full-corpus explode;
+    empty/1-token texts still count their token toward V, matching the
+    oracle's unnest-all semantics). The single (gram, n2, n1) model frame
+    broadcasts back onto the occurrence frame — one join, no
+    per-occurrence w1 split — and the corpus shuffles once, on
+    ``id_col``. Counts stay exact: n1 sums integer-valued doubles well
+    under 2^53.
     """
-    big = bigram_rows(df, text_col, id_col)
+    big = bigram_rows(df, text_col, id_col, with_w1=False)
     c2 = big.groupBy("gram").agg(F.count(F.lit(1)).cast("double").alias("n2"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("n1"))
+    w1 = F.split(F.col("gram"), " ").getItem(0).alias("w1")
+    c1 = c2.select(w1, "n2").groupBy("w1").agg(F.sum("n2").alias("n1"))
+    model = (
+        c2.select("gram", w1, "n2").join(c1, "w1").select("gram", "n2", "n1")
+    )
+    gram_words = c2.select(F.explode(F.split(F.col("gram"), " ")).alias("tok"))
+    short_doc_words = (
+        df.select(tokens(F.col(text_col)).alias("_t"))
+        .filter(F.size("_t") < 2)
+        .select(F.explode("_t").alias("tok"))
+    )
     vocab = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        gram_words.unionByName(short_doc_words)
         .agg(F.countDistinct("tok").cast("double").alias("vsz"))
     )
     return (
-        big.join(F.broadcast(c2), "gram")
-        .join(F.broadcast(c1), "w1")
+        big.join(F.broadcast(model), "gram")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(

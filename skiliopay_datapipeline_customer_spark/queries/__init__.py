@@ -218,6 +218,14 @@ _FORCE = {
     # XXH64 tail cascade — fixtures_oracle.xxhash64_ascii_short_sql);
     # prior greens verified only rows>0
     "simhash_fingerprints": 11,
+    # r12 plan change, values unchanged: bigram_lm_doc_scores now derives
+    # head counts + vocab from the model-sized c2 frame (one corpus
+    # explode fewer, no per-occurrence w1 split) — re-stamp every query
+    # that rides it
+    "bigram_doc_logprob": 11,
+    "ccnet_quality_buckets": 11,
+    "curated_selection_pipeline": 11,
+    "ccnet_buckets_distributed": 11,
 }
 
 _PRIORITY = [
@@ -228,6 +236,10 @@ _PRIORITY = [
     "cms_heavy_hitter_tokens",
     "simhash_fingerprints",
     "lsh_dup_pairs_auto",
+    "bigram_doc_logprob",
+    "ccnet_quality_buckets",
+    "curated_selection_pipeline",
+    "ccnet_buckets_distributed",
     # --- r11 window: the oracle upgrade + the two plan-changed queries
     # first, then the r10 tail continues below ---
     "churn_features_gold",
