@@ -357,6 +357,14 @@ def ngram_jaccard_pairs(
     rank window, prefix self-join (rare grams only), verify join on the pair
     ids. Still the verification tier at 100 TB (run post-LSH); prefix
     filtering is what makes the full-corpus form survive medium scale.
+
+    NOTE — calling this function runs an EAGER Spark job (a count() that
+    materializes the persisted gram/prefix caches before the joins are
+    planned, so actual InMemoryRelation sizes — not Catalyst's
+    under-threshold estimates for lazy HOF frames — drive the
+    broadcast-vs-SMJ choice; the r11 sf1 sweep measured corpus-sized
+    broadcasts OOM without it). Callers that only want to BUILD a plan
+    still pay that job at call time.
     """
     from pyspark.sql import Window
 
