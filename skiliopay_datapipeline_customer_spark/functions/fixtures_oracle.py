@@ -141,6 +141,15 @@ class _XxhSqlGen:
             "AS BIGINT)"
         )
 
+    def unsigned(self, x: str) -> str:
+        """Reinterpret a signed BIGINT column as its raw 64-bit pattern
+        (UBIGINT) — what Spark's XxHash64 hashes when a LONG field feeds a
+        further hash (e.g. xxhash64(xxhash64(s), lit(j)))."""
+        return self.step(
+            f"CAST((CAST({x} AS HUGEINT) + CASE WHEN {x} < 0 "
+            f"THEN {_M64} ELSE 0::HUGEINT END) AS UBIGINT)"
+        )
+
 
 def xxhash64_id_chain_sql(
     base_sql: str, salts: list[int], seed: int = 42, id_col: str = "iu"
@@ -157,6 +166,11 @@ def xxhash64_id_chain_sql(
     for salt in salts:
         out[salt] = g.signed(g.hash_int(str(salt), h2))
     return g.cte_list, g.final, out
+
+
+# Public alias: downstream oracle builders (minhash banding) chain their
+# own hashLong/hashInt mixes onto the string-cascade output.
+XxhSqlGen = _XxhSqlGen
 
 
 def xxhash64_ascii_short_sql(

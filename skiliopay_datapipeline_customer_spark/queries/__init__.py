@@ -127,7 +127,6 @@ _FORCE = {
     # r07 oracle upgrades — the prior green rows verified the weaker
     # rows-only contract (and, for minhash_lsh_candidates, the old xxhash64
     # tier's output); re-verify under the full hash check
-    "minhash_lsh_candidates": 6,
     "order_trend_pandas": 6,
     # r07 fix: gmv/aov moved to exact decimal accumulation (the double sum
     # broke the 4-dp rounding grid at sf0.1) — prior green row verified the
@@ -174,7 +173,6 @@ _FORCE = {
     "token_pack_assignments": 9,
     "length_bucketed_batches": 9,
     "dsir_deciles_distributed": 9,
-    "ccnet_buckets_distributed": 9,
     "quality_top_quartile": 9,
     "corpus_build_pipeline": 9,
     "training_shard_assignments": 9,
@@ -183,9 +181,7 @@ _FORCE = {
     "churn_training_dataset": 9,
     # r10: cms threshold now derived from the sketch (one fewer corpus
     # pass); bloom prefilter extracted into _bloom_prefilter
-    "cms_heavy_hitter_tokens": 9,
     "bloom_decontaminated_corpus": 9,
-    "curated_selection_pipeline": 9,
     # r10 oracle upgrades: kmeans_cluster_profile and ivf_ann_topk moved
     # from rows-only (Spark ML k-means|| / float Lloyd refinement) to the
     # exact-integer Lloyd tier with full-replay oracles — prior rows-only
@@ -218,6 +214,11 @@ _FORCE = {
     # XXH64 tail cascade — fixtures_oracle.xxhash64_ascii_short_sql);
     # prior greens verified only rows>0
     "simhash_fingerprints": 11,
+    # r12 SEMANTICS change: the declared minhash_lsh_candidates moved from
+    # the md5 verification tier back to the xxhash64 PRODUCTION tier, now
+    # under a full oracle (the short-string tail cascade + hashLong/hashInt
+    # chain replays) — prior greens verified the md5-tier output
+    "minhash_lsh_candidates": 11,
     # r12 plan change, values unchanged: bigram_lm_doc_scores now derives
     # head counts + vocab from the model-sized c2 frame (one corpus
     # explode fewer, no per-occurrence w1 split) — re-stamp every query
@@ -235,6 +236,7 @@ _PRIORITY = [
     # the head) ---
     "cms_heavy_hitter_tokens",
     "simhash_fingerprints",
+    "minhash_lsh_candidates",
     "lsh_dup_pairs_auto",
     "bigram_doc_logprob",
     "ccnet_quality_buckets",
@@ -252,7 +254,6 @@ _PRIORITY = [
     "ivf_ann_topk",
     "ivf_pq_ann_topk",
     "dsir_deciles_distributed",
-    "ccnet_buckets_distributed",
     "ks_drift_report",
     "revenue_gini",
     "abc_customer_classes",
@@ -270,9 +271,7 @@ _PRIORITY = [
     "domain_capped_sample",
     "source_epoch_plan",
     "churn_training_dataset",
-    "cms_heavy_hitter_tokens",
     "bloom_decontaminated_corpus",
-    "curated_selection_pipeline",
     # --- pre-r10 order below ---
     # changed or newly-oracled this round — verify first
     "simhash_near_pairs",
@@ -444,7 +443,6 @@ _PRIORITY = [
     # r07 oracle upgrades — queued BEHIND the 61 never-driver-verified
     # oracle queries (the r4 verdict's simulated r07 window must stay
     # intact); they take r08 slots together with the 11-query remainder
-    "minhash_lsh_candidates",
     "lsh_dup_pairs_fast",
     "order_trend_pandas",
     "global_kpis",

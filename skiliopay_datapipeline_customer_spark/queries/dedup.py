@@ -114,10 +114,80 @@ def _md5_banding_ctes(num_hashes: int, bands: int) -> str:
     ok AS (SELECT band, bucket FROM sizes WHERE c <= 1000)"""
 
 
-def _minhash_lsh_oracle() -> str:
-    return (
-        _md5_banding_ctes(_LSH_HASHES, _LSH_MH_BANDS)
-        + """,
+# r12: the declared query moved BACK to the xxhash64 PRODUCTION tier —
+# with a full oracle this time. The r7 md5 tier existed because string
+# xxhash64 looked SQL-irreproducible; the short-string tail cascade
+# (fixtures_oracle.xxhash64_ascii_short_sql — 3-gram shingles max 26
+# bytes, probed sf0.001–sf1) replays F.xxhash64(sh), and the k seed
+# mixes xxhash64(_h0, lit(j)) plus the per-band bucket hashes over the
+# signature longs are the same fixed-width hashLong/hashInt chains the
+# churn fixture oracle already replays. So the 100 TB entry point (one
+# string hash + JVM long mixes per shingle instead of k md5 concats) now
+# sits under the full hash gate itself; the md5 tier stays as the
+# incremental-store kernel (incremental_dedup_candidates) and the
+# calibration view's signature source.
+
+
+def _minhash_xxh_oracle(num_hashes: int, bands: int) -> str:
+    from ..functions.fixtures_oracle import (
+        XxhSqlGen,
+        xxhash64_ascii_short_sql,
+    )
+
+    rpb = num_hashes // bands
+    # hash the DISTINCT shingle vocabulary once (engine hashes per
+    # occurrence, but min() over duplicates == min() over distinct)
+    sctes, sfinal, scol = xxhash64_ascii_short_sql(
+        "SELECT DISTINCT g FROM shd", "g", prefix="x"
+    )
+    g = XxhSqlGen(
+        f"SELECT g, CASE WHEN {scol} IS NULL THEN error("
+        "'xxhash64 oracle guard: shingle >=32 bytes or non-ASCII') "
+        f"ELSE {scol} END AS h0 FROM {sfinal}",
+        prefix="m",
+    )
+    pre = g.hash_long(g.unsigned("h0"), "42")
+    mh = {j: g.signed(g.hash_int(str(j), pre)) for j in range(num_hashes)}
+    mins = ",\n             ".join(
+        f"min(v.{mh[j]}) AS mh_{j}" for j in range(num_hashes)
+    )
+    # per-band bucket = xxhash64 over the band's signature longs (seed 42,
+    # chained hashLong over each long's raw 64-bit pattern)
+    gb = XxhSqlGen("SELECT * FROM sig", prefix="b")
+    band_cols = []
+    for b in range(bands):
+        h = "42"
+        for r in range(rpb):
+            h = gb.hash_long(gb.unsigned(f"mh_{b * rpb + r}"), h)
+        band_cols.append(gb.signed(h))
+    bands_sql = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {band_cols[b]} AS bucket FROM {gb.final}"
+        for b in range(bands)
+    )
+    return f"""
+    WITH shd AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(list_transform(
+                 range(0, len(t) - 2),
+                 i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS g
+        FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents)
+      )
+    ),
+    {sctes},
+    {g.cte_list},
+    sig AS (
+      SELECT d.doc_id,
+             {mins}
+      FROM shd d JOIN {g.final} v USING (g)
+      GROUP BY d.doc_id
+    ),
+    {gb.cte_list},
+    bb AS (
+      {bands_sql}
+    ),
+    sizes AS (SELECT band, bucket, count(*) AS c FROM bb GROUP BY band, bucket),
+    ok AS (SELECT band, bucket FROM sizes WHERE c <= 1000),
     cb AS (SELECT bb.* FROM bb JOIN ok USING (band, bucket)),
     p AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.band
@@ -127,12 +197,14 @@ def _minhash_lsh_oracle() -> str:
     SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_bands
     FROM p GROUP BY id_a, id_b ORDER BY id_a, id_b
     """
-    )
 
 
-@query("minhash_lsh_candidates", oracle=_minhash_lsh_oracle())
+@query(
+    "minhash_lsh_candidates",
+    oracle=_minhash_xxh_oracle(_LSH_HASHES, _LSH_MH_BANDS),
+)
 def minhash_lsh_candidates(spark, sf_dir):
-    return D.minhash_lsh_candidates_md5(
+    return D.minhash_lsh_candidates(
         table(spark, sf_dir, "documents"),
         num_hashes=_LSH_HASHES,
         bands=_LSH_MH_BANDS,
