@@ -38,7 +38,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import portable_hash64, shingles_from_tokens, tokens
+from .dedup import shingles_from_tokens, tokens
 
 # ---------------------------------------------------------------------------
 # Bigram language model — the smallest LM that distinguishes fluent word
@@ -234,7 +234,11 @@ def nb_score(
 # ---------------------------------------------------------------------------
 # DSIR importance weights — hashed n-gram bucket features; weight(doc) =
 # Σ_grams log(p_target(bucket) / p_raw(bucket)), add-one smoothed over B
-# buckets. Bucket hash = portable md5 kernel so the oracle reproduces it.
+# buckets. Bucket hash = production xxhash64 (r12 — was the md5 portable
+# kernel while string xxhash64 looked SQL-irreproducible; the short-string
+# tail cascade in functions/fixtures_oracle.py replays it now, so the
+# oracle reproduces the PRODUCTION hash and the map stage drops an
+# md5(concat) per gram occurrence on every pass).
 # ---------------------------------------------------------------------------
 
 
@@ -268,7 +272,7 @@ def dsir_weights(
             ).alias("gram"),
         )
         .withColumn(
-            "bucket", portable_hash64(F.col("gram"), 0) % F.lit(n_buckets)
+            "bucket", F.pmod(F.xxhash64(F.col("gram")), F.lit(n_buckets))
         )
     )
     hist = grams.groupBy("bucket").agg(

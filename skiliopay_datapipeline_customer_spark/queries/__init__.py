@@ -172,7 +172,6 @@ _FORCE = {
     "revenue_gini": 9,
     "token_pack_assignments": 9,
     "length_bucketed_batches": 9,
-    "dsir_deciles_distributed": 9,
     "quality_top_quartile": 9,
     "corpus_build_pipeline": 9,
     "training_shard_assignments": 9,
@@ -225,8 +224,15 @@ _FORCE = {
     # that rides it
     "bigram_doc_logprob": 11,
     "ccnet_quality_buckets": 11,
-    "curated_selection_pipeline": 11,
     "ccnet_buckets_distributed": 11,
+    # r12 SEMANTICS change: the DSIR bucket hash moved md5 → production
+    # xxhash64 (bucket values and therefore weights differ; oracles
+    # regenerated via the tail cascade) — prior greens verified md5
+    # buckets. curated_selection_pipeline rides BOTH this and the bigram
+    # plan change above.
+    "dsir_importance_weights": 11,
+    "dsir_deciles_distributed": 11,
+    "curated_selection_pipeline": 11,
 }
 
 _PRIORITY = [

@@ -2,10 +2,12 @@
 pipeline (quality LMs, quality classifiers, importance resampling,
 Bloom-prefiltered decontamination) over the documents table.
 
-All five queries are oracle-checked: model frames (bigram counts, NB
+All queries are oracle-checked: model frames (bigram counts, NB
 class-token tables, DSIR bucket histograms, the benchmark gram set) are
-deterministic DataFrame algebra, and every hash that must agree across
-engines uses the portable md5 kernel.
+deterministic DataFrame algebra. Cross-engine hashes: the DSIR bucket
+hash is the PRODUCTION xxhash64 (replayed in DuckDB via the short-string
+tail cascade since r12); the Bloom decontamination kernel stays on the
+portable md5 (its double-hash positions feed a driver-built bitset).
 """
 
 from __future__ import annotations
@@ -16,6 +18,34 @@ from pyspark.sql import functions as F
 from ..io import table
 from ..operators import selection as S
 from . import query
+
+
+def _dsir_bucket_ctes(n_buckets: int = 1024) -> str:
+    """Shared oracle snippet: a relation ``g`` with a ``gram`` column →
+    ``gb`` (doc_id, is_t, bucket) under the PRODUCTION xxhash64 bucket
+    hash, replayed per DISTINCT gram via the short-string tail cascade
+    (fixtures_oracle.xxhash64_ascii_short_sql; 2-gram shingles max 17
+    bytes, probed sf0.001–sf1 — ≥32-byte/non-ASCII grams error() loudly).
+    Spark side: F.pmod(F.xxhash64(gram), n_buckets); DuckDB pmod =
+    ((h % B) + B) % B."""
+    from ..functions.fixtures_oracle import xxhash64_ascii_short_sql
+
+    ctes, final, col = xxhash64_ascii_short_sql(
+        "SELECT DISTINCT gram FROM g", "gram", prefix="x"
+    )
+    b = n_buckets
+    return f"""
+    {ctes},
+    vh AS (
+      SELECT gram,
+             ((CASE WHEN {col} IS NULL THEN error(
+                 'xxhash64 oracle guard: gram >=32 bytes or non-ASCII')
+               ELSE {col} END % {b}) + {b}) % {b} AS bucket
+      FROM {final}
+    ),
+    gb AS (
+      SELECT g.doc_id, g.is_t, vh.bucket FROM g JOIN vh USING (gram)
+    )"""
 
 # ---------------------------------------------------------------------------
 # Bigram-LM doc scoring — the CCNet perplexity proxy one order up from
@@ -238,12 +268,7 @@ def nb_source_classifier(spark, sf_dir):
                                    i -> t[i+1] || ' ' || t[i+2])) AS gram
       FROM toks
     ),
-    gb AS (
-      SELECT doc_id, is_t,
-             CAST('0x' || substr(md5(gram || '#0'), 1, 15) AS BIGINT) % 1024
-               AS bucket
-      FROM g
-    ),
+    """ + _dsir_bucket_ctes() + """,
     hist AS (
       SELECT bucket,
              CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE) AS n_t,
@@ -393,12 +418,7 @@ def bloom_decontaminated_corpus(spark, sf_dir):
                                    i -> t.t[i+1] || ' ' || t.t[i+2])) AS gram
       FROM keep k JOIN toks t USING (doc_id)
     ),
-    gb AS (
-      SELECT doc_id, is_t,
-             CAST('0x' || substr(md5(gram || '#0'), 1, 15) AS BIGINT) % 1024
-               AS bucket
-      FROM g
-    ),
+    """ + _dsir_bucket_ctes() + """,
     hist AS (
       SELECT bucket,
              CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE) AS n_t,
@@ -647,12 +667,7 @@ def nb_classifier_report(spark, sf_dir):
                                    i -> t[i+1] || ' ' || t[i+2])) AS gram
       FROM toks
     ),
-    gb AS (
-      SELECT doc_id, is_t,
-             CAST('0x' || substr(md5(gram || '#0'), 1, 15) AS BIGINT) % 1024
-               AS bucket
-      FROM g
-    ),
+    """ + _dsir_bucket_ctes() + """,
     hist AS (
       SELECT bucket,
              CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE) AS n_t,
