@@ -290,3 +290,29 @@ def test_bench_query_lists_resolve_in_registry():
     names = set(all_queries())
     assert set(HEADLINE) <= names, sorted(set(HEADLINE) - names)
     assert set(SCALING_QUERIES) <= names, sorted(set(SCALING_QUERIES) - names)
+
+
+def test_bench_resolve_sf_dir_normalizes_float_tokens(tmp_path, monkeypatch):
+    """gen_sf.py names fixture dirs with %g (sf1, not sf1.0) — a
+    ``--sfs 1.0`` invocation must still find them, while literal driver
+    names (sf0.001) keep matching verbatim."""
+    import bench
+
+    (tmp_path / "sf1").mkdir()
+    (tmp_path / "sf0.001").mkdir()
+    monkeypatch.setattr(bench, "_TESTDATA_ROOT", str(tmp_path))
+    monkeypatch.setattr(bench, "_LOCAL_TESTDATA", str(tmp_path / "none"))
+    assert bench._resolve_sf_dir("1.0").endswith("sf1")
+    assert bench._resolve_sf_dir("1").endswith("sf1")
+    assert bench._resolve_sf_dir("0.001").endswith("sf0.001")
+    with pytest.raises(SystemExit, match="no fixture"):
+        bench._resolve_sf_dir("7")
+
+
+def test_bench_scaling_rejects_single_sf_list():
+    """scaling() computes a last-step ratio — a single-SF list must exit
+    with a clear message instead of an IndexError deep in the loop."""
+    import bench
+
+    with pytest.raises(SystemExit, match="scaling needs >= 2 SFs"):
+        bench.scaling(sfs=["0.1"])
