@@ -445,9 +445,15 @@ def scaling(sfs: list[str] | None = None) -> None:
             sf_key = os.path.basename(sf_d).replace("sf", "")
             if i == 0:
                 force(fn(spark, sf_d))  # absorb codegen/JIT, untimed
+                hygiene(spark)
             t0 = time.perf_counter()
             force(fn(spark, sf_d))
             rec[sf_key] = round(time.perf_counter() - t0, 3)
+            # same inter-query hygiene as main(): 39 heavy executions in
+            # one JVM otherwise accumulate cache/broadcast debt that
+            # inflates the LATER SFs' timings (measured at sf1 — see
+            # hygiene())
+            hygiene(spark)
         rec["t_ratio_last_step"] = (
             round(rec[last] / rec[prev], 3) if rec[prev] else None
         )
