@@ -251,6 +251,11 @@ def main(only: list[str] | None = None, record: str | None = None) -> None:
             except Exception:  # noqa: BLE001 — warmup must never fail a run
                 pass
         hygiene(spark)
+    # probe BEFORE and AFTER the timed passes: host contention is bursty
+    # on the tens-of-seconds scale (observed: warm pass 61 s in a run
+    # whose end-of-run probe was clean), so a single endpoint sample can
+    # miss the burst that inflated the middle. Two samples bound it.
+    probe_before = machine_probe(spark)
     for name in headline:
         fn = queries[name]
         t0 = time.perf_counter()
@@ -287,7 +292,7 @@ def main(only: list[str] | None = None, record: str | None = None) -> None:
         "warm_total": round(sum(warm.values()), 3),
         "queries_warm": warm,
         "sf": sf_val,
-        "machine": machine_probe(spark),
+        "machine": {"before": probe_before, "after": machine_probe(spark)},
         "deltas": _deltas(timings, sf=sf_val),
     }
     if subset:
