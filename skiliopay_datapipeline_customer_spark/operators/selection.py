@@ -79,27 +79,41 @@ def bigram_rows(
 
 
 def bigram_lm_doc_scores(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", grams: DataFrame | None = None
 ) -> DataFrame:
     """Per-doc mean add-one-smoothed bigram log-probability.
 
-    Plan (r12 rewrite — the corpus explodes TWICE, everything else is
-    model-sized): one bigram explode feeds the gram-count shuffle (c2,
-    partial-aggregated, vocab²-bounded), and the head counts c1 derive
-    FROM c2 by re-aggregating its grams on their first word — counting
-    bigram occurrences by gram then summing per head ≡ counting by head
-    directly, so the r11 form's SECOND full corpus explode+shuffle bought
-    nothing. The unigram vocab size also derives from c2's gram words
-    (every token of a ≥2-token doc appears in some bigram) plus a
-    tokenize-only pass over the <2-token docs (no full-corpus explode;
-    empty/1-token texts still count their token toward V, matching the
-    oracle's unnest-all semantics). The single (gram, n2, n1) model frame
-    broadcasts back onto the occurrence frame — one join, no
-    per-occurrence w1 split — and the corpus shuffles once, on
-    ``id_col``. Counts stay exact: n1 sums integer-valued doubles well
-    under 2^53.
+    Plan (r12 rewrite — the corpus explodes ONCE, everything else is
+    model-sized): one PERSISTED bigram explode feeds both the gram-count
+    shuffle (c2, partial-aggregated, vocab²-bounded) and the scoring
+    join — without the persist the two subtrees each re-ran the
+    tokenize+zip_with+explode kernel (interpreted higher-order
+    functions, the dominant map cost) inside the same action. The head
+    counts c1 derive FROM c2 by re-aggregating its grams on their first
+    word — counting bigram occurrences by gram then summing per head ≡
+    counting by head directly, so the r11 form's SECOND full corpus
+    explode+shuffle bought nothing. The unigram vocab size also derives
+    from c2's gram words (every token of a ≥2-token doc appears in some
+    bigram) plus a tokenize-only pass over the <2-token docs (no
+    full-corpus explode; empty/1-token texts still count their token
+    toward V, matching the oracle's unnest-all semantics). The single
+    (gram, n2, n1) model frame broadcasts back onto the occurrence
+    frame — one join, no per-occurrence w1 split — and the corpus
+    shuffles once, on ``id_col``. Counts stay exact: n1 sums
+    integer-valued doubles well under 2^53.
+
+    ``grams``: an optional pre-built (id_col, gram) occurrence frame
+    (``bigram_rows(..., with_w1=False)`` shape) — pipeline capstones
+    that already hold the exploded frame pass it here so the corpus
+    tokenizes once across stages. When given, the caller owns its
+    lifecycle (persist/release); when omitted this function persists
+    its own and releases it via ``materialize`` (the result is one row
+    per scored doc — the same class of frame the dedup pipelines pin).
+    NOTE: with ``grams=None`` calling this runs the scoring plan EAGERLY
+    (localCheckpoint) at call time, like ``ngram_jaccard_pairs``.
     """
-    big = bigram_rows(df, text_col, id_col, with_w1=False)
+    own = grams is None
+    big = bigram_rows(df, text_col, id_col, with_w1=False).persist() if own else grams
     c2 = big.groupBy("gram").agg(F.count(F.lit(1)).cast("double").alias("n2"))
     w1 = F.split(F.col("gram"), " ").getItem(0).alias("w1")
     c1 = c2.select(w1, "n2").groupBy("w1").agg(F.sum("n2").alias("n1"))
@@ -116,7 +130,7 @@ def bigram_lm_doc_scores(
         gram_words.unionByName(short_doc_words)
         .agg(F.countDistinct("tok").cast("double").alias("vsz"))
     )
-    return (
+    scores = (
         big.join(F.broadcast(model), "gram")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
@@ -128,6 +142,11 @@ def bigram_lm_doc_scores(
             ).alias("mean_bigram_logprob"),
         )
     )
+    if own:
+        from .dedup import materialize
+
+        return materialize(scores, big)
+    return scores
 
 
 # ---------------------------------------------------------------------------
@@ -249,6 +268,7 @@ def dsir_weights(
     shingle_n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_grams, dsir_weight) — importance of each doc toward the
     target slice defined by ``target_pred`` (a boolean Column over df).
@@ -257,24 +277,36 @@ def dsir_weights(
     map-side explode + hash and one per-doc aggregate. At 100 TB the
     target histogram would train on a sample — the math only needs
     bucket FREQUENCIES, so a uniform sample is unbiased.
+
+    The bucketed occurrence frame feeds BOTH the histogram shuffle and
+    the per-doc weight join — it is persisted so the interpreted
+    tokenize+shingle explode runs once per action, and released via
+    ``materialize`` (result is one row per doc), which makes the call
+    EAGER like ``ngram_jaccard_pairs``. ``grams``: an optional
+    pre-built (id_col, _is_target, gram) occurrence frame — capstones
+    that already hold an exploded 2-gram frame (``bigram_rows`` emits
+    the identical space-joined grams) pass it here so their corpus
+    tokenizes once across pipeline stages; ``df``/``target_pred`` are
+    unused then (pass None).
     """
-    grams = (
-        df.select(
-            F.col(id_col),
-            tokens(F.col(text_col)).alias("_toks"),
-            target_pred.alias("_is_target"),
+    if grams is None:
+        grams = (
+            df.select(
+                F.col(id_col),
+                tokens(F.col(text_col)).alias("_toks"),
+                target_pred.alias("_is_target"),
+            )
+            .select(
+                F.col(id_col),
+                F.col("_is_target"),
+                F.explode(
+                    shingles_from_tokens(F.col("_toks"), shingle_n)
+                ).alias("gram"),
+            )
         )
-        .select(
-            F.col(id_col),
-            F.col("_is_target"),
-            F.explode(
-                shingles_from_tokens(F.col("_toks"), shingle_n)
-            ).alias("gram"),
-        )
-        .withColumn(
-            "bucket", F.pmod(F.xxhash64(F.col("gram")), F.lit(n_buckets))
-        )
-    )
+    grams = grams.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("gram")), F.lit(n_buckets))
+    ).persist()
     hist = grams.groupBy("bucket").agg(
         F.sum(F.when(F.col("_is_target"), 1).otherwise(0))
         .cast("double")
@@ -295,7 +327,9 @@ def dsir_weights(
             ).alias("log_ratio"),
         )
     )
-    return (
+    from .dedup import materialize
+
+    weights = (
         grams.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
         .agg(
@@ -303,6 +337,7 @@ def dsir_weights(
             F.sum("log_ratio").alias("dsir_weight"),
         )
     )
+    return materialize(weights, grams)
 
 
 # ---------------------------------------------------------------------------

@@ -82,6 +82,7 @@ def lsh_bucket_id(
     num_planes: int = 8,
     plane_offset: int = 0,
     planes: list[list[float]] | None = None,
+    already_double: bool = False,
 ):
     """Random-hyperplane LSH bucket: sign bits of dot(v, h_p) packed to int.
 
@@ -92,8 +93,16 @@ def lsh_bucket_id(
     dimension-agnostic, but higher-order functions evaluate interpreted, so
     every row pays hash + array construction per plane (~10× slower;
     measured on the 64-dim corpus).
+
+    ``already_double=True`` skips the float→double transform: pass it when
+    ``vec_col`` is a PROJECTED array<double> attribute — every plane's dot
+    references the vector, so an inline cast re-evaluates (one interpreted
+    array transform + allocation per plane per row) while a projected
+    attribute casts once per row (CollapseProject keeps the boundary: a
+    lambda transform referenced many times is not collapse-cheap). The
+    cast is exact, so the fold sees bit-identical doubles either way.
     """
-    v = as_double(vec_col)
+    v = vec_col if already_double else as_double(vec_col)
     bits = []
     if planes is not None:
         for local_bit, plane in enumerate(planes[:num_planes]):
@@ -332,6 +341,7 @@ def lsh_dup_pairs(
     max_bucket_size: int = 10_000,
     kernel: str = "numpy",
     recall_anchor: float | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Distributed tiered near-dup pairs: banded hyperplane-LSH candidate
     generation + exact cosine verify. The corpus-scale public API — unlike
@@ -401,7 +411,11 @@ def lsh_dup_pairs(
             f"num_planes ({num_planes}) must be divisible by bands ({bands})"
         )
     ppb = num_planes // bands
-    dim = _probe_dim(df, vec_col)
+    # the declared queries pass `dim` (their oracle SQL embeds dim-sized
+    # plane literals, so the fixture dim is pinned anyway) — skips one
+    # metadata .first() job per call; default None probes one row
+    if dim is None:
+        dim = _probe_dim(df, vec_col)
     from ..io import fan_out
 
     # the plane-projection kernel is the expensive map stage; a one-row-group
@@ -411,13 +425,18 @@ def lsh_dup_pairs(
         make_planes(ppb, dim, plane_offset=band * ppb) for band in range(bands)
     ]
     if kernel == "expr":
+        # hoist the float→double cast to a projected attribute: every
+        # band×plane dot references the vector, and an inline as_double
+        # re-ran the interpreted array transform num_planes× per row
+        # (see lsh_bucket_id — exact cast, bit-identical fold)
+        bd = base.select(id_col, as_double(F.col(vec_col)).alias("_vd"))
         bucket_cols = [
-            lsh_bucket_id(F.col(vec_col), ppb, planes=planes_by_band[band]).cast(
-                "long"
-            )
+            lsh_bucket_id(
+                F.col("_vd"), ppb, planes=planes_by_band[band], already_double=True
+            ).cast("long")
             for band in range(bands)
         ]
-        bb = base.select(
+        bb = bd.select(
             id_col, F.posexplode(F.array(*bucket_cols)).alias("band", "bucket")
         )
     else:

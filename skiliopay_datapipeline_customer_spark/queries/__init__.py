@@ -67,7 +67,6 @@ _FORCE = {
     "rfm_quintiles": 3,
     "global_row_number": 3,
     "embedding_int8_codes": 3,
-    "lsh_dup_pairs": 3,
     "simhash_near_pairs": 3,
     # new in round 4 — verify in their landing round
     "corpus_mixture_sample": 3,
@@ -233,9 +232,26 @@ _FORCE = {
     "dsir_importance_weights": 11,
     "dsir_deciles_distributed": 11,
     "curated_selection_pipeline": 11,
+    # r12 optimization-session plan changes, values unchanged but
+    # re-stamp on the new plans: the LSH expr tier hoists the
+    # float→double cast to a projected attribute (one interpreted array
+    # transform per row instead of num_planes) and the declared LSH
+    # queries pass dim=64 explicitly (no metadata probe job);
+    # bigram_lm_doc_scores/dsir_weights persist their exploded gram
+    # frame (tokenize-once across both consuming subtrees); the curated
+    # capstone shares ONE bigram frame across its LM and DSIR stages.
+    # dsir_*/curated/bigram_*/ccnet_* are already stamped 11 above,
+    # which keeps them in the r12 needs-a-row pool — only the LSH tier
+    # queries need new stamps.
+    "lsh_dup_pairs": 11,
+    "lsh_dup_pairs_fast": 11,
 }
 
 _PRIORITY = [
+    # --- r12 optimization-session plan changes (cast hoist / explicit
+    # dim on the LSH tiers; see the _FORCE block) — re-stamp first ---
+    "lsh_dup_pairs",
+    "lsh_dup_pairs_fast",
     # --- r12 window: the CMS plan rewrite, the simhash oracle upgrade,
     # and the new auto-family LSH query (rows-only; never verified, so it
     # is in the needs-a-row pool by construction — listed to pin it at
@@ -283,7 +299,6 @@ _PRIORITY = [
     "simhash_near_pairs",
     "lag_time_delta",
     "embedding_int8_codes",
-    "lsh_dup_pairs",
     # flagship + the join/relational suite
     "flagship_revenue_by_nation",
     "point_lookup",
@@ -449,7 +464,6 @@ _PRIORITY = [
     # r07 oracle upgrades — queued BEHIND the 61 never-driver-verified
     # oracle queries (the r4 verdict's simulated r07 window must stay
     # intact); they take r08 slots together with the 11-query remainder
-    "lsh_dup_pairs_fast",
     "order_trend_pandas",
     "global_kpis",
     # moved here from the flagship/joins block when its money sums switched

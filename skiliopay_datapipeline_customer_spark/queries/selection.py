@@ -449,31 +449,49 @@ def bloom_decontaminated_corpus(spark, sf_dir):
     """,
 )
 def curated_selection_pipeline(spark, sf_dir):
+    from ..operators.dedup import materialize
+
     docs = table(spark, sf_dir, "documents")
-    scores = S.bigram_lm_doc_scores(docs).join(
+    # ONE persisted bigram-occurrence frame feeds BOTH pipeline stages:
+    # the LM scoring pass consumes it whole, and the DSIR stage consumes
+    # it filtered to the quality survivors (its 2-gram shingles are the
+    # identical space-joined bigrams — shingles_from_tokens(n=2) ≡
+    # bigram_rows — so re-tokenizing the survivors bought nothing). The
+    # r11 form ran the interpreted tokenize+explode kernel ~5× per
+    # action (LM model + LM scoring + DSIR hist + DSIR join + the
+    # survivor re-join re-deriving the LM scores); now the corpus text
+    # is tokenized exactly once. keep (doc-level) is persisted for the
+    # same reason: it feeds the DSIR gram filter AND the final join, and
+    # recomputing it replays the whole LM stage.
+    big = S.bigram_rows(docs, with_w1=False).persist()
+    scores = S.bigram_lm_doc_scores(docs, grams=big).join(
         docs.select("doc_id", "lang"), "doc_id"
     )
-    keep = S.quality_buckets(
-        scores, "mean_bigram_logprob", "lang", n_buckets=3, round_digits=4
-    ).filter(F.col("quality_bucket") != "tail")
-    survivors = docs.join(
-        keep.select("doc_id", "quality_bucket"), "doc_id"
+    keep = (
+        S.quality_buckets(
+            scores, "mean_bigram_logprob", "lang", n_buckets=3, round_digits=4
+        )
+        .filter(F.col("quality_bucket") != "tail")
+        .persist()
     )
+    dsir_grams = big.join(
+        keep.select("doc_id", (F.col("lang") == "en").alias("_is_target")),
+        "doc_id",
+    ).select("doc_id", "_is_target", "gram")
     weights = S.dsir_weights(
-        survivors, target_pred=F.col("lang") == "en", n_buckets=1024, shingle_n=2
+        None, None, n_buckets=1024, shingle_n=2, grams=dsir_grams
     )
     ranked = weights.select(
         "doc_id", F.round("dsir_weight", 4).alias("dsir_weight")
-    ).join(
-        survivors.select("doc_id", "lang", "quality_bucket"), "doc_id"
-    )
+    ).join(keep.select("doc_id", "lang", "quality_bucket"), "doc_id")
     w = Window.orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
-    return (
+    result = (
         ranked.withColumn("decile", F.ntile(10).over(w).cast("int"))
         .filter(F.col("decile") <= 5)
         .select("doc_id", "lang", "quality_bucket", "dsir_weight", "decile")
         .orderBy("doc_id")
     )
+    return materialize(result, big, keep)
 
 
 # ---------------------------------------------------------------------------

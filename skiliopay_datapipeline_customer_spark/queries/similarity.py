@@ -306,12 +306,15 @@ def _lsh_dup_pairs_oracle() -> str:
 @query("lsh_dup_pairs", oracle=_lsh_dup_pairs_oracle())
 def lsh_dup_pairs(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
+    # dim passed explicitly: the oracle embeds 64-dim plane literals, so
+    # the fixture dim is pinned — skips the one-row metadata probe job
     return S.lsh_dup_pairs(
         emb,
         threshold=_LSH_THRESHOLD,
         num_planes=_LSH_PLANES,
         bands=_LSH_BANDS,
         kernel="expr",
+        dim=_LSH_DIM,
     ).orderBy("id_a", "id_b")
 
 
@@ -333,7 +336,9 @@ def lsh_dup_pairs(spark, sf_dir):
 @query("lsh_dup_pairs_fast", oracle=_lsh_dup_pairs_oracle())
 def lsh_dup_pairs_fast(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
-    return S.lsh_dup_pairs(emb, threshold=_LSH_THRESHOLD).orderBy("id_a", "id_b")
+    return S.lsh_dup_pairs(
+        emb, threshold=_LSH_THRESHOLD, dim=_LSH_DIM
+    ).orderBy("id_a", "id_b")
 
 
 # The 100 TB configuration, exercised by the driver every rotation:
@@ -353,7 +358,11 @@ def lsh_dup_pairs_fast(spark, sf_dir):
 def lsh_dup_pairs_auto(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     return S.lsh_dup_pairs(
-        emb, threshold=_LSH_THRESHOLD, num_planes="auto", bands=_LSH_BANDS
+        emb,
+        threshold=_LSH_THRESHOLD,
+        num_planes="auto",
+        bands=_LSH_BANDS,
+        dim=_LSH_DIM,
     ).orderBy("id_a", "id_b")
 
 
