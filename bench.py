@@ -356,6 +356,28 @@ def _fit_line(out: dict, record: str | None = None) -> str:
             # degrade it to a count rather than lose the whole line
             slim["subset"] = f"{len(out['subset'])} queries (see queries map)"
             line = json.dumps(slim)
+        if len(line) > _DRIVER_TAIL_BUDGET:
+            # a contended driver session can push MOST ratios out of the
+            # 0.8–1.25 band (measured r12: 19/26 outliers, line 1995 chars
+            # — overflow arrives exactly when the session is contended):
+            # shed the least-extreme outliers until the line fits; the
+            # persisted full record keeps every ratio
+            ratios = dict(slim["deltas"].get("ratios", {}))
+            for name in sorted(ratios, key=lambda n: abs(ratios[n] - 1.0)):
+                if len(line) <= _DRIVER_TAIL_BUDGET:
+                    break
+                ratios.pop(name)
+                slim["deltas"]["ratios"] = ratios
+                slim["deltas"]["ratios_note"] = (
+                    f"worst {len(ratios)} outliers only; {full_ref}"
+                )
+                line = json.dumps(slim)
+        if len(line) > _DRIVER_TAIL_BUDGET:
+            # last resort: the flagged name list itself (bounded only by
+            # the headline-set size) degrades to a count
+            flagged = slim["deltas"].get("flagged", [])
+            slim["deltas"]["flagged"] = f"{len(flagged)} queries; {full_ref}"
+            line = json.dumps(slim)
     return line
 
 

@@ -378,6 +378,83 @@ class BroadcastBloom:
         )
 
 
+def _splitmix64(h: "np.ndarray") -> "np.ndarray":
+    """splitmix64 finalizer over a uint64 array — derives the second
+    Kirsch–Mitzenmacher hash from the first (Steele et al. 2014, public
+    constants). Vectorized; wraps mod 2^64 like every uint64 op here.
+
+    KEEP IN SYNC with the self-contained copy inside the
+    ``bloom_decontaminate`` probe udf (foreign-cwd pickling constraint —
+    executor closures cannot reference this module); drift is caught by
+    ``tests/test_selection.py::test_bloom_decontaminate_matches_exact_anti_join``
+    (a drifted probe drops true members, changing the survivor set).
+    """
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+def hash_bloom_build(
+    hashes: "np.ndarray", bits_per_item: int = 16, k: int = 7
+) -> tuple["np.ndarray", int, int]:
+    """Bloom bitset over PRE-HASHED int64 keys (Spark ``xxhash64``
+    values) — the vectorized sibling of :class:`BroadcastBloom`.
+
+    The string tier hashes every item with md5 IN PYTHON on both build
+    and probe sides (~1 µs/item, the dominant map cost of a corpus-scale
+    prefilter). This tier moves the string hash into the JVM — the
+    caller projects ``xxhash64(col)`` (whole-stage codegen) and only the
+    int64 crosses into numpy — and derives the k probe positions from
+    that one hash via splitmix64 double hashing: h_i = h1 + i*h2 mod m,
+    m a power of two. Returns ``(bits, mask, k)`` as plain broadcastable
+    state. Same sizing defaults as BroadcastBloom (16 bits/item, k=7,
+    theoretical fp ~1e-3); false positives only add rows to the exact
+    verify, false negatives are impossible because build and probe hash
+    the SAME Spark-computed value with the SAME arithmetic.
+    """
+    m = 1 << max(8, int(len(hashes) * bits_per_item).bit_length())
+    mask = np.uint64(m - 1)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    h1 = hashes.astype(np.int64).view(np.uint64)
+    h2 = _splitmix64(h1.copy()) | np.uint64(1)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(
+            bits,
+            (pos >> np.uint64(3)).astype(np.int64),
+            (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
+        )
+    return bits, int(mask), k
+
+
+def hash_bloom_might_contain(
+    hashes, bits: "np.ndarray", mask: int, k: int
+) -> "np.ndarray":
+    """Vectorized membership probe over pre-hashed int64 keys — the
+    driver-importable twin of the self-contained closure inside
+    :func:`bloom_decontaminate` (which must duplicate this arithmetic
+    because executors cannot import this module under a foreign driver
+    cwd). Keep the two in sync; the end-to-end
+    ``test_bloom_decontaminate_matches_exact_anti_join`` fails on any
+    drift (a drifted probe drops true members, changing the survivor
+    set), and ``test_hash_bloom_no_false_negatives`` pins this helper
+    against :func:`hash_bloom_build`.
+    """
+    hv = np.ascontiguousarray(np.asarray(hashes, dtype=np.int64)).view(
+        np.uint64
+    )
+    m = np.uint64(mask)
+    h2 = _splitmix64(hv.copy()) | np.uint64(1)
+    ok = np.ones(hv.shape, dtype=bool)
+    for i in range(k):
+        pos = (hv + np.uint64(i) * h2) & m
+        ok &= (
+            bits[(pos >> np.uint64(3)).astype(np.int64)]
+            >> (pos & np.uint64(7)).astype(np.uint8)
+        ) & np.uint8(1) != 0
+    return ok
+
+
 def bloom_decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -389,12 +466,20 @@ def bloom_decontaminate(
     """Drop every doc sharing an n-gram with the benchmark — exact result,
     Bloom-prefiltered scan.
 
-    1. benchmark grams distinct-collect (capped — benchmarks are
-       model-sized next to a corpus; raises past the cap instead of
-       OOMing the driver) → Bloom bitset → ``sc.broadcast``.
-    2. corpus grams test the bitset in an Arrow-batched ``mapInPandas``
-       (the sanctioned Python tier) — false positives possible, false
-       negatives impossible.
+    1. benchmark gram ``xxhash64`` values distinct-collect (capped —
+       benchmarks are model-sized next to a corpus; raises past the cap
+       instead of OOMing the driver) → Bloom bitset
+       (:func:`hash_bloom_build`) → ``sc.broadcast``.
+    2. corpus grams test the bitset through a BOOLEAN ``pandas_udf``
+       over ``xxhash64(gram)`` — the string hash runs in whole-stage
+       codegen, only the int64 column crosses the Arrow boundary, and
+       the k bit probes are vectorized numpy (r12: previously an
+       Arrow-batched ``mapInPandas`` that md5-hashed every gram
+       occurrence in a per-row Python loop — the guide §4 boundary cost
+       this rewrite removes; the string tier survives as
+       ``BroadcastBloom``/``_bloom_prefilter`` with its own tests).
+       False positives possible, false negatives impossible: build and
+       probe consume the SAME Spark-computed hash.
     3. surviving candidates exact-verify against the (broadcast)
        benchmark gram frame; hits anti-join the corpus.
 
@@ -415,15 +500,54 @@ def bloom_decontaminate(
         )
 
     bench_grams = grams_of(benchmark).select("gram").distinct()
-    capped = bench_grams.limit(max_benchmark_grams + 1).collect()
+    capped = (
+        bench_grams.select(F.xxhash64("gram").alias("h"))
+        .limit(max_benchmark_grams + 1)
+        .collect()
+    )
     if len(capped) > max_benchmark_grams:
         raise ValueError(
             f"benchmark gram set exceeds max_benchmark_grams="
             f"{max_benchmark_grams}; sample the benchmark or raise the cap"
         )
-    bloom = BroadcastBloom([r["gram"] for r in capped])
+    bits, mask, k = hash_bloom_build(
+        np.array([r["h"] for r in capped], dtype=np.int64)
+    )
+    bc = docs.sparkSession.sparkContext.broadcast((bits, mask, k))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _might_contain_hashed(h):
+        # self-contained (cloudpickle ships it by value — the executor
+        # cannot import this package under a foreign driver cwd), so the
+        # splitmix64 arithmetic is DUPLICATED from _splitmix64/
+        # hash_bloom_build; a drifted copy drops true members, so
+        # test_bloom_decontaminate_matches_exact_anti_join fails
+        import numpy as np
+        import pandas as pd
+
+        bbits, bmask, bk = bc.value
+        hv = np.ascontiguousarray(
+            h.to_numpy(dtype="int64", copy=True)
+        ).view(np.uint64)
+        m = np.uint64(bmask)
+        x = (hv ^ (hv >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h2 = (x ^ (x >> np.uint64(31))) | np.uint64(1)
+        ok = np.ones(hv.shape, dtype=bool)
+        for i in range(bk):
+            pos = (hv + np.uint64(i) * h2) & m
+            ok &= (
+                bbits[(pos >> np.uint64(3)).astype(np.int64)]
+                >> (pos & np.uint64(7)).astype(np.uint8)
+            ) & np.uint8(1) != 0
+        return pd.Series(ok)
+
     corpus_grams = grams_of(docs)
-    candidates = _bloom_prefilter(corpus_grams, bloom)
+    candidates = corpus_grams.filter(
+        _might_contain_hashed(F.xxhash64("gram"))
+    )
     dirty = (
         candidates.join(F.broadcast(bench_grams), "gram")
         .select(id_col)
@@ -526,6 +650,8 @@ __all__ = [
     "bigram_lm_doc_scores",
     "bigram_rows",
     "bloom_decontaminate",
+    "hash_bloom_build",
+    "hash_bloom_might_contain",
     "dsir_weights",
     "doc_perplexity",
     "nb_score",

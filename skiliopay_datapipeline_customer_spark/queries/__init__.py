@@ -178,8 +178,9 @@ _FORCE = {
     "source_epoch_plan": 9,
     "churn_training_dataset": 9,
     # r10: cms threshold now derived from the sketch (one fewer corpus
-    # pass); bloom prefilter extracted into _bloom_prefilter
-    "bloom_decontaminated_corpus": 9,
+    # pass); bloom prefilter extracted into _bloom_prefilter.
+    # (re-stamped 11 in the r12 block below: the prefilter moved to the
+    # JVM-hashed vectorized tier)
     # r10 oracle upgrades: kmeans_cluster_profile and ivf_ann_topk moved
     # from rows-only (Spark ML k-means|| / float Lloyd refinement) to the
     # exact-integer Lloyd tier with full-replay oracles — prior rows-only
@@ -245,6 +246,12 @@ _FORCE = {
     # queries need new stamps.
     "lsh_dup_pairs": 11,
     "lsh_dup_pairs_fast": 11,
+    # r12 session 4: the bloom prefilter's membership test moved from a
+    # per-gram Python md5 loop in mapInPandas to a boolean pandas_udf
+    # over JVM-computed xxhash64 with vectorized numpy bit probes —
+    # values unchanged (exact verify + exact anti-join oracle), plan
+    # changed (ArrowEvalPython now sees one int64 column)
+    "bloom_decontaminated_corpus": 11,
 }
 
 _PRIORITY = [
@@ -252,6 +259,7 @@ _PRIORITY = [
     # dim on the LSH tiers; see the _FORCE block) — re-stamp first ---
     "lsh_dup_pairs",
     "lsh_dup_pairs_fast",
+    "bloom_decontaminated_corpus",
     # --- r12 window: the CMS plan rewrite, the simhash oracle upgrade,
     # and the new auto-family LSH query (rows-only; never verified, so it
     # is in the needs-a-row pool by construction — listed to pin it at
@@ -293,7 +301,7 @@ _PRIORITY = [
     "domain_capped_sample",
     "source_epoch_plan",
     "churn_training_dataset",
-    "bloom_decontaminated_corpus",
+    # (bloom_decontaminated_corpus moved to the r12 block at the top)
     # --- pre-r10 order below ---
     # changed or newly-oracled this round — verify first
     "simhash_near_pairs",

@@ -255,6 +255,27 @@ def test_bench_line_survives_driver_stdout_tail():
     assert len(sub_line) <= _DRIVER_TAIL_BUDGET
     assert "BENCH_FULL.json" not in sub_line
     assert "not persisted (subset run)" in sub_line
+    # CONTENDED-session shape (measured live in r12: 19/26 ratios outside
+    # the 0.8–1.25 band + a 10-name flagged list rendered 1995 chars): the
+    # outlier-only step no longer shrinks anything, so the cascade must
+    # shed least-extreme outliers (keeping the most extreme) and, if ever
+    # needed, degrade flagged to a count — and still fit and parse
+    contended = json.loads(json.dumps(out))
+    contended["deltas"]["ratios"] = {
+        n: 1.5 + i / 100 for i, n in enumerate(qs)
+    }
+    contended["deltas"]["flagged"] = sorted(qs)
+    line = _fit_line(contended)
+    assert len(line) <= _DRIVER_TAIL_BUDGET
+    parsed = json.loads(line)
+    assert parsed["value"] == 49.36 and parsed["deltas"]["vs_round"] == 7
+    kept = parsed["deltas"]["ratios"]
+    if kept:  # the survivors must be the MOST extreme ratios
+        assert min(kept.values()) >= max(
+            v
+            for n, v in contended["deltas"]["ratios"].items()
+            if n not in kept
+        )
 
 
 def test_selfcheck_only_requires_distinct_stem(tmp_path):

@@ -8,6 +8,7 @@ check — mirroring the suite's pattern for dedup/similarity.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from skiliopay_datapipeline_customer_spark.operators import selection as S
@@ -87,6 +88,30 @@ def test_broadcast_bloom_has_no_false_negatives():
     # fp rate sane at 16 bits/item, k=7 (theory ~1e-3; allow slack)
     fps = sum(bloom.might_contain(f"other-{i}") for i in range(2000))
     assert fps < 60
+
+
+def test_hash_bloom_no_false_negatives():
+    # the vectorized int64 tier: every inserted hash must probe True
+    # (build and probe share the splitmix64 double-hash arithmetic), and
+    # the fp rate on fresh random hashes stays in the 16-bits/item, k=7
+    # design band (~1e-3 theoretical; allow generous slack)
+    rng = np.random.default_rng(7)
+    hs = rng.integers(-(2**63), 2**63 - 1, size=5000, dtype=np.int64)
+    bits, mask, k = S.hash_bloom_build(hs)
+    assert S.hash_bloom_might_contain(hs, bits, mask, k).all()
+    other = rng.integers(-(2**63), 2**63 - 1, size=20000, dtype=np.int64)
+    in_set = set(hs.tolist())
+    fresh = np.array([h for h in other.tolist() if h not in in_set], dtype=np.int64)
+    assert S.hash_bloom_might_contain(fresh, bits, mask, k).sum() < 200
+
+
+def test_hash_bloom_build_handles_empty_and_tiny_sets():
+    bits, mask, k = S.hash_bloom_build(np.array([], dtype=np.int64))
+    assert not S.hash_bloom_might_contain(
+        np.array([1, -1, 2**62], dtype=np.int64), bits, mask, k
+    ).any()
+    bits, mask, k = S.hash_bloom_build(np.array([42], dtype=np.int64))
+    assert S.hash_bloom_might_contain(np.array([42], dtype=np.int64), bits, mask, k).all()
 
 
 def test_bloom_decontaminate_matches_exact_anti_join(spark):
