@@ -87,11 +87,29 @@ def hygiene(spark) -> None:
     across query boundaries), and nudge a JVM GC so the ContextCleaner's
     weak references actually fire. Cost at sf0.1: ~10 ms/query — noise
     next to the accumulation it prevents at sf1.
+
+    The explicit persistent-RDD unpersist exists because the gc-based
+    chain CANNOT release the newest localCheckpoint pin (measured r12 via
+    memory-pool MXBeans at sf1: one stored RDD holding ~480 MB of G1 Old
+    Gen survived gc.collect + System.gc through multiple hygiene cycles,
+    old-generation GC time grew 1.5 s → 15.5 s over three identical
+    dedup_clusters runs, and the pin dropped only during the NEXT query's
+    natural GCs). Mechanism: Python's gc only QUEUES the py4j detach
+    (batched, async), so the System.gc right after it fires before the
+    JVM-side reference is released and the ContextCleaner's weak ref
+    never enqueues — a one-cycle-delayed cleanup by construction. Safe
+    here because hygiene runs BETWEEN bench queries, when no live frame
+    depends on a checkpoint; do not call it while holding a
+    localCheckpoint-derived frame (its blocks are unrecoverable — the
+    lineage is truncated).
     """
     import gc
 
     gc.collect()
     spark.catalog.clearCache()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().valuesIterator()
+    while it.hasNext():
+        it.next().unpersist(False)
     spark.sparkContext._jvm.System.gc()
 
 

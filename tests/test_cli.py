@@ -337,3 +337,29 @@ def test_bench_scaling_rejects_single_sf_list():
 
     with pytest.raises(SystemExit, match="scaling needs >= 2 SFs"):
         bench.scaling(sfs=["0.1"])
+
+
+def test_bench_hygiene_releases_lingering_checkpoint_pin(spark):
+    """gc.collect only QUEUES the py4j detach (pyspark's pinned-thread
+    ClientServer defers it), so the ContextCleaner cannot release the
+    newest localCheckpoint pin inside one hygiene call — measured at sf1:
+    one stored RDD held ~480 MB of G1 Old Gen across hygiene cycles and
+    old-generation GC time grew 4x over three identical runs. hygiene()
+    therefore unpersists lingering persistent RDDs explicitly; this pins
+    that behavior."""
+    import gc
+
+    from bench import hygiene
+
+    df = spark.range(50_000).selectExpr("id", "id * 2 as x").localCheckpoint(
+        eager=True
+    )
+    assert df.count() == 50_000
+    sc = spark.sparkContext
+    del df
+    gc.collect()
+    # the detach lag: the pin survives a plain collect
+    assert sc._jsc.sc().getPersistentRDDs().size() >= 1
+    hygiene(spark)
+    assert sc._jsc.sc().getPersistentRDDs().size() == 0
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == 0
