@@ -132,8 +132,14 @@ def minhash_signatures(
     # the resulting long with the seed — hashing (long, int) is a fixed-width
     # JVM op vs re-hashing a ~20-char string k times
     base = shingled.select(F.col(id_col), F.xxhash64("sh").alias("_h0"))
+    # SQL-text aggregates: {j} parses to the same IntegerType literal as
+    # F.lit(j), so the seed-mix hash is bit-identical (r13 — py4j
+    # construction cost, see _portable_hash64_sql)
     return base.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("_h0", F.lit(j))).alias(f"mh_{j}") for j in range(num_hashes)]
+        *[
+            F.expr(f"min(xxhash64(_h0, {j}))").alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ]
     )
 
 
@@ -466,18 +472,21 @@ def simhash_signatures(
         )
         .select(F.col(id_col), F.xxhash64("sh").alias("h"))
     )
+    # SQL-text aggregates, same trees (see simhash_signatures_md5 — r13)
     agg = hashed.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (h & CAST({1 << i} AS BIGINT)) != 0 "
+                "THEN 1 ELSE -1 END)"
             ).alias(f"b{i}")
             for i in range(63)
         ]
     )
-    fp = F.lit(0).cast("long")
-    for i in range(63):
-        fp = fp + (F.col(f"b{i}") > 0).cast("long") * F.lit(1 << i).cast("long")
-    return agg.select(F.col(id_col), fp.alias("simhash"))
+    fp_sql = "CAST(0 AS BIGINT) + " + " + ".join(
+        f"CAST(b{i} > 0 AS BIGINT) * CAST({1 << i} AS BIGINT)"
+        for i in range(63)
+    )
+    return agg.select(F.col(id_col), F.expr(fp_sql).alias("simhash"))
 
 
 def portable_hash64(col, seed: int):
@@ -492,6 +501,18 @@ def portable_hash64(col, seed: int):
     return F.conv(
         F.substring(F.md5(F.concat(col, F.lit(f"#{seed}"))), 1, 15), 16, 10
     ).cast("long")
+
+
+def _portable_hash64_sql(col_sql: str, seed: int) -> str:
+    """SQL text of :func:`portable_hash64` — the identical Catalyst tree
+    parsed JVM-side in one py4j round trip (r13: the signature builders
+    below construct 8-32 of these per call; the Column form's py4j
+    round trips were the dominant per-query cost at sf0.1 — see
+    similarity._bucket_fold_sql for the measurement)."""
+    return (
+        f"CAST(conv(substring(md5(concat({col_sql}, '#{seed}')), 1, 15), "
+        "16, 10) AS BIGINT)"
+    )
 
 
 def minhash_signatures_md5(
@@ -521,9 +542,12 @@ def minhash_signatures_md5(
                 ).alias("tok"),
             )
         )
+    # each min(portable-hash) agg is built as SQL text: the identical
+    # tree, one JVM parse per hash instead of ~10 py4j round trips each
+    # (plan-construction cost, not execution — see _portable_hash64_sql)
     return toks.groupBy(id_col).agg(
         *[
-            F.min(portable_hash64(F.col("tok"), j)).alias(f"mh_{j}")
+            F.expr(f"min({_portable_hash64_sql('tok', j)})").alias(f"mh_{j}")
             for j in range(num_hashes)
         ]
     )
@@ -550,39 +574,25 @@ def minhash_band_buckets_md5(
         )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures_md5(df, text_col, id_col, num_hashes, shingle_n)
+    # posexplode over the per-band bucket array: pos IS the band id (same
+    # rows as the r6-r12 struct-array explode), and the whole banding
+    # expression parses JVM-side in one round trip (r13 — the Column form
+    # cost ~15 py4j round trips per band at query-construction time)
+    bucket_sqls = [
+        "CAST(conv(substring(md5(concat_ws(':', "
+        + ", ".join(
+            [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+            + [f"'{b}'"]
+        )
+        + ")), 1, 15), 16, 10) AS BIGINT)"
+        for b in range(bands)
+    ]
     return sig.select(
         id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.conv(
-                            F.substring(
-                                F.md5(
-                                    F.concat_ws(
-                                        ":",
-                                        *[
-                                            F.col(f"mh_{b * rows_per_band + r}")
-                                            for r in range(rows_per_band)
-                                        ],
-                                        F.lit(str(b)),
-                                    )
-                                ),
-                                1,
-                                15,
-                            ),
-                            16,
-                            10,
-                        )
-                        .cast("long")
-                        .alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        F.expr(f"posexplode(array({', '.join(bucket_sqls)}))").alias(
+            "band", "bucket"
+        ),
+    )
 
 
 def minhash_lsh_candidates_md5(
@@ -631,20 +641,24 @@ def simhash_signatures_md5(
         .select(F.col(id_col), F.explode(grams).alias("tok"))
         .select(F.col(id_col), portable_hash64(F.col("tok"), 0).alias("hv"))
     )
+    # the per-bit sums and the fingerprint reassembly are built as SQL
+    # text (identical trees, exact integer arithmetic; r13 — the Column
+    # form issued ~10 py4j round trips per bit at construction time,
+    # ~0.4 s of the query's sf0.1 wall for bits=32)
     agg = hashed.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright("hv", i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright(hv, {i}) & 1) = 1 "
+                "THEN 1 ELSE -1 END)"
             ).alias(f"b{i}")
             for i in range(bits)
         ]
     )
-    fp = F.lit(0).cast("long")
-    for i in range(bits):
-        fp = fp + (F.col(f"b{i}") > 0).cast("long") * F.lit(1 << i).cast("long")
-    return agg.select(F.col(id_col), fp.alias("simhash"))
+    fp_sql = "CAST(0 AS BIGINT) + " + " + ".join(
+        f"CAST(b{i} > 0 AS BIGINT) * CAST({1 << i} AS BIGINT)"
+        for i in range(bits)
+    )
+    return agg.select(F.col(id_col), F.expr(fp_sql).alias("simhash"))
 
 
 def _star_components(

@@ -249,6 +249,93 @@ def _bucket_pid_expr(norm, bnds):
     return build(0, len(bnds))
 
 
+def _sql_lit(v) -> str | None:
+    """Exact SQL literal for the boundary types the fixtures produce, or
+    None when the type has no guaranteed-exact rendering (Decimal,
+    date/timestamp, bytes, ... — those fall back to the Column builder).
+    float uses repr (shortest round-trip — Java parses it back to the
+    identical bits); NaN/inf go through an explicit CAST because bare
+    tokens for them don't parse."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        # L suffix = BIGINT literal; comparisons against narrower integer
+        # columns widen exactly, so the strictly-after test is unchanged
+        return f"{v}L"
+    if isinstance(v, float):
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return repr(v).upper() + "D"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return None
+
+
+def _bucket_pid_sql(names: list[str], norm, bnds) -> str | None:
+    """SQL text of :func:`_bucket_pid_expr` over pre-projected key columns
+    (``names[i]`` aliases ``norm[i]``'s expression) — the identical binary
+    when-tree parsed JVM-side in ONE py4j round trip. Returns None when
+    any boundary value can't be rendered exactly (caller falls back to
+    the Column builder).
+
+    Why (r13, guide §7.3): the Column form issues ~15 py4j round trips
+    per tree node (~500 for the 31-boundary rfm tree), measured ~0.3 s of
+    every rank-family query's construction — driver-blocking, data-size
+    independent, paid per call. Same tree, same literals, so outputs are
+    bit-identical (pinned by
+    tests/test_scale_guards.py::test_bucket_pid_sql_equals_column_tree)."""
+
+    def after_key(name: str, asc: bool, b) -> str | None:
+        if b is None:
+            return f"({name} IS NOT NULL)" if asc else "FALSE"
+        lit = _sql_lit(b)
+        if lit is None:
+            return None
+        op = ">" if asc else "<"
+        dflt = "FALSE" if asc else "TRUE"
+        return f"coalesce({name} {op} {lit}, {dflt})"
+
+    def strictly_after(boundary: tuple) -> str | None:
+        after = "FALSE"
+        eq = "TRUE"
+        for name, (_, asc), b in zip(names, norm, boundary):
+            ak = after_key(name, asc, b)
+            if ak is None:
+                return None
+            after = f"({after} OR ({eq} AND {ak}))"
+            if b is None:
+                ek = f"({name} IS NULL)"
+            else:
+                lit = _sql_lit(b)
+                if lit is None:
+                    return None
+                ek = f"coalesce({name} = {lit}, FALSE)"
+            eq = f"({eq} AND {ek})"
+        return after
+
+    conds = []
+    for b in bnds:
+        c = strictly_after(b)
+        if c is None:
+            return None
+        conds.append(c)
+
+    def build(lo: int, hi: int) -> str:
+        if lo == hi:
+            return str(lo)
+        mid = (lo + hi) // 2
+        return (
+            f"(CASE WHEN {conds[mid]} THEN {build(mid + 1, hi)} "
+            f"ELSE {build(lo, mid)} END)"
+        )
+
+    return build(0, len(bnds))
+
+
 def _range_bucketed(df: DataFrame, order_spec, num_partitions: int | None):
     """Shared first pass: `_pid` from frozen boundary literals, then ONE
     explicit hash exchange on `_pid` for the WINDOW branch (per-bucket
@@ -268,7 +355,20 @@ def _range_bucketed(df: DataFrame, order_spec, num_partitions: int | None):
     norm = _normalize_order_spec(order_spec)
     nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     bnds = _collect_boundaries(df, norm, nparts)
-    bucketed = df.withColumn("_pid", _bucket_pid_expr(norm, bnds))
+    # fast path (r13): project the key expressions once under temp names,
+    # parse the whole when-tree JVM-side, drop the temps (the projection
+    # collapses — `bucketed` keeps the caller's schema + `_pid`, and the
+    # Column builder remains the reference implementation and the
+    # fallback for boundary types _sql_lit can't render exactly)
+    names = [f"__rk{i}" for i in range(len(norm))]
+    pid_sql = _bucket_pid_sql(names, norm, bnds)
+    if pid_sql is not None:
+        keyed = df
+        for name, (c, _) in zip(names, norm):
+            keyed = keyed.withColumn(name, c)
+        bucketed = keyed.withColumn("_pid", F.expr(pid_sql)).drop(*names)
+    else:
+        bucketed = df.withColumn("_pid", _bucket_pid_expr(norm, bnds))
     parts = bucketed.repartition(max(1, len(bnds) + 1), "_pid")
     return bucketed, parts, _sort_cols(norm)
 

@@ -19,6 +19,42 @@ def as_double(vec):
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def _dlit(x: float) -> str:
+    """Exact SQL double literal. repr() is CPython's shortest round-trip
+    decimal, and Java's Double.parseDouble of that string returns the
+    identical bits (both are correctly-rounded nearest-double parses of a
+    string that uniquely identifies the value), so the parsed literal ==
+    F.lit(x) bit-for-bit. The D suffix forces DoubleType (a bare decimal
+    is DECIMAL in Spark SQL; bare exponent form is already double, but the
+    suffix keeps every shape unambiguous)."""
+    return repr(float(x)).upper() + "D"
+
+
+def _bucket_fold_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL text of :func:`lsh_bucket_id`'s planes fast path — the SAME
+    Catalyst tree (zip_with product, sequential left-fold sum, sign bits
+    packed little-endian), parsed JVM-side in ONE py4j round trip.
+
+    Why this exists (r13, guide §7.3 "driver single-threaded work"): the
+    Column-builder form issues ~70 py4j round trips per plane (each
+    F.* call is a blocking driver socket round trip), ~1,100 for a
+    16-plane family — measured 0.9 s of the 1.2 s banding wall at sf0.1,
+    per QUERY CONSTRUCTION, data-size-independent. The SQL string parses
+    in ~15 ms. Output is bit-identical (same fold, same literals —
+    exceptAll-pinned by tests/test_similarity_extra.py and the unchanged
+    lsh oracle), so `lsh_bucket_id` stays as the reference
+    implementation and the property tests compare the two forms."""
+    terms = []
+    for local_bit, plane in enumerate(planes):
+        arr = "array(" + ",".join(_dlit(v) for v in plane) + ")"
+        proj = (
+            f"aggregate(zip_with({vec_sql}, {arr}, (x, h) -> x * h), "
+            "0.0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CAST(({proj}) > 0 AS INT) * {1 << local_bit})")
+    return "CAST(0 + " + " + ".join(terms) + " AS BIGINT)"
+
+
 def dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
@@ -428,16 +464,22 @@ def lsh_dup_pairs(
         # hoist the float→double cast to a projected attribute: every
         # band×plane dot references the vector, and an inline as_double
         # re-ran the interpreted array transform num_planes× per row
-        # (see lsh_bucket_id — exact cast, bit-identical fold)
-        bd = base.select(id_col, as_double(F.col(vec_col)).alias("_vd"))
-        bucket_cols = [
-            lsh_bucket_id(
-                F.col("_vd"), ppb, planes=planes_by_band[band], already_double=True
-            ).cast("long")
+        # (see lsh_bucket_id — exact cast, bit-identical fold). The whole
+        # banding expression is built as SQL text (_bucket_fold_sql):
+        # same tree, one JVM parse instead of ~1,100 py4j round trips —
+        # r13, measured 0.9 s of per-query construction at any SF.
+        bd = base.select(
+            id_col,
+            F.expr(f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))").alias(
+                "_vd"
+            ),
+        )
+        buckets_sql = "array(" + ",".join(
+            _bucket_fold_sql("_vd", planes_by_band[band])
             for band in range(bands)
-        ]
+        ) + ")"
         bb = bd.select(
-            id_col, F.posexplode(F.array(*bucket_cols)).alias("band", "bucket")
+            id_col, F.expr(f"posexplode({buckets_sql})").alias("band", "bucket")
         )
     else:
         # all band buckets in ONE Arrow-batched numpy matmul per batch: the

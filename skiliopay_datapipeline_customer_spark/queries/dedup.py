@@ -568,23 +568,17 @@ def simhash_near_pairs(spark, sf_dir):
     fp = D.simhash_signatures_md5(
         table(spark, sf_dir, "documents"), shingle_n=2
     ).persist()
+    # posexplode: pos IS the chunk index (same rows as the struct-array
+    # explode this replaces), parsed JVM-side in one round trip (r13)
     chunks = fp.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("c"),
-                        F.shiftright("simhash", c * 8)
-                        .bitwiseAND(F.lit(255))
-                        .alias("chunk_val"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("ch"),
-    ).select("doc_id", "simhash", F.col("ch.c").alias("c"), F.col("ch.chunk_val").alias("chunk_val"))
+        F.expr(
+            "posexplode(array("
+            + ", ".join(f"shiftright(simhash, {c * 8}) & 255" for c in range(4))
+            + "))"
+        ).alias("c", "chunk_val"),
+    )
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (

@@ -478,9 +478,12 @@ def curated_selection_pipeline(spark, sf_dir):
         keep.select("doc_id", (F.col("lang") == "en").alias("_is_target")),
         "doc_id",
     ).select("doc_id", "_is_target", "gram")
-    weights = S.dsir_weights(
-        None, None, n_buckets=1024, shingle_n=2, grams=dsir_grams
-    )
+    # lazy DSIR (r13): the standalone dsir_weights localCheckpoints its
+    # result — correct for standalone callers, but inside the capstone that eager
+    # pin cost a full extra scheduling wave mid-pipeline; the single
+    # terminal materialize below runs the whole LM→keep→DSIR→decile plan
+    # in ONE pass and releases every pinned frame at once
+    weights, dsir_pinned = S.dsir_weights_lazy(dsir_grams, n_buckets=1024)
     ranked = weights.select(
         "doc_id", F.round("dsir_weight", 4).alias("dsir_weight")
     ).join(keep.select("doc_id", "lang", "quality_bucket"), "doc_id")
@@ -491,7 +494,7 @@ def curated_selection_pipeline(spark, sf_dir):
         .select("doc_id", "lang", "quality_bucket", "dsir_weight", "decile")
         .orderBy("doc_id")
     )
-    return materialize(result, big, keep)
+    return materialize(result, big, keep, dsir_pinned)
 
 
 # ---------------------------------------------------------------------------

@@ -1002,6 +1002,64 @@ def test_bucket_pid_tree_equals_linear_count(spark):
         assert got.select("tree").distinct().count() > 4
 
 
+def test_bucket_pid_sql_equals_column_tree(spark):
+    """The r13 SQL-text when-tree (_bucket_pid_sql, parsed JVM-side in one
+    round trip) must produce the IDENTICAL bucket id as the Column-builder
+    reference (_bucket_pid_expr) on adversarial boundaries: nulls, NaN,
+    unicode strings, quotes/backslashes in string boundaries, negative and
+    integral floats. Also pins the fallback contract: a boundary type
+    _sql_lit can't render exactly returns None (Column path taken)."""
+    from skiliopay_datapipeline_customer_spark.operators.ranks import (
+        _bucket_pid_expr,
+        _bucket_pid_sql,
+        _collect_boundaries,
+        _normalize_order_spec,
+        _sql_lit,
+    )
+
+    rows = []
+    for i in range(600):
+        v = None if i % 13 == 0 else (
+            float("nan") if i % 19 == 0 else float((i * 7919) % 83) / 7.0 - 5.0
+        )
+        s = ["al'pha", "Är\\ger", "zèbre", "中文", "be' \\ ta"][i % 5] + str(i % 9)
+        rows.append((i, v, s))
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+
+    for spec in (
+        [("v", "asc"), ("s", "asc"), ("id", "asc")],
+        [("v", "desc"), ("s", "desc"), ("id", "asc")],
+        [("s", "asc"), ("id", "desc")],
+    ):
+        norm = _normalize_order_spec(spec)
+        bnds = _collect_boundaries(df, norm, 16)
+        names = [f"__rk{i}" for i in range(len(norm))]
+        sql = _bucket_pid_sql(names, norm, bnds)
+        assert sql is not None, bnds
+        keyed = df
+        for name, (c, _) in zip(names, norm):
+            keyed = keyed.withColumn(name, c)
+        got = keyed.select(
+            F.expr(sql).alias("sqlpid"),
+            _bucket_pid_expr(norm, bnds).alias("colpid"),
+        )
+        assert got.where(F.col("sqlpid") != F.col("colpid")).count() == 0
+        assert got.select("sqlpid").distinct().count() > 4
+
+    # fallback contract: unsupported literal types refuse, never guess
+    from decimal import Decimal
+
+    assert _sql_lit(Decimal("1.5")) is None
+    norm = _normalize_order_spec([("v", "asc")])
+    assert _bucket_pid_sql(["__rk0"], norm, [(Decimal("1.5"),)]) is None
+    # exactness of the float renderer on round-trip-hostile values
+    import math
+
+    for x in (0.1, -0.0, 1e-300, 1.7976931348623157e308, math.pi, 3.0):
+        [(rt,)] = spark.sql(f"SELECT {_sql_lit(x)}").collect()
+        assert (rt == x and math.copysign(1, rt) == math.copysign(1, x)), x
+
+
 def test_rank_family_on_empty_and_tiny_frames(spark):
     """Degenerate inputs: an EMPTY frame yields an empty rank (no
     boundary → one bucket → no error), and a frame smaller than the
