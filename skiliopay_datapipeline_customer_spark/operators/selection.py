@@ -565,8 +565,14 @@ def bloom_decontaminate(
         return pd.Series(ok)
 
     corpus_grams = grams_of(docs)
+    # asNondeterministic (guide §4.4): the optimizer otherwise duplicates
+    # the UDF around the pushed-down filter — the r12 plan carried TWO
+    # ArrowEvalPython nodes for this one probe, i.e. every corpus gram
+    # crossed the Python boundary twice. The predicate is in fact
+    # deterministic; the marker only forbids the optimizer's
+    # duplicate-and-push, so the kept row set is unchanged (oracle-pinned).
     candidates = corpus_grams.filter(
-        _might_contain_hashed(F.xxhash64("gram"))
+        _might_contain_hashed.asNondeterministic()(F.xxhash64("gram"))
     )
     dirty = (
         candidates.join(F.broadcast(bench_grams), "gram")

@@ -125,13 +125,18 @@ def cms_heavy_hitters(
     occ = tokens.select(
         F.col(token_col), *_bucket_cols(token_col, depth, width)
     )
-    estimate = F.least(
-        *[
-            F.element_at(
-                F.array(*[F.lit(n) for n in grid[r]]), F.col(f"b{r}") + 1
-            )
+    # the d dense-array lookups parse as ONE SQL expression: the Column
+    # form issued ~depth×width py4j round trips building the literal
+    # arrays (~1,050 calls = ~0.5 s of query construction at any SF —
+    # r13); integer literals render exactly, so the tree is identical
+    estimate = F.expr(
+        "least("
+        + ", ".join(
+            f"element_at(array({','.join(str(n) for n in grid[r])}), "
+            f"b{r} + 1)"
             for r in range(depth)
-        ]
+        )
+        + ")"
     )
     survivors = occ.filter(estimate >= F.lit(threshold)).select(token_col)
     return (

@@ -177,10 +177,22 @@ def duplicate_keys(spark, sf_dir):
     """,
 )
 def median_quantiles(spark, sf_dir):
-    return table(spark, sf_dir, "orders").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
-        F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("q1_price"),
-        F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("q3_price"),
+    # ONE percentile buffer for all three points (r13): three separate
+    # exact-percentile aggregates each accumulate and merge the full
+    # value multiset independently — the array form is the same
+    # Percentile evaluator once (values bit-identical; isolated A/B
+    # 1.22 → 0.56 s at sf0.1)
+    p = F.percentile(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.25), F.lit(0.75))
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .agg(p.alias("_p"))
+        .select(
+            F.round(F.col("_p")[0], 6).alias("median_price"),
+            F.round(F.col("_p")[1], 6).alias("q1_price"),
+            F.round(F.col("_p")[2], 6).alias("q3_price"),
+        )
     )
 
 

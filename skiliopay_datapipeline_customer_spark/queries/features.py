@@ -205,10 +205,13 @@ def modulo_flags(spark, sf_dir):
 )
 def iqr_clip(spark, sf_dir):
     orders = table(spark, sf_dir, "orders")
+    # one percentile buffer for both fences (r13, same rewrite as
+    # median_quantiles — bit-identical values, half the agg state)
     fences = orders.agg(
-        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
-        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
-    )
+        F.percentile(
+            "o_totalprice", F.array(F.lit(0.25), F.lit(0.75))
+        ).alias("_q")
+    ).select(F.col("_q")[0].alias("q1"), F.col("_q")[1].alias("q3"))
     iqr = F.col("q3") - F.col("q1")
     return (
         orders.crossJoin(F.broadcast(fences))
