@@ -311,6 +311,11 @@ def main(only: list[str] | None = None, record: str | None = None) -> None:
         "warm_total": round(sum(warm.values()), 3),
         "queries_warm": warm,
         "sf": sf_val,
+        # r13 (VERDICT #3): disclose the r12 JMH-style plan warmup in the
+        # record itself — "cold" here means first timed execution at the
+        # target SF in a plan-warmed session (codegen/JIT compiled on
+        # sf0.001), not a cold JVM
+        "plan_warmed": True,
         "machine": {"before": probe_before, "after": machine_probe(spark)},
         "deltas": _deltas(timings, sf=sf_val),
     }

@@ -432,6 +432,7 @@ def lsh_dup_pairs(
     adds bands: at equal ppb its verified pairs are a SUPERSET of any
     higher-anchor family's (pytest-pinned vs the pinned 16/4).
     """
+    n_rows = None
     if num_planes == "auto":
         n_rows = df.select(id_col).count()
         ppb = max(4, math.ceil(math.log2(max(n_rows, 1) / 64)) if n_rows > 64 else 4)
@@ -496,14 +497,30 @@ def lsh_dup_pairs(
     # shared self-join core (cap window + one reused exchange — see
     # capped_bucket_pairs). IDs ONLY through the join: carrying the vectors
     # would shuffle dim floats per candidate ROW; they re-attach at the
-    # verify tier. NO pair-dedup here: a pair colliding in k bands flows to
-    # the verify tier k times (k is ~1 for random data — multi-band
-    # collisions are rare), where the per-pair similarity is deterministic,
-    # and the ONE dedup below runs on the post-filter frame (pairs that
-    # passed the threshold — orders of magnitude smaller than the candidate
-    # list). Deduping candidates first would shuffle the full candidate
-    # volume an extra time to save only the duplicated verify arithmetic.
+    # verify tier (measured r13: the carried-vector form was SLOWER at
+    # sf0.1 — the verify joins broadcast the small vecs frame).
     cand, capped = capped_bucket_pairs(bb, id_col, max_bucket_size)
+    # Dedup candidates BEFORE the verify tier when buckets are DEEP (r13
+    # — refines the r12 "dedup only after the filter" rule on
+    # measurement): multi-band collisions stop being rare once buckets
+    # deepen (sf1's occupancy-500 pinned family: 23.4% of 12.1M candidate
+    # pairs are duplicates, each paying two vector-join probes plus a
+    # dim-length interpreted dot — pre-distinct measured 13.9 → 7.2 s
+    # there), but the distinct's exchange is pure overhead while buckets
+    # are shallow (sf0.1: occupancy 125, 10% duplicates, +0.7 s — the
+    # verify joins broadcast the vecs frame, so this would be the
+    # pipeline's ONLY candidate-sized shuffle). Gate on expected bucket
+    # occupancy n/2^ppb — the quantity that drives the duplicate rate —
+    # with the crossover pinned between the two measured points; the
+    # count is column-pruned and reuses the auto family's (which, sizing
+    # ppb to occupancy ~64, never dedups — its collision rate stays low
+    # by construction). Output unchanged either way: verify is
+    # deterministic per pair and the post-filter dropDuplicates collapses
+    # multi-band survivors; this only moves WHERE the collapse happens.
+    if n_rows is None:
+        n_rows = df.select(id_col).count()
+    if n_rows / float(1 << ppb) >= 256:
+        cand = cand.distinct()
     # verify tier: norms fold ONCE PER DOC here, not per pair — the same
     # left fold over the same list produces the identical double, so oracle
     # bit-compatibility is preserved while the per-pair work drops to the
