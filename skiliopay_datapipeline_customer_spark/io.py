@@ -98,14 +98,49 @@ def fan_out(df: DataFrame, min_tasks: int | None = None) -> DataFrame:
         # auto mode: only scan-shaped plans are probed — AQE already
         # balances post-shuffle parallelism, and the probe would double-run
         # the input's shuffle stages. An EXPLICIT min_tasks skips this
-        # guard: the caller opted into the probe cost.
+        # guard: the caller opted into the probe cost. The guard reads the
+        # ANALYZED plan (r13): every guarded logical node (Join/Aggregate/
+        # Window/Sort/Repartition/Deduplicate) already exists pre-optimizer,
+        # and rendering the optimized plan cost ~0.35 s per call (the
+        # optimizer run + toString) vs ~0.02 s here — per-query fixed cost
+        # on every kernel path that uses fan_out.
         shuffle_nodes = (
             "Join", "Aggregate", "Window", "Sort", "Repartition", "Deduplicate",
         )
-        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        logical = df._jdf.queryExecution().analyzed().toString()
         if any(tok in logical for tok in shuffle_nodes):
             return df
     target = min_tasks or df.sparkSession.sparkContext.defaultParallelism
+    if min_tasks is None:
+        files = df.inputFiles()
+        if files:
+            # file-size parallelism estimate (r13, replaces the ~0.15 s
+            # .rdd conversion on the auto path): Spark's split packing
+            # gives maxSplitBytes = min(maxPartitionBytes, max(openCost,
+            # bytes/parallelism)), so a scan reaches ``target`` tasks
+            # whenever total bytes ≥ target × openCost (4 MB). The guard
+            # is balance-only (round-robin repartition ahead of
+            # order-independent kernels — never correctness), so the
+            # estimate only needs to agree with the packing at the
+            # boundary: under the threshold the input is ≤ target×4 MB,
+            # i.e. small by definition, and the exchange is cheap even
+            # when a many-tiny-files layout would have parallelized
+            # anyway. Non-file frames (checkpoints, local relations)
+            # keep the exact .rdd probe below.
+            import os as _os
+            from urllib.parse import urlparse
+
+            try:
+                total = sum(
+                    _os.path.getsize(urlparse(f).path or f) for f in files
+                )
+            except (OSError, ValueError):
+                # non-local scheme (s3/hdfs) — fall through to the probe
+                total = None
+            if total is not None:
+                if total >= target * (4 << 20):
+                    return df
+                return df.repartition(target)
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
