@@ -252,6 +252,55 @@ _FORCE = {
     # values unchanged (exact verify + exact anti-join oracle), plan
     # changed (ArrowEvalPython now sees one int64 column)
     "bloom_decontaminated_corpus": 11,
+    # --- r13 plan changes, values unchanged (the r13 output freeze:
+    # no oracle changed this round), re-stamp on the new plans ---
+    # the whole distributed rank/cumsum/ntile/sampling family: the
+    # boundary when-tree is now parsed from SQL text over pre-projected
+    # key columns (ranks._bucket_pid_sql; same tree, bit-identical —
+    # test_bucket_pid_sql_equals_column_tree)
+    "global_row_number": 12,
+    "percent_rank_prices": 12,
+    "rfm_quintiles": 12,
+    "rfm_scores": 12,
+    "ks_drift_report": 12,
+    "weighted_median_price": 12,
+    "weighted_median_by_flag": 12,
+    "abc_customer_classes": 12,
+    "revenue_gini": 12,
+    "token_pack_assignments": 12,
+    "length_bucketed_batches": 12,
+    "quality_top_quartile": 12,
+    "corpus_build_pipeline": 12,
+    "training_shard_assignments": 12,
+    "domain_capped_sample": 12,
+    "source_epoch_plan": 12,
+    "churn_training_dataset": 12,
+    "dsir_deciles_distributed": 12,
+    "ccnet_buckets_distributed": 12,
+    # LSH expr banding as SQL text + occupancy-gated candidate dedup
+    # before the verify tier (the gate keeps the sf0.1-class plain path;
+    # output identical either way)
+    "lsh_dup_pairs": 12,
+    "lsh_dup_pairs_fast": 12,
+    "lsh_dup_pairs_auto": 12,
+    # md5/xxh signature builders as SQL text; simhash chunks and md5
+    # band buckets via posexplode (pos IS the band/chunk id)
+    "simhash_near_pairs": 12,
+    "simhash_fingerprints": 12,
+    "simhash_md5_fingerprints": 12,
+    "minhash_md5_signatures": 12,
+    "minhash_lsh_candidates": 12,
+    "minhash_jaccard_estimates": 12,
+    "incremental_dedup_candidates": 12,
+    # ONE exact-percentile buffer via array percentages (same evaluator)
+    "median_quantiles": 12,
+    "iqr_clip": 12,
+    # bloom probe UDF marked nondeterministic (one ArrowEvalPython, was 2)
+    "bloom_decontaminated_corpus": 12,
+    # capstone: lazy DSIR — single terminal materialize
+    "curated_selection_pipeline": 12,
+    # CMS estimate lookups parsed from SQL text (identical tree)
+    "cms_heavy_hitter_tokens": 12,
 }
 
 _PRIORITY = [
